@@ -1,0 +1,198 @@
+"""The demo scene: 4 hero spheres, a ~441-sphere harmonic-oscillator field,
+and a Moon/Earth/Star orbital system.
+
+TPU-native reimplementation of /root/reference/Source/MyScene.ixx:52-303
+(MySceneDesc): same layout, radii, materials, spring/orbital initial
+conditions and physics parameters — built host-side in numpy with a
+deterministic mt19937 stream (Source/Random.ixx analogue), then packed into
+the SphereScene pytree plus a rigid-body state for the on-device physics
+step (ops/physics.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import sky
+from ..ops.physics import (GRAVITATIONAL_CONSTANT, RigidBodies,
+                           first_cosmic_speed, gravitational_mass)
+from ..utils import math as m
+from . import scene as scene_mod
+from .material import MaterialDesc, pack_materials
+
+# Spring constants (MyScene.ixx:48: PositionY = 0.5, Period = 3).
+SPRING_POSITION_Y = 0.5
+SPRING_PERIOD = 3.0
+SPRING_AMPLITUDE = 0.5  # MyScene.ixx:173 `A`
+
+# Object kinds (ObjectNames analogue) — indices into the instance arrays.
+KIND_HERO = 0
+KIND_OSCILLATOR = 1
+KIND_MOON = 2
+KIND_EARTH = 3
+KIND_STAR = 4
+
+
+@dataclasses.dataclass
+class MySceneHost:
+    """Host-side build products: the device scene, physics state, and
+    bookkeeping the app layer uses (camera start pose, object kinds)."""
+    scene: scene_mod.SphereScene
+    bodies: RigidBodies
+    kinds: np.ndarray            # (K,) int32 KIND_*
+    camera_position: tuple = (0.0, 0.0, -15.0)  # MyScene.ixx:90
+    camera_forward: tuple = (0.0, 0.0, 1.0)
+
+
+def _simple_harmonic_displacement(a, omega, t, phi):
+    """PhysicsHelpers::SimpleHarmonicMotion::Spring::CalculateDisplacement
+    (/root/reference/Source/PhysX.h:31)."""
+    return a * np.cos(omega * t - phi)
+
+
+def _simple_harmonic_velocity(a, omega, t, phi):
+    """PhysX.h:34."""
+    return -a * omega * np.sin(omega * t - phi)
+
+
+def build(seed: int = 0, oscillator_grid: int = 10) -> MySceneHost:
+    """Construct the demo scene (MySceneDesc ctor, MyScene.ixx:52-303).
+
+    `oscillator_grid` is the half-extent of the oscillator lattice (the
+    reference uses 10 -> 21x21 = 441 candidate cells); shrink for tests.
+    """
+    rng = np.random.RandomState(seed)  # Source/Random.ixx mt19937 analogue
+
+    positions: list = []
+    radii: list = []
+    velocities: list = []
+    angular_velocities: list = []
+    masses: list = []
+    materials: list = []
+    kinds: list = []
+
+    def add(kind, pos, radius, mat, velocity=(0, 0, 0), angular=(0, 0, 0),
+            mass=None):
+        positions.append(pos)
+        radii.append(radius)
+        velocities.append(velocity)
+        angular_velocities.append(angular)
+        # PxRigidBodyExt::updateMassAndInertia(density=1) (MyScene.ixx:105).
+        masses.append((4.0 / 3.0) * np.pi * radius ** 3 if mass is None
+                      else mass)
+        materials.append(mat)
+        kinds.append(kind)
+
+    # --- 4 hero spheres (MyScene.ixx:117-169) ------------------------------
+    hero_positions = [(-2.0, 0.5, 0.0), (0.0, 0.5, 0.0), (0.0, 2.0, 0.0),
+                      (2.0, 0.5, 0.0)]
+    hero_materials = [
+        # AlienMetal (textured; texture atlas indices wired by the loader)
+        MaterialDesc(base_color=(1, 1, 1, 1), metallic=1.0, roughness=1.0),
+        MaterialDesc(base_color=(1, 1, 1, 1), roughness=0.0,
+                     transmission=1.0),
+        MaterialDesc(base_color=(1, 1, 1, 1), roughness=0.5,
+                     transmission=1.0),
+        MaterialDesc(base_color=(0.7, 0.6, 0.5, 1), metallic=1.0,
+                     roughness=0.3),
+    ]
+    for pos, mat in zip(hero_positions, hero_materials):
+        add(KIND_HERO, pos, 0.5, mat)
+
+    # --- harmonic-oscillator field (MyScene.ixx:171-230) --------------------
+    omega = 2.0 * np.pi / SPRING_PERIOD
+    g = oscillator_grid
+    for i in range(-g, g + 1):
+        for j in range(-g, g + 1):
+            x = float(i) + 0.7 * rng.random_sample()
+            y = SPRING_POSITION_Y + _simple_harmonic_displacement(
+                SPRING_AMPLITUDE, omega, 0.0, x)
+            z = float(j) - 0.7 * rng.random_sample()
+            pos = np.array([x, y, z])
+            if min(np.linalg.norm(pos - np.array(h))
+                   for h in hero_positions) < 1.0:
+                continue
+
+            def rand_color(lo):
+                return tuple(lo + (1 - lo) * rng.random_sample(3)) + (1.0,)
+
+            rv = rng.random_sample()
+            if rv < 0.3:
+                mat = MaterialDesc(base_color=rand_color(0.1))
+            elif rv < 0.6:
+                mat = MaterialDesc(base_color=rand_color(0.1), metallic=1.0,
+                                   roughness=0.5 * rng.random_sample())
+            elif rv < 0.8:
+                mat = MaterialDesc(base_color=rand_color(0.1),
+                                   roughness=0.5 * rng.random_sample(),
+                                   transmission=1.0)
+            else:
+                mat = MaterialDesc(
+                    base_color=rand_color(0.1),
+                    emissive_strength=1.0 + 9.0 * rng.random_sample(),
+                    emissive_color=tuple(0.2 + 0.8 * rng.random_sample(3)),
+                    metallic=0.4 + 0.6 * rng.random_sample(),
+                    roughness=0.3 + 0.7 * rng.random_sample())
+            vy = _simple_harmonic_velocity(SPRING_AMPLITUDE, omega, 0.0, x)
+            add(KIND_OSCILLATOR, tuple(pos), 0.075, mat, velocity=(0, vy, 0))
+
+    # --- Moon / Earth / Star (MyScene.ixx:233-302) ---------------------------
+    moon_pos = np.array([-4.0, 4.0, 0.0])
+    earth_pos = np.array([0.0, 4.0, 0.0])
+    star_pos = np.array([0.0, -50.1, 0.0])
+    moon_orbital_period = 10.0
+    earth_rotation_period = 15.0
+    dist = np.linalg.norm(moon_pos - earth_pos)
+    earth_mass = gravitational_mass(dist, moon_orbital_period)
+
+    # Moon: tangential orbital velocity + tidally-locked spin.
+    to_earth = (earth_pos - moon_pos) / dist
+    speed = first_cosmic_speed(earth_mass, dist)
+    moon_velocity = speed * np.array([-to_earth[2], 0.0, to_earth[0]])
+    add(KIND_MOON, tuple(moon_pos), 0.25,
+        MaterialDesc(base_color=(1, 1, 1, 1), roughness=0.8),
+        velocity=tuple(moon_velocity), angular=(0.0, speed / dist, 0.0))
+    add(KIND_EARTH, tuple(earth_pos), 1.0,
+        MaterialDesc(base_color=(1, 1, 1, 1), roughness=0.8),
+        angular=(0.0, 2.0 * np.pi / earth_rotation_period, 0.0),
+        mass=earth_mass)
+    # Star: mass 0 -> static collider (MyScene.ixx:297 setMass(0)).
+    add(KIND_STAR, tuple(star_pos), 50.0,
+        MaterialDesc(base_color=(0.5, 0.5, 0.5, 1), metallic=1.0,
+                     roughness=0.0), mass=0.0)
+
+    k = len(positions)
+    center = jnp.asarray(np.array(positions, np.float32))
+    rotation = jnp.tile(m.QUAT_IDENTITY, (k, 1))
+    radius = jnp.asarray(np.array(radii, np.float32))
+    kinds_np = np.array(kinds, np.int32)
+
+    env = sky.make_environment_light(
+        rotation=m.quat_from_axis_angle((0.0, 1.0, 0.0), np.pi))
+
+    the_scene = scene_mod.SphereScene(
+        center=center, rotation=rotation,
+        prev_center=center, prev_rotation=rotation,
+        radius=radius, materials=pack_materials(materials), env=env)
+
+    mass = np.array(masses, np.float32)
+    inv_mass = np.where(mass > 0, 1.0 / np.maximum(mass, 1e-12), 0.0)
+    bodies = RigidBodies(
+        position=center,
+        velocity=jnp.asarray(np.array(velocities, np.float32)),
+        rotation=rotation,
+        angular_velocity=jnp.asarray(np.array(angular_velocities,
+                                              np.float32)),
+        mass=jnp.asarray(mass),
+        inv_mass=jnp.asarray(inv_mass.astype(np.float32)),
+        radius=radius,
+        is_oscillator=jnp.asarray(kinds_np == KIND_OSCILLATOR),
+        spring_rest_y=jnp.float32(SPRING_POSITION_Y),
+        attracted_to_earth=jnp.asarray(kinds_np == KIND_MOON),
+        earth_index=jnp.int32(int(np.nonzero(kinds_np == KIND_EARTH)[0][0])),
+        star_index=jnp.int32(int(np.nonzero(kinds_np == KIND_STAR)[0][0])),
+    )
+    return MySceneHost(scene=the_scene, bodies=bodies, kinds=kinds_np)

@@ -1,0 +1,146 @@
+"""Ray-scene intersection kernels.
+
+TPU-native replacement for DXR acceleration-structure traversal
+(/root/reference/Shaders/RaytracingHelpers.hlsli:7-55 ``TraceRay`` /
+RayQuery): the demo scene is sphere instances of one geosphere mesh
+(SURVEY.md §7 "sphere fast path"), so the primary kernel is an analytic
+ray-sphere test against *all* instances, evaluated as a handful of
+(rays × spheres) contractions — large, regular, mask-selected math that maps
+straight onto the TPU's vector units instead of divergent BVH pointer
+chasing. Rays are processed in fixed-size blocks (a `lax.scan` over blocks)
+so the (block × spheres) working set stays on-chip; a Pallas variant of the
+same contract can be swapped in transparently.
+
+A triangle-mesh path (BVH) lives in `ops/trimesh.py` for general geometry.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..utils import math as m
+
+INF = jnp.float32(jnp.inf)
+
+
+@struct.dataclass
+class SphereHit:
+    """Per-ray hit record (the reference's HitInfo, Shaders/HitInfo.hlsli)."""
+    hit: jnp.ndarray        # (...,) bool
+    t: jnp.ndarray          # (...,) distance (inf on miss)
+    index: jnp.ndarray      # (...,) int32 sphere/instance index (0 on miss)
+    position: jnp.ndarray   # (..., 3) world hit position
+    normal: jnp.ndarray     # (..., 3) outward geometric normal (unit)
+    is_front_face: jnp.ndarray  # (...,) bool: ray hit from outside
+
+
+def _block_intersect(o, d, t_min, t_max, centers, radii_sq, cc_rr):
+    """Closest-hit test of a ray block against all spheres.
+
+    o, d: (B, 3); t_min/t_max: (B,); centers: (K, 3);
+    radii_sq: (K,) = r^2; cc_rr: (K,) = |c|^2 - r^2.
+    The quadratic coefficients for all (ray, sphere) pairs come from two
+    (B,3)x(3,K) contractions — no (B, K, 3) intermediate is materialized.
+    """
+    od = m.dot(o, d)                             # (B,)
+    oo = m.dot(o, o)                             # (B,)
+    d_dot_c = d @ centers.T                      # (B, K)
+    o_dot_c = o @ centers.T                      # (B, K)
+    b = od[:, None] - d_dot_c                    # (B, K) = dot(o - c, d)
+    c0 = oo[:, None] - 2.0 * o_dot_c + cc_rr[None, :]
+    disc = b * b - c0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = -b - sq
+    t1 = -b + sq
+    # Take the near root unless it is before t_min (ray starts inside).
+    t = jnp.where(t0 >= t_min[:, None], t0, t1)
+    valid = (disc > 0.0) & (t >= t_min[:, None]) & (t <= t_max[:, None])
+    t = jnp.where(valid, t, INF)
+    best = jnp.argmin(t, axis=-1)                # (B,)
+    t_best = jnp.take_along_axis(t, best[:, None], axis=-1)[:, 0]
+    return t_best, best.astype(jnp.int32)
+
+
+def intersect_spheres(origin, direction, t_min, t_max, centers, radii,
+                      block_size: int = 16384):
+    """Closest-hit of rays against all spheres (brute force, blocked).
+
+    origin/direction: (..., 3); t_min/t_max broadcastable to (...,).
+    centers: (K, 3); radii: (K,). Returns a SphereHit with leading shape
+    (...). `block_size` bounds the on-chip (block × K) working set.
+    """
+    lead_shape = origin.shape[:-1]
+    n = 1
+    for s in lead_shape:
+        n *= s
+    o = origin.reshape(n, 3)
+    d = direction.reshape(n, 3)
+    tmin = jnp.broadcast_to(t_min, lead_shape).reshape(n)
+    tmax = jnp.broadcast_to(t_max, lead_shape).reshape(n)
+
+    radii_sq = radii * radii
+    cc_rr = m.dot(centers, centers) - radii_sq
+
+    block = min(block_size, n)
+    pad = (-n) % block
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        tmin = jnp.concatenate([tmin, jnp.zeros((pad,), tmin.dtype)])
+        tmax = jnp.concatenate([tmax, jnp.full((pad,), -1.0, tmax.dtype)])
+    num_blocks = (n + pad) // block
+
+    def body(_, blk):
+        bo, bd, btmin, btmax = blk
+        return None, _block_intersect(bo, bd, btmin, btmax, centers,
+                                      radii_sq, cc_rr)
+
+    blocks = (o.reshape(num_blocks, block, 3),
+              d.reshape(num_blocks, block, 3),
+              tmin.reshape(num_blocks, block),
+              tmax.reshape(num_blocks, block))
+    if num_blocks == 1:
+        t_best, idx = body(None, jax.tree.map(lambda x: x[0], blocks))[1]
+    else:
+        _, (t_best, idx) = jax.lax.scan(body, None, blocks)
+        t_best = t_best.reshape(-1)
+        idx = idx.reshape(-1)
+    t_best = t_best[:n].reshape(lead_shape)
+    idx = idx[:n].reshape(lead_shape)
+
+    hit = jnp.isfinite(t_best)
+    t_safe = jnp.where(hit, t_best, 0.0)
+    position = origin + direction * t_safe[..., None]
+    center_at = centers[idx]
+    normal = m.normalize(position - center_at)
+    is_front = m.dot(normal, direction) < 0.0
+    return SphereHit(hit=hit, t=t_best, index=idx, position=position,
+                     normal=normal, is_front_face=is_front)
+
+
+def intersect_spheres_any(origin, direction, t_min, t_max, centers, radii,
+                          block_size: int = 16384):
+    """Any-hit (shadow/visibility ray) — boolean occlusion.
+
+    The reference issues these for ReSTIR visibility
+    (Shaders/RTXDIAppBridge.hlsli:418-459).
+    """
+    hit = intersect_spheres(origin, direction, t_min, t_max, centers, radii,
+                            block_size)
+    return hit.hit
+
+
+def safe_spawn_point(position, flat_normal, direction, scale=None):
+    """Offset a secondary-ray origin off the surface along the geometric
+    normal, signed by travel direction — the analytic-sphere analogue of
+    SelfIntersectionAvoidance::OffsetSpawnPoint
+    (/root/reference/Shaders/SelfIntersectionAvoidance.hlsli:39-117,
+    HitInfo::GetSafeWorldRayOrigin). For analytic spheres a magnitude-scaled
+    epsilon suffices (no triangle reconstruction error to bound)."""
+    eps = 1e-4 * jnp.maximum(1.0, m.length(position, keepdims=True))
+    if scale is not None:
+        eps = eps * scale
+    side = m.sign_not_zero(m.dot(direction, flat_normal))[..., None]
+    return position + flat_normal * side * eps

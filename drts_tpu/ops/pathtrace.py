@@ -1,0 +1,225 @@
+"""The wavefront path tracer — the framework's flagship compute pass.
+
+TPU-native redesign of the reference's raygen megakernel
+(/root/reference/Shaders/Raytracing.hlsl:103-415). The per-pixel bounce loop
+with divergent control flow is restructured bounce-synchronously (SURVEY.md
+§7): at each bounce the *entire* frame's rays intersect, shade, sample, and
+terminate together as dense masked vector ops — the formulation that keeps
+the TPU's 8×128 vector lanes full. Terminated lanes carry a False mask
+instead of being compacted; for ≤8 bounces the masked-dense form beats
+sort-based compaction on TPU (no gather/scatter traffic).
+
+Same integrator semantics as the reference: per-hit emission, three-lobe
+BSDF importance sampling with single-lobe selection, PDF-weighted
+throughput, Russian roulette after bounce 3 (Raytracing.hlsl:348-356),
+throughput-luminance cutoff (:361-364), NaN guard (:377), and the
+diffuse/hit-distance AOVs the denoiser consumes (:376-414).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..utils import math as m
+from ..utils import rng as rng_mod
+from ..models import scene as scene_mod
+from . import bxdf, camera as camera_mod, intersect, shading, sky
+
+
+@dataclasses.dataclass(frozen=True)
+class PathTraceConfig:
+    """Static (jit-specializing) integrator knobs."""
+    width: int = 256
+    height: int = 256
+    bounces: int = 8
+    samples_per_pixel: int = 1
+    russian_roulette: bool = True
+    throughput_threshold: float = 1e-3
+    block_size: int = 16384  # intersection working-set block
+
+
+@struct.dataclass
+class TraceOutput:
+    """Radiance + first-bounce AOVs (Raytracing.hlsl output routing)."""
+    radiance: jnp.ndarray             # (H, W, 3)
+    is_diffuse: jnp.ndarray           # (H, W) bool: first scatter was diffuse
+    hit_distance: jnp.ndarray         # (H, W) first secondary-hit distance
+    primary_valid: jnp.ndarray        # (H, W) bool: primary ray hit geometry
+    primary_position: jnp.ndarray     # (H, W, 3)
+    primary_normal: jnp.ndarray       # (H, W, 3) shading normal
+    primary_albedo: jnp.ndarray       # (H, W, 3) diffuse demodulation albedo
+    primary_f_env: jnp.ndarray        # (H, W, 3) specular demodulation
+    primary_radiance: jnp.ndarray     # (H, W, 3) emission/env at bounce 0
+    rays_traced: jnp.ndarray          # scalar: total rays cast (bench metric)
+
+
+def _shade_and_scatter(scene, surf, ray_d, rng, di_radiance=None):
+    """One bounce's material eval + BSDF sample. Returns
+    (emission, new_dir, eval/pdf weight, valid, lobe, rng)."""
+    mat = shading.evaluate_material(surf.material, surf.uv,
+                                    surf.shading_normal, surf.tangent,
+                                    scene.textures)
+    sv = bxdf.make_surface_vectors(surf.is_front_face, surf.geometric_normal,
+                                   mat.shading_normal)
+    bs = bxdf.make_bsdf(mat.base_color, mat.metallic, mat.roughness, mat.ior,
+                        mat.transmission, surf.is_front_face)
+    v = -ray_d
+    weights = bxdf.lobe_weights(bs, sv, v)
+    rand4, rng = rng_mod.next_floats(rng, 4)
+    l_dir, lobe, valid = bxdf.sample(bs, sv, v, rand4)
+    pdf = bxdf.eval_pdf_lobe(bs, sv, l_dir, v, weights, lobe)
+    f = bxdf.eval_lobe(bs, sv, l_dir, v, weights, lobe)
+    pdf_ok = pdf > 0.0
+    weight = jnp.where(pdf_ok[..., None], f / jnp.maximum(pdf, 1e-20)[..., None], 0.0)
+    f_nonzero = jnp.any(f != 0.0, axis=-1)
+    valid = valid & pdf_ok & f_nonzero
+    return mat.emission, l_dir, weight, valid, lobe, bs, sv, v, rng
+
+
+def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
+                cfg: PathTraceConfig, frame_index,
+                gbuf=None) -> TraceOutput:
+    """Render one frame's path-traced radiance (plus AOVs).
+
+    Pure function of (scene, camera, frame index); jit with
+    ``static_argnums`` on cfg or via functools.partial. When a GBuffer is
+    passed the primary hit is reused from it (the reference reconstructs
+    primaries from the G-buffer, Raytracing.hlsl:118-163) instead of
+    re-traced.
+    """
+    h, w = cfg.height, cfg.width
+    ndc = camera_mod.pixel_ndc(w, h, cam.jitter)
+    ray_o0, ray_d0, t_min0, t_max0 = camera_mod.generate_pinhole_rays(cam, ndc)
+    t_min0 = jnp.broadcast_to(t_min0, (h, w))
+    t_max0 = jnp.broadcast_to(t_max0, (h, w))
+
+    px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+
+    # Primary hit is shared across spp (the reference reconstructs it from
+    # the G-buffer once, Raytracing.hlsl:118-163).
+    if gbuf is not None:
+        primary_surf = gbuf.surf
+        ray_d0 = gbuf.ray_direction
+
+        class _P:  # minimal hit view over the gbuffer surface
+            hit = primary_surf.valid
+            t = primary_surf.distance
+        primary_hit = _P
+    else:
+        primary_hit = intersect.intersect_spheres(
+            ray_o0, ray_d0, t_min0, t_max0, scene.center, scene.radius,
+            cfg.block_size)
+        primary_surf = scene_mod.surface_attributes(scene, primary_hit,
+                                                    ray_d0)
+
+    # Primary demodulation AOVs for the denoiser (GBufferGeneration.hlsl).
+    p_mat = shading.evaluate_material(primary_surf.material, primary_surf.uv,
+                                      primary_surf.shading_normal,
+                                      primary_surf.tangent, scene.textures)
+    p_sv = bxdf.make_surface_vectors(primary_surf.is_front_face,
+                                     primary_surf.geometric_normal,
+                                     p_mat.shading_normal)
+    p_bs = bxdf.make_bsdf(p_mat.base_color, p_mat.metallic, p_mat.roughness,
+                          p_mat.ior, p_mat.transmission,
+                          primary_surf.is_front_face)
+    p_albedo, p_f_env = bxdf.demodulation_factors(p_bs, p_sv, -ray_d0)
+
+    radiance = jnp.zeros((h, w, 3), jnp.float32)
+    is_diffuse = jnp.ones((h, w), bool)
+    hit_distance = jnp.full((h, w), jnp.inf, jnp.float32)
+    rays_traced = jnp.float32(h * w)  # the primary-visibility pass
+
+    for sample_index in range(cfg.samples_per_pixel):
+        rng = rng_mod.init(px, py,
+                           frame_index * cfg.samples_per_pixel + sample_index)
+        sample_radiance = jnp.zeros((h, w, 3), jnp.float32)
+        throughput = jnp.ones((h, w, 3), jnp.float32)
+        active = jnp.ones((h, w), bool)
+        ray_d = ray_d0
+        surf = primary_surf
+        hit_ok = primary_hit.hit
+
+        for bounce in range(cfg.bounces + 1):
+            if bounce > 0:
+                rays_traced = rays_traced + jnp.sum(
+                    active.astype(jnp.float32))
+                origin = intersect.safe_spawn_point(
+                    surf.position, surf.geometric_normal, l_dir)
+                hit = intersect.intersect_spheres(
+                    origin, l_dir, jnp.zeros((h, w)),
+                    jnp.full((h, w), jnp.inf), scene.center, scene.radius,
+                    cfg.block_size)
+                surf = scene_mod.surface_attributes(scene, hit, l_dir)
+                ray_d = l_dir
+                hit_ok = hit.hit
+                if sample_index == 0 and bounce == 1:
+                    is_diffuse = lobe == bxdf.LOBE_DIFFUSE
+                    hit_distance = jnp.where(hit_ok, hit.t, jnp.inf)
+
+            # Miss -> environment light, terminate (Raytracing.hlsl:241-259).
+            env_color = sky.environment_color(scene.env, ray_d)
+            miss = active & ~hit_ok
+            sample_radiance = sample_radiance + jnp.where(
+                miss[..., None], throughput * env_color, 0.0)
+            active = active & hit_ok
+
+            if bounce == cfg.bounces:
+                # Last iteration only adds emission (no scatter needed).
+                mat = shading.evaluate_material(
+                    surf.material, surf.uv, surf.shading_normal,
+                    surf.tangent, scene.textures)
+                sample_radiance = sample_radiance + jnp.where(
+                    active[..., None], throughput * mat.emission, 0.0)
+                break
+
+            emission, l_dir, weight, valid, lobe, _, _, _, rng = \
+                _shade_and_scatter(scene, surf, ray_d, rng)
+            sample_radiance = sample_radiance + jnp.where(
+                active[..., None], throughput * emission, 0.0)
+            throughput = throughput * weight
+            active = active & valid
+
+            # Russian roulette after bounce 3 (Raytracing.hlsl:348-356).
+            if cfg.russian_roulette and bounce >= 3:
+                prob = jnp.max(throughput, axis=-1)
+                u, rng = rng_mod.next_float(rng)
+                kill = u >= prob
+                active = active & ~kill
+                throughput = throughput / jnp.maximum(prob, 1e-20)[..., None]
+
+            # Throughput luminance cutoff (Raytracing.hlsl:361-364).
+            active = active & (m.luminance(throughput)
+                               > cfg.throughput_threshold)
+
+        # NaN guard (Raytracing.hlsl:377).
+        finite = jnp.all(jnp.isfinite(sample_radiance), axis=-1,
+                         keepdims=True)
+        radiance = radiance + jnp.where(finite, sample_radiance, 0.0)
+
+    radiance = radiance / cfg.samples_per_pixel
+    env0 = sky.environment_color(scene.env, ray_d0)
+    primary_radiance = jnp.where(primary_hit.hit[..., None],
+                                 p_mat.emission, env0)
+    return TraceOutput(
+        radiance=radiance,
+        is_diffuse=is_diffuse,
+        hit_distance=hit_distance,
+        primary_valid=primary_hit.hit,
+        primary_position=primary_surf.position,
+        primary_normal=p_mat.shading_normal,
+        primary_albedo=p_albedo,
+        primary_f_env=p_f_env,
+        primary_radiance=primary_radiance,
+        rays_traced=rays_traced,
+    )
+
+
+@partial(jax.jit, static_argnums=2)
+def trace_image_jit(scene, cam, cfg: PathTraceConfig, frame_index):
+    return trace_image(scene, cam, cfg, frame_index)

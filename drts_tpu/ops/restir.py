@@ -1,0 +1,433 @@
+"""ReSTIR DI: ReGIR grid presampling + initial/temporal/spatial reservoir
+resampling + final shading.
+
+TPU-native reimplementation of the NVIDIA RTXDI integration (SURVEY.md §2.3
+"RTXDI" row; host /root/reference/Source/RTXDI.ixx:141-241 dispatch chain,
+device Shaders/{LocalLightPresampling,ReGIRPresampling,DIInitialSampling,
+DITemporalResampling,DISpatialResampling,DIFinalShading}.hlsl and the RAB_*
+callbacks in Shaders/RTXDIAppBridge.hlsli). Redesign notes:
+
+- Reservoirs are SoA (H, W) arrays (light index, sample uv, w_sum, M, W) —
+  the RTXDI reservoir buffer layout flattened into dense per-pixel planes.
+- The ReGIR onion grid becomes a camera-centered uniform world grid of
+  per-cell RIS reservoirs, built by one dense (cells × samples) pass.
+- Power presampling (RIS tiles from the PDF-texture mips) becomes power-CDF
+  inversion (see ops/light.py) — the same distribution as the reference's
+  Z-curve PDF texture descent, in one vectorized searchsorted.
+- Target function p_hat = luminance(BSDF(ω)·Le) in solid-angle measure,
+  re-evaluated at each reuse site (the RAB_GetLightSampleTargetPdfForSurface
+  contract); visibility enters at initial sampling and final shading
+  (DIInitialSampling.hlsl:6-58, DIFinalShading.hlsl:77-103).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..utils import math as m
+from ..utils import rng as rng_mod
+from ..models.scene import SphereScene
+from . import bxdf, intersect, light as light_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class ReSTIRConfig:
+    """MyAppData.h:190-253 defaults."""
+    regir_cells_per_axis: int = 16
+    regir_cell_size: float = 1.0
+    regir_slots_per_cell: int = 8
+    regir_build_samples: int = 8
+    local_light_samples: int = 8
+    brdf_samples: int = 1
+    temporal_enabled: bool = True
+    spatial_enabled: bool = True
+    max_history: int = 20
+    boiling_filter_strength: float = 0.2
+    spatial_samples: int = 1
+    spatial_radius: float = 30.0
+    depth_threshold: float = 0.1
+    normal_threshold: float = 0.5
+
+
+@struct.dataclass
+class Reservoirs:
+    """Per-pixel DI reservoirs (RTXDIResources.ixx:76 buffer analogue)."""
+    light_index: jnp.ndarray  # (H, W) int32
+    uv: jnp.ndarray           # (H, W, 2) sample randoms (re-traced per site)
+    w_sum: jnp.ndarray        # (H, W)
+    m_count: jnp.ndarray      # (H, W)
+    w_out: jnp.ndarray        # (H, W) unbiased contribution weight W
+
+
+def init_reservoirs(height: int, width: int) -> Reservoirs:
+    return Reservoirs(
+        light_index=jnp.zeros((height, width), jnp.int32),
+        uv=jnp.zeros((height, width, 2), jnp.float32),
+        w_sum=jnp.zeros((height, width), jnp.float32),
+        m_count=jnp.zeros((height, width), jnp.float32),
+        w_out=jnp.zeros((height, width), jnp.float32))
+
+
+@struct.dataclass
+class ReGIRGrid:
+    """Camera-centered world-space cell reservoirs (ReGIR onion analogue)."""
+    light_index: jnp.ndarray  # (C, S) int32
+    weight: jnp.ndarray       # (C, S) RIS weight W per slot
+    origin: jnp.ndarray       # (3,) grid corner
+    cell_size: jnp.ndarray    # scalar
+
+
+# ----------------------------------------------------------------------------
+# surface bundle (RAB_Surface analogue)
+
+
+@struct.dataclass
+class Surface:
+    """What the RAB_* callbacks reconstruct from the G-buffer
+    (RTXDIAppBridge.hlsli:293-348)."""
+    valid: jnp.ndarray
+    position: jnp.ndarray
+    view: jnp.ndarray          # unit vector toward the camera
+    bsdf: bxdf.BSDF
+    sv: bxdf.SurfaceVectors
+    lobe_weights: jnp.ndarray
+    depth: jnp.ndarray
+    normal: jnp.ndarray
+
+
+def make_surface(gbuf) -> Surface:
+    mat = gbuf.mat
+    surf = gbuf.surf
+    sv = bxdf.make_surface_vectors(surf.is_front_face, surf.geometric_normal,
+                                   mat.shading_normal)
+    bs = bxdf.make_bsdf(mat.base_color, mat.metallic, mat.roughness, mat.ior,
+                        mat.transmission, surf.is_front_face)
+    v = -gbuf.ray_direction
+    return Surface(valid=surf.valid, position=surf.position, view=v,
+                   bsdf=bs, sv=sv, lobe_weights=bxdf.lobe_weights(bs, sv, v),
+                   depth=gbuf.linear_depth, normal=mat.shading_normal)
+
+
+def _target_pdf(surface: Surface, lights: light_mod.Lights, idx, uv):
+    """p_hat: luminance of unshadowed contribution of sample (idx, uv) at
+    this surface, solid-angle measure. Also returns shading pieces."""
+    direction, dist, cone_pdf, emission = light_mod.sample_sphere_light(
+        lights, idx, surface.position, uv)
+    diff, spec = bxdf.eval_split(surface.bsdf, surface.sv, direction,
+                                 surface.view, surface.lobe_weights)
+    contrib = (diff + spec) * emission
+    p_hat = m.luminance(contrib)
+    is_light = lights.power[idx] > 0
+    p_hat = jnp.where(surface.valid & is_light, p_hat, 0.0)
+    return p_hat, direction, dist, diff, spec, emission
+
+
+# ----------------------------------------------------------------------------
+# ReGIR grid build (ReGIRPresampling.hlsl analogue)
+
+
+def build_regir_grid(lights: light_mod.Lights, camera_position,
+                     cfg: ReSTIRConfig, frame_index) -> ReGIRGrid:
+    n = cfg.regir_cells_per_axis
+    c_total = n * n * n
+    s = cfg.regir_slots_per_cell
+    extent = n * cfg.regir_cell_size
+    origin = camera_position - extent / 2.0
+
+    # Cell centers.
+    ids = jnp.arange(c_total, dtype=jnp.int32)
+    iz = ids % n
+    iy = (ids // n) % n
+    ix = ids // (n * n)
+    centers = origin + (jnp.stack([ix, iy, iz], axis=-1).astype(jnp.float32)
+                        + 0.5) * cfg.regir_cell_size
+
+    rng = rng_mod.init(ids[:, None] * s + jnp.arange(s)[None, :],
+                       jnp.full((c_total, s), 7777, jnp.int32), frame_index)
+
+    best_idx = jnp.zeros((c_total, s), jnp.int32)
+    w_sum = jnp.zeros((c_total, s), jnp.float32)
+    best_phat = jnp.zeros((c_total, s), jnp.float32)
+    for _ in range(cfg.regir_build_samples):
+        u_pick, rng = rng_mod.next_float(rng)
+        u_keep, rng = rng_mod.next_float(rng)
+        idx, pick_pdf = light_mod.sample_light_index(lights, u_pick)
+        # Cell target: power / squared distance (ReGIR cell importance).
+        d2 = jnp.sum((lights.center[idx] - centers[:, None, :]) ** 2,
+                     axis=-1)
+        p_hat = lights.power[idx] / jnp.maximum(d2, cfg.regir_cell_size ** 2)
+        w = jnp.where(pick_pdf > 0, p_hat / jnp.maximum(pick_pdf, 1e-20), 0.0)
+        w_sum = w_sum + w
+        take = (u_keep * w_sum) < w
+        best_idx = jnp.where(take, idx, best_idx)
+        best_phat = jnp.where(take, p_hat, best_phat)
+
+    w_out = jnp.where(best_phat > 0,
+                      w_sum / (cfg.regir_build_samples
+                               * jnp.maximum(best_phat, 1e-20)), 0.0)
+    return ReGIRGrid(light_index=best_idx, weight=w_out,
+                     origin=origin, cell_size=jnp.float32(cfg.regir_cell_size))
+
+
+def _cell_of(grid: ReGIRGrid, position, n: int):
+    rel = (position - grid.origin) / grid.cell_size
+    ijk = jnp.floor(rel).astype(jnp.int32)
+    inside = jnp.all((ijk >= 0) & (ijk < n), axis=-1)
+    ijk = jnp.clip(ijk, 0, n - 1)
+    cell = (ijk[..., 0] * n + ijk[..., 1]) * n + ijk[..., 2]
+    return cell, inside
+
+
+# ----------------------------------------------------------------------------
+# initial sampling (DIInitialSampling.hlsl)
+
+
+def initial_sampling(surface: Surface, scene: SphereScene,
+                     lights: light_mod.Lights, grid: ReGIRGrid,
+                     cfg: ReSTIRConfig, frame_index,
+                     block_size: int = 16384) -> Reservoirs:
+    h, w = surface.depth.shape
+    px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    rng = rng_mod.init(px + 17, py + 31, frame_index * 3 + 1)
+
+    cell, inside = _cell_of(grid, surface.position,
+                            cfg.regir_cells_per_axis)
+    s = cfg.regir_slots_per_cell
+
+    res_idx = jnp.zeros((h, w), jnp.int32)
+    res_uv = jnp.zeros((h, w, 2), jnp.float32)
+    res_phat = jnp.zeros((h, w), jnp.float32)
+    w_sum = jnp.zeros((h, w), jnp.float32)
+    m_count = jnp.zeros((h, w), jnp.float32)
+
+    for _ in range(cfg.local_light_samples):
+        (u_slot, u_pick, u_keep), rng = rng_mod.next_floats(rng, 3)
+        uv, rng = rng_mod.next_floats(rng, 2)
+        u_slot, u_pick, u_keep = u_slot[0], u_pick[0], u_keep[0]
+
+        # Candidate from the ReGIR cell; fall back to global power sampling
+        # outside the grid (RTXDI fallback path).
+        slot = jnp.minimum((u_slot * s).astype(jnp.int32), s - 1)
+        cand_grid = grid.light_index[cell, slot]
+        w_grid = grid.weight[cell, slot]
+        cand_pow, pow_pdf = light_mod.sample_light_index(lights, u_pick)
+        # Source "pdf" expressed as inverse weight: grid gives W directly.
+        inv_src_grid = w_grid                      # candidate weight
+        inv_src_pow = jnp.where(pow_pdf > 0, 1.0 / jnp.maximum(pow_pdf,
+                                                               1e-20), 0.0)
+        use_grid = inside & (w_grid > 0)
+        cand = jnp.where(use_grid, cand_grid, cand_pow)
+        inv_src = jnp.where(use_grid, inv_src_grid, inv_src_pow)
+
+        p_hat = _target_pdf(surface, lights, cand, uv)[0]
+        wi = p_hat * inv_src
+        w_sum = w_sum + wi
+        m_count = m_count + 1.0
+        take = (u_keep * w_sum) < wi
+        res_idx = jnp.where(take, cand, res_idx)
+        res_uv = jnp.where(take[..., None], uv, res_uv)
+        res_phat = jnp.where(take, p_hat, res_phat)
+
+    w_out = jnp.where(res_phat > 0,
+                      w_sum / (jnp.maximum(m_count, 1.0)
+                               * jnp.maximum(res_phat, 1e-20)), 0.0)
+
+    # Initial visibility ray (DIInitialSampling final visibility test).
+    _, direction, dist, _, _, _ = _target_pdf(surface, lights, res_idx,
+                                              res_uv)
+    origin = intersect.safe_spawn_point(surface.position,
+                                        surface.sv.front_geometric_normal,
+                                        direction)
+    occluded = _occluded(origin, direction, dist, scene, res_idx, block_size)
+    w_out = jnp.where(occluded | ~surface.valid, 0.0, w_out)
+
+    return Reservoirs(light_index=res_idx, uv=res_uv, w_sum=w_sum,
+                      m_count=m_count, w_out=w_out)
+
+
+def _occluded(origin, direction, light_dist, scene, light_idx,
+              block_size: int):
+    """Visibility ray toward the selected light (RAB_GetConservativeVisibility,
+    RTXDIAppBridge.hlsli:418-459): blocked if anything is hit closer than
+    the light surface (excluding the light itself via distance epsilon)."""
+    hit = intersect.intersect_spheres(
+        origin, direction, jnp.zeros(light_dist.shape),
+        jnp.maximum(light_dist - 1e-3, 0.0), scene.center, scene.radius,
+        block_size)
+    return hit.hit & (hit.index != light_idx)
+
+
+# ----------------------------------------------------------------------------
+# reservoir merge helper
+
+
+def _merge(a_idx, a_uv, a_phat, a_wsum, a_m, b_idx, b_uv, b_w, b_m, b_phat,
+           u_keep):
+    """Merge reservoir stream B (summarized as one sample with weight
+    b_w = p_hat_b * W_b * M_b) into A. Returns updated A fields."""
+    w_sum = a_wsum + b_w
+    m_count = a_m + b_m
+    take = (u_keep * w_sum) < b_w
+    return (jnp.where(take, b_idx, a_idx),
+            jnp.where(take[..., None], b_uv, a_uv),
+            jnp.where(take, b_phat, a_phat),
+            w_sum, m_count)
+
+
+def _finalize(idx, uv, phat, w_sum, m_count):
+    w_out = jnp.where(phat > 0,
+                      w_sum / (jnp.maximum(m_count, 1.0)
+                               * jnp.maximum(phat, 1e-20)), 0.0)
+    return Reservoirs(light_index=idx, uv=uv, w_sum=w_sum, m_count=m_count,
+                      w_out=w_out)
+
+
+# ----------------------------------------------------------------------------
+# temporal resampling (DITemporalResampling.hlsl)
+
+
+def temporal_resampling(cur: Reservoirs, prev: Reservoirs, surface: Surface,
+                        lights: light_mod.Lights, motion, prev_depth,
+                        prev_normal, cfg: ReSTIRConfig,
+                        frame_index) -> Reservoirs:
+    h, w = surface.depth.shape
+    py = jnp.arange(h, dtype=jnp.float32)[:, None] + jnp.zeros((1, w))
+    px = jnp.arange(w, dtype=jnp.float32)[None, :] + jnp.zeros((h, 1))
+    prev_x = jnp.clip(jnp.round(px + motion[..., 0]).astype(jnp.int32),
+                      0, w - 1)
+    prev_y = jnp.clip(jnp.round(py + motion[..., 1]).astype(jnp.int32),
+                      0, h - 1)
+
+    p_idx = prev.light_index[prev_y, prev_x]
+    p_uv = prev.uv[prev_y, prev_x]
+    p_m = prev.m_count[prev_y, prev_x]
+    p_w = prev.w_out[prev_y, prev_x]
+    pd = prev_depth[prev_y, prev_x]
+    pn = prev_normal[prev_y, prev_x]
+
+    # History validity (depth/normal similarity like the denoiser's test).
+    in_bounds = ((px + motion[..., 0] >= 0) & (px + motion[..., 0] <= w - 1)
+                 & (py + motion[..., 1] >= 0)
+                 & (py + motion[..., 1] <= h - 1))
+    depth_ok = jnp.abs(pd - surface.depth) \
+        <= cfg.depth_threshold * jnp.maximum(jnp.abs(surface.depth), 1e-3)
+    normal_ok = m.dot(pn, surface.normal) >= cfg.normal_threshold
+    hist_ok = in_bounds & depth_ok & normal_ok & surface.valid
+
+    # Clamp history length (RTXDI maxHistoryLength * current M).
+    p_m = jnp.minimum(p_m, cfg.max_history * jnp.maximum(cur.m_count, 1.0))
+    p_m = jnp.where(hist_ok, p_m, 0.0)
+
+    # Re-evaluate the history sample's target pdf at the current surface.
+    p_phat = _target_pdf(surface, lights, p_idx, p_uv)[0]
+    b_w = p_phat * p_w * p_m
+
+    rng = rng_mod.init(jnp.arange(w)[None, :] + 3,
+                       jnp.arange(h)[:, None] + 5, frame_index * 3 + 2)
+    u_keep, rng = rng_mod.next_float(rng)
+
+    cur_phat = _target_pdf(surface, lights, cur.light_index, cur.uv)[0]
+    idx, uv, phat, w_sum, m_count = _merge(
+        cur.light_index, cur.uv, cur_phat,
+        cur_phat * cur.w_out * cur.m_count, cur.m_count,
+        p_idx, p_uv, b_w, p_m, p_phat, u_keep)
+    out = _finalize(idx, uv, phat, w_sum, m_count)
+
+    # Boiling filter (DITemporalResampling.hlsl boiling filter): kill
+    # reservoirs whose weight far exceeds the local neighborhood average.
+    if cfg.boiling_filter_strength > 0:
+        weight = out.w_out * phat
+        local = _avg_pool(weight, 16)
+        threshold = local * (1.0 + 9.0 * (1.0 - cfg.boiling_filter_strength))
+        boiling = weight > jnp.maximum(threshold, 1e-12)
+        out = out.replace(w_out=jnp.where(boiling, 0.0, out.w_out))
+    return out
+
+
+def _avg_pool(x, size: int):
+    h, w = x.shape
+    ph = (-h) % size
+    pw = (-w) % size
+    xp = jnp.pad(x, ((0, ph), (0, pw)))
+    hh, ww = xp.shape
+    pooled = xp.reshape(hh // size, size, ww // size, size).mean(axis=(1, 3))
+    up = jnp.repeat(jnp.repeat(pooled, size, axis=0), size, axis=1)
+    return up[:h, :w]
+
+
+# ----------------------------------------------------------------------------
+# spatial resampling (DISpatialResampling.hlsl)
+
+
+def spatial_resampling(cur: Reservoirs, surface: Surface,
+                       lights: light_mod.Lights, cfg: ReSTIRConfig,
+                       frame_index) -> Reservoirs:
+    h, w = surface.depth.shape
+    rng = rng_mod.init(jnp.arange(w)[None, :] + jnp.zeros((h, 1), jnp.int32),
+                       jnp.arange(h)[:, None] + jnp.zeros((1, w), jnp.int32),
+                       frame_index * 3 + 3)
+
+    phat = _target_pdf(surface, lights, cur.light_index, cur.uv)[0]
+    idx, uv = cur.light_index, cur.uv
+    w_sum = phat * cur.w_out * cur.m_count
+    m_count = cur.m_count
+
+    py = jnp.arange(h)[:, None] + jnp.zeros((1, w), jnp.int32)
+    px = jnp.arange(w)[None, :] + jnp.zeros((h, 1), jnp.int32)
+
+    for _ in range(cfg.spatial_samples):
+        (u_r, u_a, u_keep), rng = rng_mod.next_floats(rng, 3)
+        u_r, u_a, u_keep = u_r[0], u_a[0], u_keep[0]
+        radius = u_r * cfg.spatial_radius + 1.0
+        angle = u_a * 2.0 * jnp.pi
+        nx = jnp.clip(px + jnp.round(radius * jnp.cos(angle)).astype(
+            jnp.int32), 0, w - 1)
+        ny = jnp.clip(py + jnp.round(radius * jnp.sin(angle)).astype(
+            jnp.int32), 0, h - 1)
+
+        n_idx = cur.light_index[ny, nx]
+        n_uv = cur.uv[ny, nx]
+        n_m = cur.m_count[ny, nx]
+        n_w = cur.w_out[ny, nx]
+        # Material/geometry similarity (DISpatialResampling.hlsl:6-41).
+        depth_ok = jnp.abs(surface.depth[ny, nx] - surface.depth) \
+            <= cfg.depth_threshold * jnp.maximum(jnp.abs(surface.depth),
+                                                 1e-3)
+        normal_ok = m.dot(surface.normal[ny, nx],
+                          surface.normal) >= cfg.normal_threshold
+        ok = depth_ok & normal_ok & surface.valid
+        n_m = jnp.where(ok, n_m, 0.0)
+
+        n_phat = _target_pdf(surface, lights, n_idx, n_uv)[0]
+        b_w = jnp.where(ok, n_phat * n_w * n_m, 0.0)
+        idx, uv, phat, w_sum, m_count = _merge(
+            idx, uv, phat, w_sum, m_count, n_idx, n_uv, b_w, n_m, n_phat,
+            u_keep)
+
+    return _finalize(idx, uv, phat, w_sum, m_count)
+
+
+# ----------------------------------------------------------------------------
+# final shading (DIFinalShading.hlsl)
+
+
+def final_shading(res: Reservoirs, surface: Surface, scene: SphereScene,
+                  lights: light_mod.Lights, block_size: int = 16384):
+    """Returns (diffuse, specular) direct-illumination images (H, W, 3) —
+    the channels the denoiser and Raytracing pass consume
+    (Raytracing.hlsl:150-163 `directDiffuse/directSpecular`)."""
+    p_hat, direction, dist, diff, spec, emission = _target_pdf(
+        surface, lights, res.light_index, res.uv)
+    origin = intersect.safe_spawn_point(surface.position,
+                                        surface.sv.front_geometric_normal,
+                                        direction)
+    occluded = _occluded(origin, direction, dist, scene, res.light_index,
+                         block_size)
+    weight = jnp.where(surface.valid & ~occluded & (p_hat > 0),
+                       res.w_out, 0.0)[..., None]
+    return diff * emission * weight, spec * emission * weight

@@ -1,0 +1,135 @@
+"""Temporal anti-aliasing upscaler — the DLSS / XeSS super-resolution
+stand-in.
+
+TPU-native replacement for the Streamline/XeSS vendor integrations
+(SURVEY.md §2.3: /root/reference/Source/Streamline.ixx, Source/XeSS.ixx,
+wired at App.cpp:1644-1708): jittered low-res rendering accumulated into a
+full-res history with motion-vector reprojection, Catmull-Rom history
+resampling, and neighborhood variance clipping — the classical TAA-upscale
+core those libraries refine. Same contract: render size < output size,
+quality-mode scale factors match the reference's table
+(App.cpp SetSuperResolutionOptions:1374-1451).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..utils import math as m
+from . import post
+
+# DLSS/XeSS-style quality-mode render-scale table.
+SCALE_FACTORS = {
+    "Native": 1.0,
+    "Quality": 1.5,
+    "Balanced": 1.72,
+    "Performance": 2.0,
+    "UltraPerformance": 3.0,
+    "Auto": 2.0,
+}
+
+
+def render_size_for(output_w: int, output_h: int, mode: str):
+    s = SCALE_FACTORS[mode]
+    return max(16, int(round(output_w / s))), max(16, int(round(output_h / s)))
+
+
+@dataclasses.dataclass(frozen=True)
+class TAAConfig:
+    blend_alpha: float = 0.1
+    clip_gamma: float = 1.0      # variance-clip box size in std-devs
+
+
+@struct.dataclass
+class TAAState:
+    history: jnp.ndarray         # (OH, OW, 3) output-res accumulated color
+
+
+def init_state(out_height: int, out_width: int) -> TAAState:
+    return TAAState(history=jnp.zeros((out_height, out_width, 3),
+                                      jnp.float32))
+
+
+def _catmull_rom_sample(img, y, x):
+    """9-tap bicubic Catmull-Rom history resample (the filter DLSS-class
+    TAA uses to avoid history blur)."""
+    h, w = img.shape[0], img.shape[1]
+    yc = jnp.floor(y - 0.5) + 0.5
+    xc = jnp.floor(x - 0.5) + 0.5
+    fy = y - yc
+    fx = x - xc
+
+    def weights(f):
+        f2 = f * f
+        f3 = f2 * f
+        w0 = -0.5 * f3 + f2 - 0.5 * f
+        w1 = 1.5 * f3 - 2.5 * f2 + 1.0
+        w2 = -1.5 * f3 + 2.0 * f2 + 0.5 * f
+        w3 = 0.5 * f3 - 0.5 * f2
+        return w0, w1, w2, w3
+
+    wy = weights(fy)
+    wx = weights(fx)
+    acc = jnp.zeros(y.shape + (img.shape[-1],), img.dtype)
+    for iy in range(4):
+        yi = jnp.clip((yc + iy - 1).astype(jnp.int32), 0, h - 1)
+        row = jnp.zeros_like(acc)
+        for ix in range(4):
+            xi = jnp.clip((xc + ix - 1).astype(jnp.int32), 0, w - 1)
+            row = row + img[yi, xi] * wx[ix][..., None]
+        acc = acc + row * wy[iy][..., None]
+    return jnp.maximum(acc, 0.0)
+
+
+def upscale(state: TAAState, color, motion, jitter, out_h: int, out_w: int,
+            reset, cfg: TAAConfig = TAAConfig()):
+    """One TAA-upscale step.
+
+    color: (RH, RW, 3) jittered render-res frame; motion: (RH, RW, 2)
+    render-res pixel motion (prev = cur + motion); jitter: (2,) the pixel
+    jitter used this frame; reset: scalar bool.
+    Returns (new_state, output (OH, OW, 3)).
+    """
+    rh, rw = color.shape[0], color.shape[1]
+    scale_y = out_h / rh
+    scale_x = out_w / rw
+
+    # Un-jittered upsample of the current frame to output res.
+    up = post.resize_bilinear(color, out_h, out_w)
+
+    # Motion at output res, in output pixels.
+    motion_up = post.resize_bilinear(motion, out_h, out_w) \
+        * jnp.array([scale_x, scale_y])
+    py = jnp.arange(out_h, dtype=jnp.float32)[:, None] \
+        * jnp.ones((1, out_w), jnp.float32)
+    px = jnp.arange(out_w, dtype=jnp.float32)[None, :] \
+        * jnp.ones((out_h, 1), jnp.float32)
+    hist = _catmull_rom_sample(state.history, py + motion_up[..., 1],
+                               px + motion_up[..., 0])
+
+    # Neighborhood variance clipping in the current frame (render res
+    # neighborhood, evaluated at output res via the upsampled image).
+    m1 = jnp.zeros_like(up)
+    m2 = jnp.zeros_like(up)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            ys = jnp.clip(jnp.arange(out_h) + dy, 0, out_h - 1)
+            xs = jnp.clip(jnp.arange(out_w) + dx, 0, out_w - 1)
+            s = up[ys][:, xs]
+            m1 = m1 + s
+            m2 = m2 + s * s
+    mean = m1 / 9.0
+    var = jnp.maximum(m2 / 9.0 - mean * mean, 0.0)
+    sigma = jnp.sqrt(var) * cfg.clip_gamma
+    hist_clipped = jnp.clip(hist, mean - sigma, mean + sigma)
+
+    in_bounds = (((py + motion_up[..., 1]) >= 0)
+                 & ((py + motion_up[..., 1]) <= out_h - 1)
+                 & ((px + motion_up[..., 0]) >= 0)
+                 & ((px + motion_up[..., 0]) <= out_w - 1))
+    alpha = jnp.where(in_bounds & ~reset, cfg.blend_alpha, 1.0)[..., None]
+    out = m.lerp(hist_clipped, up, alpha)
+    return TAAState(history=out), out

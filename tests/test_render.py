@@ -1,0 +1,116 @@
+"""End-to-end render tests (BASELINE config #1: static scene, 1 spp,
+1 bounce) and integrator invariants."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drts_tpu.models import myscene
+from drts_tpu.ops import camera as camera_mod, pathtrace, sky
+from drts_tpu.utils import math as m
+
+
+def _small_setup(width=64, height=64, **kw):
+    host = myscene.build(oscillator_grid=3)
+    cam = camera_mod.make_camera(host.camera_position, host.camera_forward,
+                                 horizontal_fov_deg=90.0,
+                                 aspect=width / height)
+    cfg = pathtrace.PathTraceConfig(width=width, height=height,
+                                    block_size=4096, **kw)
+    return host, cam, cfg
+
+
+def test_sky_only_render():
+    """Camera looking straight up sees only the procedural sky."""
+    host, _, cfg = _small_setup(bounces=0)
+    cam = camera_mod.make_camera((0.0, 200.0, 0.0), forward=(0.0, 1.0, 0.0),
+                                 up=(0.0, 0.0, 1.0), aspect=1.0)
+    out = pathtrace.trace_image(host.scene, cam, cfg, 0)
+    img = np.asarray(out.radiance)
+    expected = np.asarray(sky.procedural_sky(jnp.array([0.0, 1.0, 0.0])))
+    center = img[32, 32]
+    np.testing.assert_allclose(center, expected, rtol=0.05)
+    assert not np.asarray(out.primary_valid).any()
+
+
+def test_primary_visibility():
+    host, cam, cfg = _small_setup(bounces=0)
+    out = pathtrace.trace_image(host.scene, cam, cfg, 0)
+    valid = np.asarray(out.primary_valid)
+    # The sphere field fills a good part of the frame.
+    assert 0.05 < valid.mean() < 0.95
+    assert np.isfinite(np.asarray(out.radiance)).all()
+
+
+def test_render_energy_sane_and_jit_consistent():
+    host, cam, cfg = _small_setup(bounces=3, samples_per_pixel=1)
+    out_eager = pathtrace.trace_image(host.scene, cam, cfg, 0)
+    out_jit = pathtrace.trace_image_jit(host.scene, cam, cfg, 0)
+    np.testing.assert_allclose(np.asarray(out_eager.radiance),
+                               np.asarray(out_jit.radiance),
+                               atol=1e-4, rtol=1e-3)
+    img = np.asarray(out_jit.radiance)
+    assert np.isfinite(img).all()
+    assert img.min() >= 0.0
+    # Sky luminance bounds most pixels; emissives may exceed.
+    assert np.median(img.sum(-1)) < 10.0
+    assert img.mean() > 0.01
+
+
+def test_spp_reduces_variance():
+    host, cam, _ = _small_setup()
+    cfg1 = pathtrace.PathTraceConfig(width=48, height=48, bounces=4,
+                                     samples_per_pixel=1, block_size=4096)
+    cfg8 = dataclasses.replace(cfg1, samples_per_pixel=8)
+    frames1 = [np.asarray(pathtrace.trace_image(host.scene, cam, cfg1,
+                                                i).radiance)
+               for i in range(3)]
+    frames8 = [np.asarray(pathtrace.trace_image(host.scene, cam, cfg8,
+                                                i).radiance)
+               for i in range(3)]
+    var1 = np.var(np.stack(frames1), axis=0).mean()
+    var8 = np.var(np.stack(frames8), axis=0).mean()
+    assert var8 < var1 * 0.5
+
+
+def test_accumulation_converges():
+    """Static scene: averaging N independent frames must converge to the
+    same image regardless of seed partition (unbiasedness smoke test)."""
+    host, cam, _ = _small_setup()
+    cfg = pathtrace.PathTraceConfig(width=32, height=32, bounces=2,
+                                    samples_per_pixel=2, block_size=4096)
+    acc_a = np.zeros((32, 32, 3))
+    acc_b = np.zeros((32, 32, 3))
+    for i in range(8):
+        acc_a += np.asarray(pathtrace.trace_image(host.scene, cam, cfg,
+                                                  i).radiance)
+        acc_b += np.asarray(pathtrace.trace_image(host.scene, cam, cfg,
+                                                  100 + i).radiance)
+    diff = np.abs(acc_a - acc_b).mean() / max(acc_a.mean(), 1e-9)
+    assert diff < 0.25
+
+
+def test_glass_sphere_transmits():
+    """A single smooth glass sphere in front of the sky must transmit most
+    of the background (throughput = base_color for the transmission lobe)."""
+    from drts_tpu.models import scene as scene_mod
+    from drts_tpu.models.material import MaterialDesc, pack_materials
+    mats = pack_materials([MaterialDesc(base_color=(1, 1, 1, 1),
+                                        roughness=0.0, transmission=1.0)])
+    center = jnp.array([[0.0, 0.0, 0.0]])
+    rot = jnp.tile(m.QUAT_IDENTITY, (1, 1))
+    sc = scene_mod.SphereScene(
+        center=center, rotation=rot, prev_center=center, prev_rotation=rot,
+        radius=jnp.array([1.0]), materials=mats,
+        env=sky.make_environment_light())
+    cam = camera_mod.make_camera((0.0, 0.0, -4.0), aspect=1.0)
+    cfg = pathtrace.PathTraceConfig(width=32, height=32, bounces=8,
+                                    samples_per_pixel=4, block_size=4096)
+    out = pathtrace.trace_image(sc, cam, cfg, 0)
+    img = np.asarray(out.radiance)
+    sky_lum = float(np.asarray(m.luminance(
+        sky.procedural_sky(jnp.array([0.0, 0.0, 1.0])))))
+    center_lum = img[16, 16] @ [0.2126, 0.7152, 0.0722]
+    assert center_lum > 0.4 * sky_lum
