@@ -46,7 +46,8 @@ def _build_pipeline(args):
         cfg = dataclasses.replace(cfg, **overrides)
 
     pipe = pipeline.RenderPipeline(cfg)
-    host = myscene.build(seed=args.seed)
+    host = myscene.build(seed=args.seed,
+                         load_textures=not args.no_textures)
     return pipe, host
 
 
@@ -134,6 +135,7 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-denoise", action="store_true")
     p.add_argument("--no-physics", action="store_true")
+    p.add_argument("--no-textures", action="store_true")
     sub = p.add_subparsers(dest="command", required=True)
 
     r = sub.add_parser("render")

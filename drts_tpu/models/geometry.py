@@ -22,6 +22,11 @@ def create_geosphere(diameter: float = 1.0, tessellation: int = 3):
     sphere of the given diameter, with lat-long UVs — the construction
     DirectXTK12's CreateGeoSphere uses.
     """
+    from .. import native
+    native_mesh = native.create_geosphere(diameter, max(1, int(tessellation)))
+    if native_mesh is not None:
+        return native_mesh
+
     t = max(1, int(tessellation))
     verts = np.array([
         [0, 1, 0], [0, 0, -1], [1, 0, 0], [0, 0, 1], [-1, 0, 0], [0, -1, 0],

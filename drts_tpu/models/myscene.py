@@ -58,12 +58,18 @@ def _simple_harmonic_velocity(a, omega, t, phi):
     return -a * omega * np.sin(omega * t - phi)
 
 
-def build(seed: int = 0, oscillator_grid: int = 10) -> MySceneHost:
+def build(seed: int = 0, oscillator_grid: int = 10,
+          load_textures: bool = False) -> MySceneHost:
     """Construct the demo scene (MySceneDesc ctor, MyScene.ixx:52-303).
 
     `oscillator_grid` is the half-extent of the oscillator lattice (the
     reference uses 10 -> 21x21 = 441 candidate cells); shrink for tests.
+    `load_textures` wires the reference's texture assets (AlienMetal,
+    Moon, Earth maps — MyScene.ixx:161-165,286-294) into a device atlas.
     """
+    from . import assets
+
+    atlas = assets.load_texture_atlas() if load_textures else None
     rng = np.random.RandomState(seed)  # Source/Random.ixx mt19937 analogue
 
     positions: list = []
@@ -89,9 +95,14 @@ def build(seed: int = 0, oscillator_grid: int = 10) -> MySceneHost:
     # --- 4 hero spheres (MyScene.ixx:117-169) ------------------------------
     hero_positions = [(-2.0, 0.5, 0.0), (0.0, 0.5, 0.0), (0.0, 2.0, 0.0),
                       (2.0, 0.5, 0.0)]
+    tex = atlas is not None
     hero_materials = [
-        # AlienMetal (textured; texture atlas indices wired by the loader)
-        MaterialDesc(base_color=(1, 1, 1, 1), metallic=1.0, roughness=1.0),
+        # AlienMetal (textured, MyScene.ixx:161-165)
+        MaterialDesc(base_color=(1, 1, 1, 1), metallic=1.0, roughness=1.0,
+                     base_color_map=assets.ALIEN_BASE if tex else -1,
+                     metallic_map=assets.ALIEN_METALLIC if tex else -1,
+                     roughness_map=assets.ALIEN_ROUGH if tex else -1,
+                     normal_map=assets.ALIEN_NORMAL if tex else -1),
         MaterialDesc(base_color=(1, 1, 1, 1), roughness=0.0,
                      transmission=1.0),
         MaterialDesc(base_color=(1, 1, 1, 1), roughness=0.5,
@@ -153,10 +164,14 @@ def build(seed: int = 0, oscillator_grid: int = 10) -> MySceneHost:
     speed = first_cosmic_speed(earth_mass, dist)
     moon_velocity = speed * np.array([-to_earth[2], 0.0, to_earth[0]])
     add(KIND_MOON, tuple(moon_pos), 0.25,
-        MaterialDesc(base_color=(1, 1, 1, 1), roughness=0.8),
+        MaterialDesc(base_color=(1, 1, 1, 1), roughness=0.8,
+                     base_color_map=assets.MOON_BASE if tex else -1,
+                     normal_map=assets.MOON_NORMAL if tex else -1),
         velocity=tuple(moon_velocity), angular=(0.0, speed / dist, 0.0))
     add(KIND_EARTH, tuple(earth_pos), 1.0,
-        MaterialDesc(base_color=(1, 1, 1, 1), roughness=0.8),
+        MaterialDesc(base_color=(1, 1, 1, 1), roughness=0.8,
+                     base_color_map=assets.EARTH_BASE if tex else -1,
+                     normal_map=assets.EARTH_NORMAL if tex else -1),
         angular=(0.0, 2.0 * np.pi / earth_rotation_period, 0.0),
         mass=earth_mass)
     # Star: mass 0 -> static collider (MyScene.ixx:297 setMass(0)).
@@ -176,7 +191,8 @@ def build(seed: int = 0, oscillator_grid: int = 10) -> MySceneHost:
     the_scene = scene_mod.SphereScene(
         center=center, rotation=rotation,
         prev_center=center, prev_rotation=rotation,
-        radius=radius, materials=pack_materials(materials), env=env)
+        radius=radius, materials=pack_materials(materials), env=env,
+        textures=jnp.asarray(atlas) if atlas is not None else None)
 
     mass = np.array(masses, np.float32)
     inv_mass = np.where(mass > 0, 1.0 / np.maximum(mass, 1e-12), 0.0)

@@ -26,8 +26,8 @@ import numpy as np
 from flax import struct
 
 from .. import config as config_mod
-from ..ops import (camera as camera_mod, denoise, gbuffer, pathtrace,
-                   physics, post, taa)
+from ..ops import (camera as camera_mod, denoise, gbuffer, light as light_mod,
+                   pathtrace, physics, post, restir, sharc as sharc_mod, taa)
 from ..utils import math as m
 from ..utils import rng as rng_mod
 from . import myscene, scene as scene_mod
@@ -57,6 +57,15 @@ class PipelineConfig:
     horizontal_fov_deg: float = 90.0
     block_size: int = 16384
     halton_period: int = 64
+    # ReSTIR DI (App.cpp:1187-1229 PrepareReSTIRDI + RTXDI::Render chain).
+    restir_enabled: bool = True
+    restir: restir.ReSTIRConfig = dataclasses.field(
+        default_factory=restir.ReSTIRConfig)
+    # SHARC GI cache (Raytracing.ixx:114-148 sequencing).
+    sharc_enabled: bool = True
+    sharc: sharc_mod.SHARCConfig = dataclasses.field(
+        default_factory=sharc_mod.SHARCConfig)
+    sharc_downscale: int = 4
 
     @classmethod
     def from_settings(cls, s: config_mod.GraphicsSettings,
@@ -71,9 +80,32 @@ class PipelineConfig:
                                          s.post.super_resolution_mode.value)
         else:
             rw, rh = ow, oh
+        r = s.restir_di
         return cls(
             output_width=ow, output_height=oh,
             render_width=rw, render_height=rh,
+            restir_enabled=r.is_enabled,
+            restir=restir.ReSTIRConfig(
+                regir_cells_per_axis=r.regir_cells_per_axis,
+                regir_cell_size=r.regir_cell_size,
+                regir_build_samples=r.regir_build_samples,
+                local_light_samples=r.local_light_samples,
+                brdf_samples=r.brdf_samples,
+                temporal_enabled=r.is_temporal_resampling_enabled,
+                spatial_enabled=r.is_spatial_resampling_enabled,
+                max_history=r.max_history_length,
+                boiling_filter_strength=r.boiling_filter_strength,
+                spatial_samples=r.spatial_samples,
+                spatial_radius=r.spatial_radius),
+            sharc_enabled=s.rtxgi == config_mod.RTXGITechnique.SHARC,
+            sharc=sharc_mod.SHARCConfig(
+                capacity_log2=s.sharc.capacity_log2,
+                scene_scale=s.sharc.scene_scale,
+                accumulation_frames=s.sharc.accumulation_frames,
+                max_stale_frames=s.sharc.max_stale_frames,
+                roughness_threshold=s.sharc.roughness_threshold,
+                anti_firefly=s.sharc.is_anti_firefly_enabled),
+            sharc_downscale=s.sharc.downscale_factor,
             bounces=s.raytracing.bounces,
             samples_per_pixel=s.raytracing.samples_per_pixel,
             russian_roulette=s.raytracing.is_russian_roulette_enabled,
@@ -95,13 +127,17 @@ class PipelineConfig:
 @struct.dataclass
 class FrameState:
     """All cross-frame state (the 'functions-like-a-checkpoint' set from
-    SURVEY.md §5.4: history textures, accumulators, physics world, frame
-    counter — serializable as one pytree)."""
+    SURVEY.md §5.4: history textures, reservoirs, SHARC cache, physics
+    world, frame counter — serializable as one pytree)."""
     frame_index: jnp.ndarray
     bodies: physics.RigidBodies
     scene: scene_mod.SphereScene
     denoiser: denoise.DenoiserState
     taa: taa.TAAState
+    reservoirs: restir.Reservoirs
+    prev_depth: jnp.ndarray      # (RH, RW) previous-frame linear depth
+    prev_normal: jnp.ndarray     # (RH, RW, 3) previous-frame shading normal
+    sharc: sharc_mod.SHARCState
     earth_gravity: jnp.ndarray   # scalar bool toggles (MyScene.ixx userData)
     star_gravity: jnp.ndarray
 
@@ -135,6 +171,13 @@ class RenderPipeline:
             scene=host.scene,
             denoiser=denoise.init_state(c.render_height, c.render_width),
             taa=taa.init_state(c.output_height, c.output_width),
+            reservoirs=restir.init_reservoirs(c.render_height,
+                                              c.render_width),
+            prev_depth=jnp.full((c.render_height, c.render_width), 1e8,
+                                jnp.float32),
+            prev_normal=jnp.zeros((c.render_height, c.render_width, 3),
+                                  jnp.float32),
+            sharc=sharc_mod.init_state(c.sharc),
             earth_gravity=jnp.asarray(False),
             star_gravity=jnp.asarray(False),
         )
@@ -148,11 +191,15 @@ class RenderPipeline:
                           up=jnp.asarray((0.0, 1.0, 0.0), jnp.float32))
 
     def reset_history(self, state: FrameState) -> FrameState:
-        """m_resetHistory (App.cpp:667-679)."""
+        """m_resetHistory (App.cpp:667-679): clears denoiser/TAA history,
+        reservoirs, and the SHARC cache."""
         c = self.cfg
         return state.replace(
             denoiser=denoise.init_state(c.render_height, c.render_width),
-            taa=taa.init_state(c.output_height, c.output_width))
+            taa=taa.init_state(c.output_height, c.output_width),
+            reservoirs=restir.init_reservoirs(c.render_height,
+                                              c.render_width),
+            sharc=sharc_mod.init_state(c.sharc))
 
     # -- per-frame ----------------------------------------------------------
 
@@ -201,14 +248,61 @@ class RenderPipeline:
         # --- RenderScene (App.cpp:1111-1283) --------------------------------
         gbuf = gbuffer.generate(scene, cam, c.render_width, c.render_height,
                                 c.block_size)
+
+        # ReSTIR DI chain (RTXDI.ixx:141-241): light prep -> ReGIR build ->
+        # initial -> temporal -> spatial -> final shading.
+        di_total = None
+        di_diffuse = di_specular = None
+        reservoirs = state.reservoirs
+        if c.restir_enabled:
+            lights = light_mod.prepare(scene)
+            grid = restir.build_regir_grid(lights, cam.position, c.restir,
+                                           state.frame_index)
+            surface = restir.make_surface(gbuf)
+            cur = restir.initial_sampling(surface, scene, lights, grid,
+                                          c.restir, state.frame_index,
+                                          c.block_size)
+            if c.restir.temporal_enabled:
+                hist = jax.tree.map(lambda x: jnp.where(reset,
+                                                        jnp.zeros_like(x), x),
+                                    state.reservoirs)
+                cur = restir.temporal_resampling(
+                    cur, hist, surface, lights, gbuf.motion,
+                    state.prev_depth, state.prev_normal, c.restir,
+                    state.frame_index)
+            if c.restir.spatial_enabled:
+                cur = restir.spatial_resampling(cur, surface, lights,
+                                                c.restir, state.frame_index)
+            di_diffuse, di_specular = restir.final_shading(
+                cur, surface, scene, lights, c.block_size)
+            di_total = di_diffuse + di_specular
+            reservoirs = cur
+
         pt_cfg = pathtrace.PathTraceConfig(
             width=c.render_width, height=c.render_height, bounces=c.bounces,
             samples_per_pixel=c.samples_per_pixel,
             russian_roulette=c.russian_roulette,
             throughput_threshold=c.throughput_threshold,
             block_size=c.block_size)
-        out = pathtrace.trace_image(scene, cam, pt_cfg, state.frame_index,
-                                    gbuf=gbuf)
+
+        # SHARC GI cache: update pass at downscaled res, then resolve, then
+        # the main trace queries the fresh cache (Raytracing.ixx:114-148).
+        sharc_state = state.sharc
+        if c.sharc_enabled:
+            su_cfg = dataclasses.replace(
+                pt_cfg,
+                width=max(1, c.render_width // c.sharc_downscale),
+                height=max(1, c.render_height // c.sharc_downscale))
+            sharc_state = pathtrace.sharc_update_trace(
+                scene, cam, state.sharc, c.sharc, su_cfg, state.frame_index,
+                di_radiance=di_total)
+
+        out = pathtrace.trace_image(
+            scene, cam, pt_cfg, state.frame_index, gbuf=gbuf,
+            sharc_state=sharc_state if c.sharc_enabled else None,
+            sharc_cfg=c.sharc if c.sharc_enabled else None,
+            di_radiance=di_total,
+            di_in_radiance=(c.denoiser == "None"))
 
         # --- PostProcessGraphics (App.cpp:1460-1525) -------------------------
         den_state = state.denoiser
@@ -218,9 +312,16 @@ class RenderPipeline:
             indirect = jnp.maximum(out.radiance - out.primary_radiance, 0.0)
             hd = jnp.where(jnp.isfinite(out.hit_distance), out.hit_distance,
                            0.0)
+            diffuse_chan = jnp.where(out.is_diffuse[..., None], indirect,
+                                     0.0)
+            specular_chan = jnp.where(out.is_diffuse[..., None], 0.0,
+                                      indirect)
+            if di_diffuse is not None:
+                # direct + indirect per channel (Raytracing.hlsl:407-412).
+                diffuse_chan = diffuse_chan + di_diffuse
+                specular_chan = specular_chan + di_specular
             d_diff, d_spec = denoise.demodulate(
-                jnp.where(out.is_diffuse[..., None], indirect, 0.0),
-                jnp.where(out.is_diffuse[..., None], 0.0, indirect),
+                diffuse_chan, specular_chan,
                 out.primary_albedo, out.primary_f_env)
             diff4 = jnp.concatenate([d_diff, hd[..., None]], axis=-1)
             spec4 = jnp.concatenate([d_spec, hd[..., None]], axis=-1)
@@ -253,6 +354,11 @@ class RenderPipeline:
         new_state = FrameState(
             frame_index=state.frame_index + 1,
             bodies=bodies, scene=scene, denoiser=den_state, taa=taa_state,
+            reservoirs=reservoirs,
+            prev_depth=jnp.where(jnp.isfinite(gbuf.linear_depth),
+                                 gbuf.linear_depth, 1e8),
+            prev_normal=out.primary_normal,
+            sharc=sharc_state,
             earth_gravity=state.earth_gravity,
             star_gravity=state.star_gravity)
         return new_state, image

@@ -45,9 +45,11 @@ def generate(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
     t_min = jnp.broadcast_to(t_min, (height, width))
     t_max = jnp.broadcast_to(t_max, (height, width))
 
+    table = scene_mod.object_table(scene)
     hit = intersect.intersect_spheres(ray_o, ray_d, t_min, t_max,
-                                      scene.center, scene.radius, block_size)
-    surf = scene_mod.surface_attributes(scene, hit, ray_d)
+                                      scene.center, scene.radius, block_size,
+                                      attributes=False)
+    surf = scene_mod.surface_attributes(scene, hit, ray_d, table)
     mat = shading.evaluate_material(surf.material, surf.uv,
                                     surf.shading_normal, surf.tangent,
                                     scene.textures)
@@ -71,12 +73,12 @@ def generate(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
                       m.dot(surf.position - cam.position, fwd), jnp.inf)
 
     # Motion vectors: world hit -> object space (current pose) -> world via
-    # previous pose -> previous camera NDC -> pixel delta.
-    idx = hit.index
-    obj_local = m.quat_rotate(m.quat_conj(scene.rotation[idx]),
-                              surf.position - scene.center[idx])
-    prev_world = scene.prev_center[idx] + m.quat_rotate(
-        scene.prev_rotation[idx], obj_local)
+    # previous pose -> previous camera NDC -> pixel delta. Pose columns come
+    # from the packed object-table row (one gather, see models/scene.py).
+    row = table[hit.index]
+    obj_local = m.quat_rotate(m.quat_conj(row[..., 4:8]),
+                              surf.position - row[..., 0:3])
+    prev_world = row[..., 8:11] + m.quat_rotate(row[..., 11:15], obj_local)
     prev_ndc, _ = camera_mod.project_to_ndc(cam, prev_world, previous=True)
     cur_ndc, _ = camera_mod.project_to_ndc(cam, surf.position,
                                            previous=False)

@@ -24,6 +24,18 @@ from ..utils import math as m
 
 INF = jnp.float32(jnp.inf)
 
+# Intersection backend: "auto" uses the Pallas VMEM-resident kernel on TPU
+# and the XLA formulation elsewhere; force with "xla" / "pallas".
+BACKEND = "auto"
+
+
+def _use_pallas() -> bool:
+    if BACKEND == "pallas":
+        return True
+    if BACKEND == "xla":
+        return False
+    return jax.default_backend() == "tpu"
+
 
 @struct.dataclass
 class SphereHit:
@@ -46,8 +58,15 @@ def _block_intersect(o, d, t_min, t_max, centers, radii_sq, cc_rr):
     """
     od = m.dot(o, d)                             # (B,)
     oo = m.dot(o, o)                             # (B,)
-    d_dot_c = d @ centers.T                      # (B, K)
-    o_dot_c = o @ centers.T                      # (B, K)
+    # Elementwise rank-1 contractions, NOT a matmul: the TPU MXU runs f32
+    # matmuls at bf16 precision by default, which corrupts the quadratic's
+    # cancellation-sensitive terms (verified: wrong hits at ~6% of rays).
+    d_dot_c = (d[:, 0:1] * centers[None, :, 0]
+               + d[:, 1:2] * centers[None, :, 1]
+               + d[:, 2:3] * centers[None, :, 2])  # (B, K)
+    o_dot_c = (o[:, 0:1] * centers[None, :, 0]
+               + o[:, 1:2] * centers[None, :, 1]
+               + o[:, 2:3] * centers[None, :, 2])  # (B, K)
     b = od[:, None] - d_dot_c                    # (B, K) = dot(o - c, d)
     c0 = oo[:, None] - 2.0 * o_dot_c + cc_rr[None, :]
     disc = b * b - c0
@@ -64,12 +83,15 @@ def _block_intersect(o, d, t_min, t_max, centers, radii_sq, cc_rr):
 
 
 def intersect_spheres(origin, direction, t_min, t_max, centers, radii,
-                      block_size: int = 16384):
+                      block_size: int = 16384, attributes: bool = True):
     """Closest-hit of rays against all spheres (brute force, blocked).
 
     origin/direction: (..., 3); t_min/t_max broadcastable to (...,).
     centers: (K, 3); radii: (K,). Returns a SphereHit with leading shape
     (...). `block_size` bounds the on-chip (block × K) working set.
+    With attributes=False the normal/front-face fields are left zeroed —
+    callers that go through `surface_attributes` (which derives them from
+    the packed object table) pass False to skip a redundant gather.
     """
     lead_shape = origin.shape[:-1]
     n = 1
@@ -79,6 +101,15 @@ def intersect_spheres(origin, direction, t_min, t_max, centers, radii,
     d = direction.reshape(n, 3)
     tmin = jnp.broadcast_to(t_min, lead_shape).reshape(n)
     tmax = jnp.broadcast_to(t_max, lead_shape).reshape(n)
+
+    if _use_pallas():
+        from . import intersect_pallas as ip
+        rays, _ = ip.pack_rays(o, d, tmin, tmax)
+        table = ip.pack_spheres(centers, radii)
+        t_best, idx = ip.intersect_spheres_planar(rays, table)
+        t_best = t_best[:n].reshape(lead_shape)
+        idx = jnp.minimum(idx[:n], centers.shape[0] - 1).reshape(lead_shape)
+        return _make_hit(origin, direction, t_best, idx, centers, attributes)
 
     radii_sq = radii * radii
     cc_rr = m.dot(centers, centers) - radii_sq
@@ -109,13 +140,21 @@ def intersect_spheres(origin, direction, t_min, t_max, centers, radii,
         idx = idx.reshape(-1)
     t_best = t_best[:n].reshape(lead_shape)
     idx = idx[:n].reshape(lead_shape)
+    return _make_hit(origin, direction, t_best, idx, centers, attributes)
 
+
+def _make_hit(origin, direction, t_best, idx, centers,
+              attributes: bool = True) -> SphereHit:
     hit = jnp.isfinite(t_best)
     t_safe = jnp.where(hit, t_best, 0.0)
     position = origin + direction * t_safe[..., None]
-    center_at = centers[idx]
-    normal = m.normalize(position - center_at)
-    is_front = m.dot(normal, direction) < 0.0
+    if attributes:
+        center_at = centers[idx]
+        normal = m.normalize(position - center_at)
+        is_front = m.dot(normal, direction) < 0.0
+    else:
+        normal = jnp.zeros_like(position)
+        is_front = jnp.zeros_like(hit)
     return SphereHit(hit=hit, t=t_best, index=idx, position=position,
                      normal=normal, is_front_face=is_front)
 
@@ -128,7 +167,7 @@ def intersect_spheres_any(origin, direction, t_min, t_max, centers, radii,
     (Shaders/RTXDIAppBridge.hlsli:418-459).
     """
     hit = intersect_spheres(origin, direction, t_min, t_max, centers, radii,
-                            block_size)
+                            block_size, attributes=False)
     return hit.hit
 
 

@@ -1,0 +1,153 @@
+"""Pallas TPU kernel for ray-sphere closest-hit intersection.
+
+The hot op of the framework — the TPU replacement for hardware RT-core
+traversal (/root/reference/Shaders/RaytracingHelpers.hlsli:7-55). The XLA
+brute-force formulation (ops/intersect.py) materializes (rays × spheres)
+intermediates in HBM; this kernel keeps the whole sphere table and every
+intermediate in VMEM, streaming only the ray SoA in and (t, index) out.
+
+Layout: rays are planar (8, N) — components in sublanes, rays in lanes —
+so the (spheres × rays) work tile is a native (sublane, lane) 2D block.
+Spheres are planar (4, K_pad): cx, cy, cz, radius; entries padded with
+radius 0 never intersect. Each grid program handles RAY_BLOCK lanes and
+loops over sphere chunks of SPHERE_CHUNK sublanes, carrying the running
+closest (t, index).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RAY_BLOCK = 2048      # lanes per grid program (multiple of 128)
+SPHERE_CHUNK = 128    # sphere sublanes per inner step (multiple of 8)
+INF = float("inf")    # python literal — jnp constants can't be captured
+                      # by a pallas kernel body
+
+
+def _kernel(rays_ref, spheres_ref, t_ref, idx_ref, *, sphere_chunks: int):
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+    tmin = rays_ref[6:7, :]
+    tmax = rays_ref[7:8, :]
+
+    t_ref[:, :] = jnp.full(ox.shape, INF, jnp.float32)
+    idx_ref[:, :] = jnp.zeros(ox.shape, jnp.int32)
+
+    # Dead-block skip: terminated/padded lanes carry tmax < tmin (the
+    # wavefront loop marks them), so sky tiles and late-bounce-dead tiles
+    # cost one reduction instead of the sphere sweep.
+    @pl.when(jnp.any(tmax >= tmin))
+    def _():
+        od = ox * dx + oy * dy + oz * dz          # (1, R)
+        oo = ox * ox + oy * oy + oz * oz          # (1, R)
+
+        best_t = jnp.full(ox.shape, INF, jnp.float32)
+        best_i = jnp.zeros(ox.shape, jnp.int32)
+
+        for c in range(sphere_chunks):
+            s0 = c * SPHERE_CHUNK
+            cx = spheres_ref[0:1, s0:s0 + SPHERE_CHUNK]   # (1, S)
+            cy = spheres_ref[1:2, s0:s0 + SPHERE_CHUNK]
+            cz = spheres_ref[2:3, s0:s0 + SPHERE_CHUNK]
+            r = spheres_ref[3:4, s0:s0 + SPHERE_CHUNK]
+
+            # (S, R) quadratic coefficients via rank-1 broadcasts.
+            cxT, cyT, czT, rT = (jnp.transpose(cx), jnp.transpose(cy),
+                                 jnp.transpose(cz), jnp.transpose(r))
+            b = od - (cxT * dx + cyT * dy + czT * dz)
+            c0 = oo - 2.0 * (cxT * ox + cyT * oy + czT * oz) \
+                + (cxT * cxT + cyT * cyT + czT * czT - rT * rT)
+            disc = b * b - c0
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t_near = -b - sq
+            t_far = -b + sq
+            t = jnp.where(t_near >= tmin, t_near, t_far)
+            valid = (disc > 0.0) & (t >= tmin) & (t <= tmax) & (rT > 0.0)
+            t = jnp.where(valid, t, INF)
+
+            chunk_t = jnp.min(t, axis=0, keepdims=True)          # (1, R)
+            chunk_arg = jnp.argmin(t, axis=0).astype(jnp.int32)  # (R,)
+            chunk_i = chunk_arg.reshape(chunk_t.shape) + s0
+            closer = chunk_t < best_t
+            best_t = jnp.where(closer, chunk_t, best_t)
+            best_i = jnp.where(closer, chunk_i, best_i)
+
+        t_ref[:, :] = best_t
+        idx_ref[:, :] = best_i
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def intersect_spheres_planar(rays_planar, spheres_planar, interpret=False):
+    """rays_planar: (8, N) f32 [ox oy oz dx dy dz tmin tmax], N a multiple
+    of RAY_BLOCK; spheres_planar: (4, K_pad) f32, K_pad a multiple of
+    SPHERE_CHUNK (pad radius 0). Returns (t (N,), index (N,) int32)."""
+    n = rays_planar.shape[1]
+    k_pad = spheres_planar.shape[1]
+    assert n % RAY_BLOCK == 0, n
+    assert k_pad % SPHERE_CHUNK == 0, k_pad
+    grid = (n // RAY_BLOCK,)
+
+    t, idx = pl.pallas_call(
+        functools.partial(_kernel, sphere_chunks=k_pad // SPHERE_CHUNK),
+        out_shape=(jax.ShapeDtypeStruct((1, n), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n), jnp.int32)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, k_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=22 * n * k_pad, bytes_accessed=(8 + 2) * n * 4,
+            transcendentals=n * k_pad),
+        interpret=interpret,
+    )(rays_planar, spheres_planar)
+    return t[0], idx[0]
+
+
+def pack_spheres(centers, radii):
+    """(K, 3) + (K,) -> (4, K_pad) planar sphere table."""
+    k = centers.shape[0]
+    k_pad = -(-k // SPHERE_CHUNK) * SPHERE_CHUNK
+    table = jnp.zeros((4, k_pad), jnp.float32)
+    table = table.at[0, :k].set(centers[:, 0])
+    table = table.at[1, :k].set(centers[:, 1])
+    table = table.at[2, :k].set(centers[:, 2])
+    table = table.at[3, :k].set(radii)
+    return table
+
+
+def pack_rays(origin, direction, t_min, t_max):
+    """Flat (N, 3)/(N,) ray SoA -> padded planar (8, N_pad). Padded lanes
+    get tmax < tmin so they never hit. Returns (planar, n)."""
+    n = origin.shape[0]
+    n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
+    pad = n_pad - n
+
+    def p(x, fill=0.0):
+        x = x.astype(jnp.float32)
+        if pad:
+            x = jnp.concatenate([x, jnp.full((pad,), fill, jnp.float32)])
+        return x
+
+    rays = jnp.stack([
+        p(origin[:, 0]), p(origin[:, 1]), p(origin[:, 2]),
+        p(direction[:, 0]), p(direction[:, 1]), p(direction[:, 2]),
+        p(t_min), p(t_max, -1.0)])
+    return rays, n

@@ -28,7 +28,7 @@ from flax import struct
 from ..utils import math as m
 from ..utils import rng as rng_mod
 from ..models import scene as scene_mod
-from . import bxdf, camera as camera_mod, intersect, shading, sky
+from . import bxdf, camera as camera_mod, intersect, shading, sharc, sky
 
 
 @dataclasses.dataclass(frozen=True)
@@ -83,7 +83,9 @@ def _shade_and_scatter(scene, surf, ray_d, rng, di_radiance=None):
 
 def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
                 cfg: PathTraceConfig, frame_index,
-                gbuf=None) -> TraceOutput:
+                gbuf=None, sharc_state=None, sharc_cfg=None,
+                di_radiance=None, di_in_radiance: bool = True
+                ) -> TraceOutput:
     """Render one frame's path-traced radiance (plus AOVs).
 
     Pure function of (scene, camera, frame index); jit with
@@ -101,6 +103,8 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
     px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
 
+    table = scene_mod.object_table(scene)
+
     # Primary hit is shared across spp (the reference reconstructs it from
     # the G-buffer once, Raytracing.hlsl:118-163).
     if gbuf is not None:
@@ -114,9 +118,9 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
     else:
         primary_hit = intersect.intersect_spheres(
             ray_o0, ray_d0, t_min0, t_max0, scene.center, scene.radius,
-            cfg.block_size)
+            cfg.block_size, attributes=False)
         primary_surf = scene_mod.surface_attributes(scene, primary_hit,
-                                                    ray_d0)
+                                                    ray_d0, table)
 
     # Primary demodulation AOVs for the denoiser (GBufferGeneration.hlsl).
     p_mat = shading.evaluate_material(primary_surf.material, primary_surf.uv,
@@ -135,15 +139,31 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
     hit_distance = jnp.full((h, w), jnp.inf, jnp.float32)
     rays_traced = jnp.float32(h * w)  # the primary-visibility pass
 
+    # ReSTIR DI handoff (Raytracing.hlsl:150-163): when direct illumination
+    # is supplied, it is added once at the primary vertex and bounce-1
+    # emission is suppressed to avoid double counting.
+    if di_radiance is not None:
+        di_valid = primary_hit.hit & (jnp.sum(di_radiance, axis=-1) > 0.0)
+    else:
+        di_valid = jnp.zeros((h, w), bool)
+
     for sample_index in range(cfg.samples_per_pixel):
         rng = rng_mod.init(px, py,
                            frame_index * cfg.samples_per_pixel + sample_index)
         sample_radiance = jnp.zeros((h, w, 3), jnp.float32)
         throughput = jnp.ones((h, w, 3), jnp.float32)
         active = jnp.ones((h, w), bool)
+        prev_roughness = jnp.zeros((h, w), jnp.float32)
         ray_d = ray_d0
         surf = primary_surf
         hit_ok = primary_hit.hit
+
+        if di_radiance is not None and di_in_radiance:
+            # Denoiser-off routing (Raytracing.hlsl:379-385 `radiance+=DI`);
+            # with NRD-style denoising DI instead rides the direct
+            # diffuse/specular channels (:400-413).
+            sample_radiance = sample_radiance + jnp.where(
+                di_valid[..., None], di_radiance, 0.0)
 
         for bounce in range(cfg.bounces + 1):
             if bounce > 0:
@@ -151,11 +171,13 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
                     active.astype(jnp.float32))
                 origin = intersect.safe_spawn_point(
                     surf.position, surf.geometric_normal, l_dir)
+                # Dead lanes get tmax < tmin so the kernel's block-skip can
+                # drop whole tiles of terminated paths.
                 hit = intersect.intersect_spheres(
                     origin, l_dir, jnp.zeros((h, w)),
-                    jnp.full((h, w), jnp.inf), scene.center, scene.radius,
-                    cfg.block_size)
-                surf = scene_mod.surface_attributes(scene, hit, l_dir)
+                    jnp.where(active, jnp.inf, -1.0), scene.center,
+                    scene.radius, cfg.block_size, attributes=False)
+                surf = scene_mod.surface_attributes(scene, hit, l_dir, table)
                 ray_d = l_dir
                 hit_ok = hit.hit
                 if sample_index == 0 and bounce == 1:
@@ -169,21 +191,47 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
                 miss[..., None], throughput * env_color, 0.0)
             active = active & hit_ok
 
+            # SHARC query: early-terminate into the cache once the ray
+            # footprint exceeds the voxel size (Raytracing.hlsl:261-291).
+            if sharc_state is not None and bounce > 0:
+                front_flat = jnp.where(surf.is_front_face[..., None],
+                                       surf.geometric_normal,
+                                       -surf.geometric_normal)
+                fp_ok = sharc.footprint_valid(surf.distance, prev_roughness,
+                                              surf.position, cam.position,
+                                              sharc_cfg)
+                cached, cache_hit = sharc.query(
+                    sharc_state, surf.position, front_flat, cam.position,
+                    sharc_cfg)
+                use_cache = active & fp_ok & cache_hit
+                sample_radiance = sample_radiance + jnp.where(
+                    use_cache[..., None], throughput * cached, 0.0)
+                active = active & ~use_cache
+
             if bounce == cfg.bounces:
                 # Last iteration only adds emission (no scatter needed).
                 mat = shading.evaluate_material(
                     surf.material, surf.uv, surf.shading_normal,
                     surf.tangent, scene.textures)
+                emission = mat.emission
+                if bounce == 1:
+                    emission = jnp.where(di_valid[..., None], 0.0, emission)
                 sample_radiance = sample_radiance + jnp.where(
-                    active[..., None], throughput * mat.emission, 0.0)
+                    active[..., None], throughput * emission, 0.0)
                 break
 
-            emission, l_dir, weight, valid, lobe, _, _, _, rng = \
+            emission, l_dir, weight, valid, lobe, bs, _, _, rng = \
                 _shade_and_scatter(scene, surf, ray_d, rng)
+            if bounce == 1:
+                # DI already sampled this light at the primary vertex
+                # (Raytracing.hlsl:302).
+                emission = jnp.where(di_valid[..., None], 0.0, emission)
             sample_radiance = sample_radiance + jnp.where(
                 active[..., None], throughput * emission, 0.0)
             throughput = throughput * weight
             active = active & valid
+            prev_roughness = prev_roughness + jnp.where(
+                lobe == bxdf.LOBE_DIFFUSE, 1.0, bs.roughness)
 
             # Russian roulette after bounce 3 (Raytracing.hlsl:348-356).
             if cfg.russian_roulette and bounce >= 3:
@@ -223,3 +271,123 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
 @partial(jax.jit, static_argnums=2)
 def trace_image_jit(scene, cam, cfg: PathTraceConfig, frame_index):
     return trace_image(scene, cam, cfg, frame_index)
+
+
+def sharc_update_trace(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
+                       sharc_state, sharc_cfg, cfg: PathTraceConfig,
+                       frame_index, di_radiance=None):
+    """The SHARC_UPDATE pass: a low-res trace that splats path radiance into
+    the hash-grid cache (Raytracing.hlsl SHARC_UPDATE permutation,
+    dispatched at renderSize/DownscaleFactor — Raytracing.ixx:114-148).
+
+    The in-shader SharcUpdateHit/SetThroughput accumulation state becomes a
+    record of per-bounce (slot, fingerprint, emission, segment throughput),
+    closed by a backward scan L_v = E_v + T_v * L_{v+1} and one scatter-add
+    per bounce (see ops/sharc.py module docstring).
+
+    cfg.width/height must already be the downscaled size. Returns the new
+    SHARCState after resolve.
+    """
+    from . import sharc as sharc_mod
+
+    h, w = cfg.height, cfg.width
+    px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    rng = rng_mod.init(px + 131, py + 173, frame_index)
+
+    # Random sub-pixel jitter instead of the camera's Halton jitter
+    # (Raytracing.hlsl:111-112).
+    jit2, rng = rng_mod.next_floats(rng, 2)
+    ndc = camera_mod.pixel_ndc(w, h, jnp.zeros(2))
+    jitter_ndc = (jit2 - 0.5) * jnp.array([2.0, -2.0]) / jnp.array(
+        [w, h], jnp.float32)
+    ray_o, ray_d, t_min, t_max = camera_mod.generate_pinhole_rays(
+        cam, ndc + jitter_ndc)
+    t_min = jnp.broadcast_to(t_min, (h, w))
+    t_max = jnp.broadcast_to(t_max, (h, w))
+
+    table = scene_mod.object_table(scene)
+
+    if di_radiance is not None:
+        di_small = post_resize(di_radiance, h, w)
+    else:
+        di_small = None
+
+    # Per-bounce records. `emissions[b]` carries the radiance *emitted at*
+    # level b: hit emission for live lanes, or — exactly once, at the miss
+    # level — the environment color (SharcUpdateMiss). `seg_weights[b]` is
+    # zero for non-live lanes so nothing propagates past a path's end.
+    slots, fps, emissions, seg_weights, actives = [], [], [], [], []
+    active = jnp.ones((h, w), bool)
+    l_dir = ray_d
+    hit = intersect.intersect_spheres(ray_o, ray_d, t_min, t_max,
+                                      scene.center, scene.radius,
+                                      cfg.block_size, attributes=False)
+    surf = scene_mod.surface_attributes(scene, hit, ray_d, table)
+
+    for bounce in range(cfg.bounces + 1):
+        if bounce > 0:
+            origin = intersect.safe_spawn_point(surf.position,
+                                                surf.geometric_normal, l_dir)
+            hit = intersect.intersect_spheres(
+                origin, l_dir, jnp.zeros((h, w)),
+                jnp.where(active, jnp.inf, -1.0),
+                scene.center, scene.radius, cfg.block_size, attributes=False)
+            surf = scene_mod.surface_attributes(scene, hit, l_dir, table)
+
+        miss = active & ~surf.valid
+        env_color = sky.environment_color(scene.env, l_dir)
+        live = active & surf.valid
+
+        front_flat = jnp.where(surf.is_front_face[..., None],
+                               surf.geometric_normal, -surf.geometric_normal)
+        slot, fp = sharc_mod.cache_key(surf.position, front_flat,
+                                       cam.position, sharc_cfg)
+
+        if bounce == cfg.bounces:
+            mat = shading.evaluate_material(surf.material, surf.uv,
+                                            surf.shading_normal,
+                                            surf.tangent, scene.textures)
+            emission = mat.emission
+            l_dir_new = l_dir
+            weight = jnp.zeros((h, w, 3), jnp.float32)
+            valid = jnp.zeros((h, w), bool)
+        else:
+            emission, l_dir_new, weight, valid, lobe, bs, sv, v, rng = \
+                _shade_and_scatter(scene, surf, l_dir, rng)
+
+        if di_small is not None and bounce == 0:
+            emission = emission + di_small
+
+        level_radiance = jnp.where(live[..., None], emission,
+                                   jnp.where(miss[..., None], env_color,
+                                             0.0))
+        slots.append(slot)
+        fps.append(fp)
+        emissions.append(level_radiance)
+        seg_weights.append(jnp.where((live & valid)[..., None], weight, 0.0))
+        actives.append(live)
+        active = live & valid
+        l_dir = l_dir_new
+
+    # Backward scan: L_v = E_v + T_v * L_{v+1} (SharcUpdateHit's internal
+    # accumulation, made explicit), then one scatter-add per level.
+    radiance_next = jnp.zeros((h, w, 3), jnp.float32)
+    capacity = sharc_state.fingerprint.shape[0]
+    acc = (jnp.zeros((capacity, 3), jnp.float32),
+           jnp.zeros((capacity,), jnp.float32),
+           sharc_state.fingerprint)
+    for b in range(len(slots) - 1, -1, -1):
+        l_here = emissions[b] + seg_weights[b] * radiance_next
+        l_here = jnp.where(jnp.isfinite(l_here), l_here, 0.0)
+        acc = sharc_mod.splat(acc, slots[b], fps[b], l_here, actives[b])
+        radiance_next = l_here
+
+    frame_sum, frame_count, frame_fp = acc
+    return sharc_mod.resolve(sharc_state, frame_sum, frame_count, frame_fp,
+                             sharc_cfg)
+
+
+def post_resize(img, h, w):
+    from . import post
+    return post.resize_bilinear(img, h, w)

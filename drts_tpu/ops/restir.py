@@ -113,17 +113,23 @@ def make_surface(gbuf) -> Surface:
 
 
 def _target_pdf(surface: Surface, lights: light_mod.Lights, idx, uv):
-    """p_hat: luminance of unshadowed contribution of sample (idx, uv) at
-    this surface, solid-angle measure. Also returns shading pieces."""
+    """p_hat: the unshadowed contribution integrand of sample (idx, uv) at
+    this surface, in *uv-square measure*: the reservoir domain is
+    (light id, cone-sampling uniforms), so the solid-angle integrand picks
+    up the cone Jacobian dω/duv = 1/cone_pdf. Omitting it scales DI by
+    ~1/solid-angle per light (vastly over-bright for small lights).
+    Also returns the shading pieces (direction, distance, f_diffuse,
+    f_specular, emission, inv_cone_pdf)."""
     direction, dist, cone_pdf, emission = light_mod.sample_sphere_light(
         lights, idx, surface.position, uv)
     diff, spec = bxdf.eval_split(surface.bsdf, surface.sv, direction,
                                  surface.view, surface.lobe_weights)
+    inv_cone = 1.0 / jnp.maximum(cone_pdf, 1e-12)
     contrib = (diff + spec) * emission
-    p_hat = m.luminance(contrib)
+    p_hat = m.luminance(contrib) * inv_cone
     is_light = lights.power[idx] > 0
     p_hat = jnp.where(surface.valid & is_light, p_hat, 0.0)
-    return p_hat, direction, dist, diff, spec, emission
+    return p_hat, direction, dist, diff, spec, emission, inv_cone
 
 
 # ----------------------------------------------------------------------------
@@ -206,9 +212,9 @@ def initial_sampling(surface: Surface, scene: SphereScene,
     m_count = jnp.zeros((h, w), jnp.float32)
 
     for _ in range(cfg.local_light_samples):
-        (u_slot, u_pick, u_keep), rng = rng_mod.next_floats(rng, 3)
+        u3, rng = rng_mod.next_floats(rng, 3)
         uv, rng = rng_mod.next_floats(rng, 2)
-        u_slot, u_pick, u_keep = u_slot[0], u_pick[0], u_keep[0]
+        u_slot, u_pick, u_keep = u3[..., 0], u3[..., 1], u3[..., 2]
 
         # Candidate from the ReGIR cell; fall back to global power sampling
         # outside the grid (RTXDI fallback path).
@@ -238,8 +244,8 @@ def initial_sampling(surface: Surface, scene: SphereScene,
                                * jnp.maximum(res_phat, 1e-20)), 0.0)
 
     # Initial visibility ray (DIInitialSampling final visibility test).
-    _, direction, dist, _, _, _ = _target_pdf(surface, lights, res_idx,
-                                              res_uv)
+    _, direction, dist, _, _, _, _ = _target_pdf(surface, lights, res_idx,
+                                                 res_uv)
     origin = intersect.safe_spawn_point(surface.position,
                                         surface.sv.front_geometric_normal,
                                         direction)
@@ -258,7 +264,7 @@ def _occluded(origin, direction, light_dist, scene, light_idx,
     hit = intersect.intersect_spheres(
         origin, direction, jnp.zeros(light_dist.shape),
         jnp.maximum(light_dist - 1e-3, 0.0), scene.center, scene.radius,
-        block_size)
+        block_size, attributes=False)
     return hit.hit & (hit.index != light_idx)
 
 
@@ -381,8 +387,8 @@ def spatial_resampling(cur: Reservoirs, surface: Surface,
     px = jnp.arange(w)[None, :] + jnp.zeros((h, 1), jnp.int32)
 
     for _ in range(cfg.spatial_samples):
-        (u_r, u_a, u_keep), rng = rng_mod.next_floats(rng, 3)
-        u_r, u_a, u_keep = u_r[0], u_a[0], u_keep[0]
+        u3, rng = rng_mod.next_floats(rng, 3)
+        u_r, u_a, u_keep = u3[..., 0], u3[..., 1], u3[..., 2]
         radius = u_r * cfg.spatial_radius + 1.0
         angle = u_a * 2.0 * jnp.pi
         nx = jnp.clip(px + jnp.round(radius * jnp.cos(angle)).astype(
@@ -421,13 +427,14 @@ def final_shading(res: Reservoirs, surface: Surface, scene: SphereScene,
     """Returns (diffuse, specular) direct-illumination images (H, W, 3) —
     the channels the denoiser and Raytracing pass consume
     (Raytracing.hlsl:150-163 `directDiffuse/directSpecular`)."""
-    p_hat, direction, dist, diff, spec, emission = _target_pdf(
+    p_hat, direction, dist, diff, spec, emission, inv_cone = _target_pdf(
         surface, lights, res.light_index, res.uv)
     origin = intersect.safe_spawn_point(surface.position,
                                         surface.sv.front_geometric_normal,
                                         direction)
     occluded = _occluded(origin, direction, dist, scene, res.light_index,
                          block_size)
+    # uv-measure integrand (f * Le * dω/duv) times the reservoir weight.
     weight = jnp.where(surface.valid & ~occluded & (p_hat > 0),
-                       res.w_out, 0.0)[..., None]
+                       res.w_out * inv_cone, 0.0)[..., None]
     return diff * emission * weight, spec * emission * weight

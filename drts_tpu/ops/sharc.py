@@ -1,0 +1,208 @@
+"""SHARC: hash-grid radiance cache for GI.
+
+TPU-native reimplementation of the NVIDIA RTXGI/SHARC integration
+(SURVEY.md §2.3 "RTXGI/SHARC" row; host /root/reference/Source/SHARC.ixx,
+device Shaders/SHARC.hlsl + the SharcUpdateHit/SharcGetCachedRadiance calls
+in Shaders/Raytracing.hlsl:175-186,245-316). Redesign for TPU:
+
+- The u64 open-addressing hash map with atomic-CAS insertion becomes a
+  fixed-capacity direct-mapped table addressed by ``hash(key) % capacity``
+  with a 32-bit key fingerprint for verification: XLA's deterministic
+  scatter-add replaces device atomics entirely (SURVEY.md §7 hard part #2).
+  Slot collisions between *different* voxels are resolved last-writer-wins
+  on the fingerprint, so a colliding minority of updates is dropped rather
+  than corrupted — the same graceful degradation SHARC's bounded probe
+  window has.
+- ``SharcUpdateHit``'s in-shader backward accumulation state becomes an
+  explicit backward scan over the bounce-synchronous vertex arrays: the
+  update trace records (slot, emission, segment throughput) per bounce,
+  then L_v = E_v + T_v * L_{v+1} is computed in one unrolled sweep and
+  splatted with one scatter-add per bounce.
+- Voxel key = (quantized position at a camera-distance log level, normal
+  octant) — the HashGridGetLevel/GetVoxelSize scheme (log base 2, level
+  bias) with the sceneScale control (MyAppData.h:255-273).
+- The resolve/copy compaction kernels (SHARC.hlsl:30-62) become one dense
+  per-slot blend: count-capped moving average + staleness eviction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..utils import math as m
+from ..utils import rng as rng_mod
+
+LOG_BASE = 2.0       # SHARC_GRID_LOGARITHM_BASE
+LEVEL_BIAS = 2.0     # SHARC_GRID_LEVEL_BIAS
+MAX_LEVEL = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class SHARCConfig:
+    """MyAppData.h SHARC defaults + SHARC.ixx:24,48."""
+    capacity_log2: int = 22
+    scene_scale: float = 50.0
+    accumulation_frames: int = 10
+    max_stale_frames: int = 64
+    min_samples_for_query: float = 4.0
+    roughness_threshold: float = 0.4
+    anti_firefly: bool = True
+    anti_firefly_luminance: float = 20.0
+
+
+@struct.dataclass
+class SHARCState:
+    """The cache (the reference's hash-entry + voxel-data buffer pair,
+    SHARC.ixx:29-33, held functionally)."""
+    fingerprint: jnp.ndarray   # (C,) uint32; 0 = empty
+    radiance: jnp.ndarray      # (C, 3) accumulated average radiance
+    sample_count: jnp.ndarray  # (C,) effective sample count
+    stale_frames: jnp.ndarray  # (C,) frames since last touch
+
+
+def init_state(cfg: SHARCConfig) -> SHARCState:
+    c = 1 << cfg.capacity_log2
+    return SHARCState(
+        fingerprint=jnp.zeros((c,), jnp.uint32),
+        radiance=jnp.zeros((c, 3), jnp.float32),
+        sample_count=jnp.zeros((c,), jnp.float32),
+        stale_frames=jnp.zeros((c,), jnp.float32))
+
+
+# ----------------------------------------------------------------------------
+# voxel keys
+
+
+def grid_level(distance, cfg: SHARCConfig):
+    """HashGridGetLevel: log-distance LOD so voxels grow with camera
+    distance."""
+    lvl = jnp.floor(jnp.log2(jnp.maximum(distance, 1e-3)) + LEVEL_BIAS)
+    return jnp.clip(lvl, 0.0, MAX_LEVEL - 1).astype(jnp.int32)
+
+
+def voxel_size(level, cfg: SHARCConfig):
+    """HashGridGetVoxelSize: base^level / sceneScale."""
+    return jnp.exp2(level.astype(jnp.float32)) / cfg.scene_scale
+
+
+def cache_key(position, normal, camera_position, cfg: SHARCConfig):
+    """(slot, fingerprint) for a hit point. Key combines the level-quantized
+    voxel coordinate and the normal octant (SharcHitData contract)."""
+    dist = m.length(position - camera_position)
+    level = grid_level(dist, cfg)
+    vs = voxel_size(level, cfg)
+    ivec = jnp.floor(position / vs[..., None]).astype(jnp.int32)
+    octant = ((normal[..., 0] >= 0).astype(jnp.int32)
+              + 2 * (normal[..., 1] >= 0).astype(jnp.int32)
+              + 4 * (normal[..., 2] >= 0).astype(jnp.int32))
+
+    def mix(h, v):
+        return rng_mod.hash_u32(h ^ (v.astype(jnp.uint32)
+                                     * jnp.uint32(0x9E3779B9)))
+
+    h = rng_mod.hash_u32(ivec[..., 0])
+    h = mix(h, ivec[..., 1])
+    h = mix(h, ivec[..., 2])
+    h = mix(h, level + 37)
+    h = mix(h, octant + 101)
+    slot = (h % jnp.uint32(1 << cfg.capacity_log2)).astype(jnp.int32)
+    fingerprint = rng_mod.hash_u32(h ^ jnp.uint32(0xA511E9B3))
+    fingerprint = jnp.maximum(fingerprint, jnp.uint32(1))  # 0 = empty
+    return slot, fingerprint
+
+
+# ----------------------------------------------------------------------------
+# query (SharcGetCachedRadiance)
+
+
+def query(state: SHARCState, position, normal, camera_position,
+          cfg: SHARCConfig):
+    """Returns (radiance (..., 3), valid (...,))."""
+    slot, fp = cache_key(position, normal, camera_position, cfg)
+    stored_fp = state.fingerprint[slot]
+    count = state.sample_count[slot]
+    valid = (stored_fp == fp) & (count >= cfg.min_samples_for_query)
+    radiance = jnp.where(valid[..., None], state.radiance[slot], 0.0)
+    return radiance, valid
+
+
+def footprint_valid(hit_distance, prev_roughness, position, camera_position,
+                    cfg: SHARCConfig):
+    """The SHARC_QUERY validity heuristic (Raytracing.hlsl:265-274): only
+    trust the cache once the ray's footprint exceeds the voxel size —
+    hit distance must exceed the voxel diagonal, and the accumulated-
+    roughness cone footprint must exceed the voxel size."""
+    dist = m.length(position - camera_position)
+    vs = voxel_size(grid_level(dist, cfg), cfg)
+    ok = hit_distance > vs * jnp.sqrt(3.0)
+    rough = jnp.minimum(prev_roughness, 0.99)
+    alpha = rough * rough
+    footprint = hit_distance * jnp.sqrt(
+        0.5 * alpha * alpha / jnp.maximum(1.0 - alpha * alpha, 1e-4))
+    return ok & (footprint > vs)
+
+
+# ----------------------------------------------------------------------------
+# update accumulation + resolve
+
+
+def splat(state_accum, slots, fingerprints, radiance, active):
+    """Scatter one bounce level's vertex radiance into the frame
+    accumulator. state_accum: (sum (C,3), count (C,), fp (C,)) tuple."""
+    acc_sum, acc_count, acc_fp = state_accum
+    w = active.astype(jnp.float32)
+    flat_slots = slots.reshape(-1)
+    acc_sum = acc_sum.at[flat_slots].add(
+        (radiance * w[..., None]).reshape(-1, 3))
+    acc_count = acc_count.at[flat_slots].add(w.reshape(-1))
+    # Last-writer-wins fingerprint claim for touched slots.
+    fp_update = jnp.where(active, fingerprints, jnp.uint32(0)).reshape(-1)
+    claimed = jnp.where(fp_update > 0, fp_update, acc_fp[flat_slots])
+    acc_fp = acc_fp.at[flat_slots].set(claimed)
+    return acc_sum, acc_count, acc_fp
+
+
+def resolve(state: SHARCState, frame_sum, frame_count, frame_fp,
+            cfg: SHARCConfig) -> SHARCState:
+    """SharcResolveEntry (SHARC.hlsl:30-62): blend this frame's splats into
+    the persistent cache with an accumulation cap; evict stale or
+    fingerprint-conflicting entries."""
+    touched = frame_count > 0
+    new_fp_differs = touched & (frame_fp != state.fingerprint) \
+        & (state.fingerprint > 0)
+    # A different voxel claimed the slot: restart accumulation there.
+    base_radiance = jnp.where(new_fp_differs[..., None], 0.0, state.radiance)
+    base_count = jnp.where(new_fp_differs, 0.0, state.sample_count)
+
+    frame_avg = frame_sum / jnp.maximum(frame_count, 1.0)[..., None]
+    if cfg.anti_firefly:
+        lum = m.luminance(frame_avg)
+        scale = jnp.minimum(1.0, cfg.anti_firefly_luminance
+                            / jnp.maximum(lum, 1e-6))
+        frame_avg = frame_avg * scale[..., None]
+
+    total = base_count + frame_count
+    blended = jnp.where(
+        touched[..., None],
+        (base_radiance * base_count[..., None]
+         + frame_avg * frame_count[..., None])
+        / jnp.maximum(total, 1e-6)[..., None],
+        state.radiance)
+    new_count = jnp.where(touched,
+                          jnp.minimum(total, cfg.accumulation_frames * 1.0
+                                      * jnp.maximum(frame_count, 1.0)),
+                          state.sample_count)
+    new_count = jnp.minimum(new_count, 64.0)
+
+    stale = jnp.where(touched, 0.0, state.stale_frames + 1.0)
+    evict = stale > cfg.max_stale_frames
+    return SHARCState(
+        fingerprint=jnp.where(evict, jnp.uint32(0),
+                              jnp.where(touched, frame_fp,
+                                        state.fingerprint)),
+        radiance=jnp.where(evict[..., None], 0.0, blended),
+        sample_count=jnp.where(evict, 0.0, new_count),
+        stale_frames=stale)

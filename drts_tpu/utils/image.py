@@ -16,7 +16,14 @@ import numpy as np
 
 
 def write_png(path: str, image: np.ndarray) -> None:
-    """Write an (H, W, 3|4) uint8 or float [0,1] array as PNG."""
+    """Write an (H, W, 3|4) uint8 or float [0,1] array as PNG.
+    Uses the native encoder (native/drts_native.cpp) when built."""
+    try:
+        from .. import native
+        if native.write_png(path, image):
+            return
+    except Exception:
+        pass
     img = np.asarray(image)
     if img.dtype != np.uint8:
         img = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)

@@ -1,0 +1,192 @@
+"""Light sampling + ReSTIR DI correctness tests (SURVEY.md §7 hard part #3:
+reservoir math validated against brute-force direct lighting)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drts_tpu.models import scene as scene_mod
+from drts_tpu.models.material import MaterialDesc, pack_materials
+from drts_tpu.ops import (camera as camera_mod, gbuffer, light as light_mod,
+                          restir, sky)
+from drts_tpu.utils import math as m
+
+
+def _two_light_scene():
+    """A diffuse floor sphere + two emissive spheres of different power."""
+    mats = pack_materials([
+        MaterialDesc(base_color=(0.8, 0.8, 0.8, 1), roughness=0.6),
+        MaterialDesc(base_color=(0, 0, 0, 1), emissive_strength=5.0,
+                     emissive_color=(1.0, 0.2, 0.2)),
+        MaterialDesc(base_color=(0, 0, 0, 1), emissive_strength=20.0,
+                     emissive_color=(0.2, 0.2, 1.0)),
+    ])
+    center = jnp.array([[0.0, -100.0, 0.0],
+                        [-2.0, 2.0, 0.0],
+                        [2.0, 2.0, 0.0]])
+    rot = jnp.tile(m.QUAT_IDENTITY, (3, 1))
+    return scene_mod.SphereScene(
+        center=center, rotation=rot, prev_center=center, prev_rotation=rot,
+        radius=jnp.array([99.5, 0.3, 0.3]),
+        materials=mats,
+        env=sky.make_environment_light(color=(0.0, 0.0, 0.0, 1.0)))
+
+
+def test_light_prepare_power_cdf():
+    scene = _two_light_scene()
+    lights = light_mod.prepare(scene)
+    p = np.asarray(lights.power)
+    assert p[0] == 0.0 and p[1] > 0 and p[2] > p[1]
+    # CDF sampling proportions match power.
+    u = jnp.linspace(0.001, 0.999, 20000)
+    idx, pdf = light_mod.sample_light_index(lights, u)
+    frac2 = float(jnp.mean((idx == 2).astype(jnp.float32)))
+    np.testing.assert_allclose(frac2, p[2] / p.sum(), atol=0.01)
+    assert float(jnp.min(pdf[idx == 2])) > 0
+
+
+def test_sphere_light_cone_sampling_hits_sphere():
+    scene = _two_light_scene()
+    lights = light_mod.prepare(scene)
+    n = 5000
+    pos = jnp.tile(jnp.array([[0.0, -0.5, 0.0]]), (n, 1))
+    idx = jnp.full((n,), 2, jnp.int32)
+    u = jnp.stack([jnp.linspace(0.001, 0.999, n)] * 2, axis=-1)
+    d, dist, pdf, em = light_mod.sample_sphere_light(lights, idx, pos, u)
+    # Every sampled direction must actually hit the light sphere.
+    oc = pos - lights.center[2]
+    b = m.dot(oc, d)
+    c0 = m.dot(oc, oc) - lights.radius[2] ** 2
+    disc = b * b - c0
+    assert float(jnp.mean((disc > 0).astype(jnp.float32))) > 0.995
+    assert float(pdf.min()) > 0
+    # PDF integrates to ~1 over the cone: pdf * solid_angle == 1.
+    dist_c = float(m.length(pos[0] - lights.center[2]))
+    cos_max = np.sqrt(1 - (0.3 / dist_c) ** 2)
+    solid = 2 * np.pi * (1 - cos_max)
+    np.testing.assert_allclose(float(pdf[0]) * solid, 1.0, rtol=1e-3)
+
+
+def _render_di(scene, width=48, height=48, frames=1, spatial=True,
+               temporal=False):
+    cam = camera_mod.make_camera((0.0, 1.0, -6.0), (0.0, -0.15, 1.0),
+                                 aspect=1.0)
+    cfg = restir.ReSTIRConfig(local_light_samples=8,
+                              spatial_enabled=spatial,
+                              temporal_enabled=temporal,
+                              boiling_filter_strength=0.0)
+    gbuf = gbuffer.generate(scene, cam, width, height, 4096)
+    lights = light_mod.prepare(scene)
+    surface = restir.make_surface(gbuf)
+    total = jnp.zeros((height, width, 3))
+    for f in range(frames):
+        grid = restir.build_regir_grid(lights, cam.position, cfg, f)
+        res = restir.initial_sampling(surface, scene, lights, grid, cfg, f,
+                                      4096)
+        if spatial:
+            res = restir.spatial_resampling(res, surface, lights, cfg, f)
+        d, s = restir.final_shading(res, surface, scene, lights, 4096)
+        total = total + d + s
+    return np.asarray(total / frames), gbuf
+
+
+def _brute_force_di(scene, width=48, height=48, samples=400):
+    """Monte-Carlo ground truth: uniform-cone light sampling, no RIS."""
+    cam = camera_mod.make_camera((0.0, 1.0, -6.0), (0.0, -0.15, 1.0),
+                                 aspect=1.0)
+    gbuf = gbuffer.generate(scene, cam, width, height, 4096)
+    lights = light_mod.prepare(scene)
+    surface = restir.make_surface(gbuf)
+    from drts_tpu.utils import rng as rng_mod
+    h, w = height, width
+    px = jnp.arange(w)[None, :] + jnp.zeros((h, 1), jnp.int32)
+    py = jnp.arange(h)[:, None] + jnp.zeros((1, w), jnp.int32)
+    rng = rng_mod.init(px, py, 9999)
+    acc = jnp.zeros((h, w, 3))
+    for s in range(samples):
+        u1, rng = rng_mod.next_floats(rng, 1)
+        uv, rng = rng_mod.next_floats(rng, 2)
+        idx, pick_pdf = light_mod.sample_light_index(lights, u1[..., 0])
+        p_hat, direction, dist, diff, spec, em, inv_cone = \
+            restir._target_pdf(surface, lights, idx, uv)
+        from drts_tpu.ops import intersect
+        origin = intersect.safe_spawn_point(
+            surface.position, surface.sv.front_geometric_normal, direction)
+        occ = restir._occluded(origin, direction, dist, scene, idx, 4096)
+        cone_pdf = light_mod.light_pdf(lights, idx, surface.position)
+        contrib = (diff + spec) * em / jnp.maximum(
+            pick_pdf * cone_pdf, 1e-12)[..., None]
+        acc = acc + jnp.where((occ | ~surface.valid)[..., None], 0.0,
+                              contrib)
+    return np.asarray(acc / samples)
+
+
+def test_restir_matches_brute_force():
+    """ReSTIR initial+spatial DI must be unbiased: averaged over frames it
+    converges to the brute-force estimate."""
+    scene = _two_light_scene()
+    di, gbuf = _render_di(scene, frames=24)
+    ref = _brute_force_di(scene, samples=300)
+    valid = np.asarray(gbuf.surf.valid)
+    lit = valid & (ref.sum(-1) > 1e-3)
+    rel = np.abs(di[lit].mean(0) - ref[lit].mean(0)) / (ref[lit].mean(0)
+                                                        + 1e-6)
+    assert rel.max() < 0.15, (di[lit].mean(0), ref[lit].mean(0))
+
+
+def test_restir_temporal_accumulates():
+    scene = _two_light_scene()
+    cam = camera_mod.make_camera((0.0, 1.0, -6.0), (0.0, -0.15, 1.0),
+                                 aspect=1.0)
+    cfg = restir.ReSTIRConfig(boiling_filter_strength=0.0)
+    gbuf = gbuffer.generate(scene, cam, 32, 32, 4096)
+    lights = light_mod.prepare(scene)
+    surface = restir.make_surface(gbuf)
+    depth = jnp.where(jnp.isfinite(gbuf.linear_depth), gbuf.linear_depth,
+                      1e8)
+    res = restir.init_reservoirs(32, 32)
+    for f in range(6):
+        grid = restir.build_regir_grid(lights, cam.position, cfg, f)
+        cur = restir.initial_sampling(surface, scene, lights, grid, cfg, f,
+                                      4096)
+        res = restir.temporal_resampling(cur, res, surface, lights,
+                                         jnp.zeros((32, 32, 2)), depth,
+                                         gbuf.mat.shading_normal, cfg, f)
+    m_counts = np.asarray(res.m_count)[np.asarray(surface.valid)]
+    # History accumulates beyond one frame's candidate count.
+    assert m_counts.max() > cfg.local_light_samples * 2
+    # And stays clamped.
+    assert m_counts.max() <= cfg.local_light_samples * (cfg.max_history + 1) * 2
+
+
+def test_sharc_roundtrip():
+    """SHARC insert -> resolve -> query roundtrip + staleness eviction."""
+    from drts_tpu.ops import sharc
+    cfg = sharc.SHARCConfig(capacity_log2=14, min_samples_for_query=1.0,
+                            max_stale_frames=4)
+    state = sharc.init_state(cfg)
+    pos = jnp.array([[1.0, 2.0, 3.0], [1.0, 2.0, 3.0], [-5.0, 0.0, 1.0]])
+    nrm = jnp.array([[0.0, 1.0, 0.0]] * 3)
+    campos = jnp.zeros(3)
+    slot, fp = sharc.cache_key(pos, nrm, campos, cfg)
+    # Same voxel -> same slot; distant point -> different slot.
+    assert int(slot[0]) == int(slot[1])
+    assert int(slot[0]) != int(slot[2])
+
+    cap = state.fingerprint.shape[0]
+    acc = (jnp.zeros((cap, 3)), jnp.zeros((cap,)), state.fingerprint)
+    radiance = jnp.array([[1.0, 2.0, 3.0], [3.0, 2.0, 1.0], [5.0, 5.0, 5.0]])
+    acc = sharc.splat(acc, slot, fp, radiance, jnp.ones(3, bool))
+    state = sharc.resolve(state, *acc, cfg)
+
+    q, valid = sharc.query(state, pos, nrm, campos, cfg)
+    assert bool(valid[0]) and bool(valid[2])
+    np.testing.assert_allclose(np.asarray(q[0]), [2.0, 2.0, 2.0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(q[2]), [5.0, 5.0, 5.0], atol=1e-5)
+
+    # Untouched entries go stale and evict after max_stale_frames.
+    empty = (jnp.zeros((cap, 3)), jnp.zeros((cap,)), state.fingerprint)
+    for _ in range(6):
+        state = sharc.resolve(state, *empty, cfg)
+    _, valid2 = sharc.query(state, pos, nrm, campos, cfg)
+    assert not bool(valid2[0])

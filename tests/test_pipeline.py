@@ -1,0 +1,134 @@
+"""End-to-end pipeline, checkpoint/resume, timer, and native-lib tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from drts_tpu.models import myscene, pipeline
+from drts_tpu.ops import sharc
+
+
+def _tiny_pipeline(denoiser="NRDReBLUR", restir=True, sharc_on=True,
+                   upscale=False):
+    cfg = pipeline.PipelineConfig(
+        output_width=64 if upscale else 32,
+        output_height=64 if upscale else 32,
+        render_width=32, render_height=32,
+        bounces=2, samples_per_pixel=1, denoiser=denoiser,
+        upscaling=upscale, block_size=2048,
+        restir_enabled=restir,
+        sharc_enabled=sharc_on,
+        sharc=sharc.SHARCConfig(capacity_log2=12),
+        sharc_downscale=2)
+    pipe = pipeline.RenderPipeline(cfg)
+    host = myscene.build(oscillator_grid=2)
+    return pipe, host
+
+
+def test_full_pipeline_frames():
+    """Full frame graph (physics + ReSTIR + SHARC + trace + denoise +
+    post) produces finite images and advances state."""
+    pipe, host = _tiny_pipeline()
+    state = pipe.init_state(host)
+    pose = pipe.default_camera_pose(host)
+    step = jax.jit(lambda s, p: pipe.render_frame(s, p, 1.0 / 60.0))
+    for i in range(3):
+        state, img = step(state, pose)
+        arr = np.asarray(img)
+        assert arr.shape == (32, 32, 3)
+        assert np.isfinite(arr).all()
+        assert arr.min() >= 0.0 and arr.max() <= 1.0
+    assert int(state.frame_index) == 3
+    # Physics advanced the scene.
+    assert not np.allclose(np.asarray(state.scene.center),
+                           np.asarray(host.scene.center))
+    # SHARC cache got populated.
+    assert float(state.sharc.sample_count.sum()) > 0
+
+
+def test_pipeline_no_denoise_upscale():
+    pipe, host = _tiny_pipeline(denoiser="None", restir=False,
+                                sharc_on=False, upscale=True)
+    state = pipe.init_state(host)
+    pose = pipe.default_camera_pose(host)
+    state, img = pipe.render_frame(state, pose, 1.0 / 60.0)
+    assert img.shape == (64, 64, 3)
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_reset_history():
+    pipe, host = _tiny_pipeline()
+    state = pipe.init_state(host)
+    pose = pipe.default_camera_pose(host)
+    state, _ = pipe.render_frame(state, pose, 1.0 / 60.0)
+    state2 = pipe.reset_history(state)
+    assert float(state2.denoiser.history_length.max()) == 0.0
+    assert float(state2.sharc.sample_count.max()) == 0.0
+    assert float(state2.taa.history.max()) == 0.0
+    # Physics/scene state survives a history reset.
+    np.testing.assert_array_equal(np.asarray(state2.scene.center),
+                                  np.asarray(state.scene.center))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from drts_tpu.utils import checkpoint
+    pipe, host = _tiny_pipeline(restir=False, sharc_on=False)
+    state = pipe.init_state(host)
+    pose = pipe.default_camera_pose(host)
+    state, _ = pipe.render_frame(state, pose, 1.0 / 60.0)
+    path = str(tmp_path / "ckpt")
+    checkpoint.save(state, path)
+    restored, resumed = checkpoint.resume_or_init(pipe, path, host)
+    assert resumed
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+    # Missing checkpoint -> fresh init.
+    _, resumed2 = checkpoint.resume_or_init(pipe, str(tmp_path / "nope"),
+                                            host)
+    assert not resumed2
+
+
+def test_step_timer():
+    from drts_tpu.utils.timer import StepTimer
+    calls = []
+    t = StepTimer()
+    t.tick(lambda dt: calls.append(dt))
+    assert len(calls) == 1 and calls[0] >= 0.0
+    fixed = StepTimer(fixed_timestep=0.001)
+    import time
+    time.sleep(0.01)
+    fixed.tick(lambda dt: calls.append(dt))
+    assert fixed.frame_count >= 5  # caught up in fixed steps
+
+
+def test_cluster_plan_and_refit():
+    from drts_tpu.models import clusters
+    host = myscene.build(oscillator_grid=3)
+    pos = np.asarray(host.scene.center)
+    rad = np.asarray(host.scene.radius)
+    plan = clusters.build_plan(pos, rad)
+    members = plan.member_object
+    covered = np.sort(members[members >= 0])
+    np.testing.assert_array_equal(covered, np.arange(pos.shape[0]))
+    bounds = clusters.refit(plan, host.scene.center, host.scene.radius)
+    # Every member sphere is inside its cluster bound.
+    for ci in range(plan.num_clusters):
+        for mi in members[ci][members[ci] >= 0]:
+            d = np.linalg.norm(np.asarray(bounds.center[ci]) - pos[mi])
+            assert d + rad[mi] <= float(bounds.radius[ci]) + 1e-4
+
+
+@pytest.mark.skipif(os.environ.get("DRTS_SLOW_TESTS") != "1",
+                    reason="driver compile-checks entry(); set "
+                           "DRTS_SLOW_TESTS=1 to run locally")
+def test_graft_entry_compiles():
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    img = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(img)).all()

@@ -1,0 +1,135 @@
+"""Post-processing, denoiser, TAA, and Pallas-kernel equivalence tests."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from drts_tpu.ops import denoise, post, taa
+from drts_tpu.utils import math as m
+
+
+def test_tonemap_operators():
+    x = jnp.array([[0.0, 0.18, 1.0], [4.0, 16.0, 1e4]])
+    for name in post.TONEMAP_OPERATORS:
+        y = post.tonemap(x[..., None].repeat(3, -1), name)
+        y = np.asarray(y)
+        assert y.min() >= 0.0 and y.max() <= 1.0
+        assert (np.diff(y[..., 0].reshape(-1)) >= -1e-6).all()  # monotone
+
+
+def test_bloom_spreads_and_conserves():
+    img = jnp.zeros((64, 64, 3)).at[32, 32].set(100.0)
+    out = np.asarray(post.bloom(img, strength=0.1))
+    assert out[30, 30].sum() > 0.0          # energy spread to neighbors
+    assert out[32, 32].sum() < 300.0        # peak reduced
+    flat = jnp.full((64, 64, 3), 0.5)
+    out2 = np.asarray(post.bloom(flat, strength=0.1))
+    np.testing.assert_allclose(out2[16:48, 16:48], 0.5, atol=0.02)
+
+
+def test_resize_bilinear_identity_and_mean():
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(16, 16, 3), jnp.float32)
+    same = post.resize_bilinear(img, 16, 16)
+    np.testing.assert_allclose(np.asarray(same), np.asarray(img), atol=1e-6)
+    up = post.resize_bilinear(img, 32, 32)
+    np.testing.assert_allclose(float(up.mean()), float(img.mean()), atol=0.01)
+
+
+def test_generate_mips():
+    img = jnp.asarray(np.arange(64, dtype=np.float32).reshape(8, 8))
+    mips = post.generate_mips(img, 3)
+    assert [tuple(x.shape) for x in mips] == [(8, 8), (4, 4), (2, 2), (1, 1)]
+    np.testing.assert_allclose(float(mips[-1][0, 0]), img.mean(), atol=1e-4)
+
+
+def test_sharpen_enhances_edges():
+    img = jnp.zeros((16, 16, 3)).at[:, 8:].set(1.0)
+    out = np.asarray(post.sharpen(img, 1.0))
+    assert out[8, 8].sum() > 3.0 - 1e-6  # overshoot on the bright side
+
+
+def test_denoiser_accumulates_static_scene():
+    h = w = 32
+    state = denoise.init_state(h, w)
+    rng = np.random.RandomState(0)
+    normal = jnp.tile(jnp.array([0.0, 0.0, -1.0]), (h, w, 1))
+    depth = jnp.full((h, w), 5.0)
+    valid = jnp.ones((h, w), bool)
+    rough = jnp.full((h, w), 0.5)
+    motion = jnp.zeros((h, w, 2))
+    clean = 1.0
+    outs = []
+    for f in range(16):
+        noisy = jnp.asarray(clean + rng.randn(h, w, 4) * 0.5, jnp.float32)
+        noisy = jnp.maximum(noisy, 0.0)
+        state, fd, fs = denoise.denoise(state, noisy, noisy, motion, normal,
+                                        depth, valid, rough,
+                                        jnp.asarray(False))
+        outs.append(np.asarray(fd[..., :3]))
+    early_err = np.abs(outs[0] - clean).mean()
+    late_err = np.abs(outs[-1] - clean).mean()
+    assert late_err < early_err * 0.5
+    assert late_err < 0.12
+
+
+def test_denoiser_disocclusion_resets_history():
+    h = w = 16
+    state = denoise.init_state(h, w)
+    normal = jnp.tile(jnp.array([0.0, 0.0, -1.0]), (h, w, 1))
+    depth = jnp.full((h, w), 5.0)
+    valid = jnp.ones((h, w), bool)
+    rough = jnp.full((h, w), 0.5)
+    motion = jnp.zeros((h, w, 2))
+    sig = jnp.ones((h, w, 4))
+    for _ in range(8):
+        state, _, _ = denoise.denoise(state, sig, sig, motion, normal, depth,
+                                      valid, rough, jnp.asarray(False))
+    assert float(state.history_length.mean()) > 7.0
+    # Depth jump -> history invalid -> length resets to 1.
+    state, _, _ = denoise.denoise(state, sig, sig, motion, normal,
+                                  jnp.full((h, w), 50.0), valid, rough,
+                                  jnp.asarray(False))
+    assert float(state.history_length.mean()) <= 1.0 + 1e-6
+
+
+def test_taa_upscale_converges_static():
+    rh = rw = 16
+    oh = ow = 32
+    state = taa.init_state(oh, ow)
+    img = jnp.tile(jnp.array([0.25, 0.5, 0.75]), (rh, rw, 1))
+    motion = jnp.zeros((rh, rw, 2))
+    for f in range(10):
+        state, out = taa.upscale(state, img, motion, jnp.zeros(2), oh, ow,
+                                 jnp.asarray(f == 0))
+    np.testing.assert_allclose(np.asarray(out).mean(axis=(0, 1)),
+                               [0.25, 0.5, 0.75], atol=0.01)
+    assert out.shape == (oh, ow, 3)
+
+
+def test_pallas_interpret_matches_xla():
+    """Interpreted Pallas kernel == XLA formulation (SURVEY.md §4:
+    interpret-mode equivalence on CPU)."""
+    from drts_tpu.ops import intersect, intersect_pallas as ip
+    rng = np.random.RandomState(1)
+    k = 37
+    centers = jnp.asarray(rng.randn(k, 3) * 4, jnp.float32)
+    radii = jnp.asarray(0.2 + rng.rand(k), jnp.float32)
+    n = 4096
+    o = jnp.asarray(rng.randn(n, 3) * 8, jnp.float32)
+    d = m.normalize(jnp.asarray(rng.randn(n, 3), jnp.float32))
+    tmin = jnp.zeros(n)
+    tmax = jnp.full((n,), 1e9)
+
+    ref = intersect.intersect_spheres(o, d, tmin, tmax, centers, radii)
+    rays, _ = ip.pack_rays(o, d, tmin, tmax)
+    table = ip.pack_spheres(centers, radii)
+    t_pal, i_pal = ip.intersect_spheres_planar(rays, table, interpret=True)
+    t_pal = np.asarray(t_pal)[:n]
+    i_pal = np.asarray(i_pal)[:n]
+    fin = np.isfinite(np.asarray(ref.t))
+    np.testing.assert_array_equal(np.isfinite(t_pal), fin)
+    np.testing.assert_allclose(t_pal[fin], np.asarray(ref.t)[fin], rtol=2e-5,
+                               atol=2e-4)
+    np.testing.assert_array_equal(i_pal[fin], np.asarray(ref.index)[fin])
