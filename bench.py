@@ -17,7 +17,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from drts_tpu.models import myscene, scene as scene_mod
+    import numpy as np
+
+    from drts_tpu.models import clusters, myscene, scene as scene_mod
     from drts_tpu.ops import camera as camera_mod, gbuffer, pathtrace
 
     width, height = 1920, 1080
@@ -25,6 +27,9 @@ def main():
 
     host = myscene.build(oscillator_grid=10)
     scene = host.scene
+    plan = clusters.build_plan_morton(np.asarray(scene.center),
+                                      np.asarray(scene.radius),
+                                      max_members=64)
     cam = camera_mod.make_camera(host.camera_position, host.camera_forward,
                                  horizontal_fov_deg=90.0,
                                  aspect=width / height)
@@ -34,8 +39,11 @@ def main():
 
     @jax.jit
     def frame(scene, cam, frame_index):
-        gbuf = gbuffer.generate(scene, cam, width, height, cfg.block_size)
-        out = pathtrace.trace_image(scene, cam, cfg, frame_index, gbuf=gbuf)
+        accel = clusters.make_morton_accel(plan, scene.center, scene.radius)
+        gbuf = gbuffer.generate(scene, cam, width, height, cfg.block_size,
+                                accel=accel)
+        out = pathtrace.trace_image(scene, cam, cfg, frame_index, gbuf=gbuf,
+                                    accel=accel)
         return out.radiance, out.rays_traced
 
     # Warm up / compile.

@@ -80,6 +80,46 @@ def build_plan(positions: np.ndarray, radii: np.ndarray,
     return ClusterPlan(member_object=table, num_clusters=c)
 
 
+def _morton3(x: np.ndarray) -> np.ndarray:
+    """30-bit Morton code from (N, 3) positions normalized to [0, 1024)."""
+    def spread(v):
+        v = v.astype(np.uint64) & 0x3FF
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+    return (spread(x[:, 0]) | (spread(x[:, 1]) << 1)
+            | (spread(x[:, 2]) << 2))
+
+
+def build_plan_morton(positions: np.ndarray, radii: np.ndarray,
+                      big_radius: float = 2.0,
+                      max_members: int = MAX_MEMBERS) -> ClusterPlan:
+    """Morton-order clustering: sort small spheres along a space-filling
+    curve and chunk consecutive runs of MAX_MEMBERS — full-occupancy
+    clusters with spatially tight bounds (the LBVH-style build from
+    SURVEY.md §7 step 4, flattened to one level). Oversized spheres become
+    singletons so they don't inflate chunk bounds."""
+    k = positions.shape[0]
+    big = np.nonzero(radii > big_radius)[0]
+    small = np.nonzero(radii <= big_radius)[0]
+    pos = positions[small]
+    lo = pos.min(axis=0)
+    span = np.maximum(pos.max(axis=0) - lo, 1e-6)
+    quant = np.clip((pos - lo) / span * 1023.0, 0, 1023).astype(np.uint64)
+    order = small[np.argsort(_morton3(quant), kind="stable")]
+
+    clusters = [order[s:s + max_members]
+                for s in range(0, len(order), max_members)]
+    clusters += [[i] for i in big]
+    c = len(clusters)
+    table = np.full((c, max_members), -1, np.int32)
+    for ci, members in enumerate(clusters):
+        table[ci, :len(members)] = members
+    return ClusterPlan(member_object=table, num_clusters=c)
+
+
 def refit(plan: ClusterPlan, centers, radii, slack: float = 0.25
           ) -> ClusterBounds:
     """Per-frame bound update (jitted): centroid + covering radius with a
@@ -98,24 +138,81 @@ def refit(plan: ClusterPlan, centers, radii, slack: float = 0.25
     return ClusterBounds(center=centroid, radius=cover + slack)
 
 
+def make_accel(plan: ClusterPlan, centers, radii):
+    """Per-frame acceleration-structure update: refit + pack. Returns the
+    accel tuple (bounds_tbl, members_tbl, n_clusters, max_members) consumed
+    by ops/intersect.py — the TLAS-refit product."""
+    bounds = refit(plan, centers, radii)
+    bounds_tbl, members_tbl = pack_for_kernel(plan, bounds, centers, radii)
+    return (bounds_tbl, members_tbl, plan.num_clusters, MAX_MEMBERS)
+
+
 def pack_for_kernel(plan: ClusterPlan, bounds: ClusterBounds, centers,
                     radii):
-    """Planar tables for the Pallas kernel:
-    bounds (4, C): cx cy cz r;
-    members (5, C*MAX_MEMBERS): cx cy cz r obj_index (radius 0 = empty)."""
+    """Kernel tables, laid out for Mosaic's dynamic-indexing rules:
+    bounds (4, C_pad) — lives in SMEM, scalar-indexed by cluster id;
+    members (C_pad*MAX_MEMBERS, 8) — member slots along sublanes (dynamic
+    sublane slices are supported; dynamic lane slices are not), columns
+    cx cy cz r obj_index pad pad pad (radius 0 = empty slot)."""
     member = jnp.asarray(plan.member_object)
     valid = member >= 0
     safe = jnp.maximum(member, 0)
     mpos = centers[safe]                              # (C, M, 3)
     mrad = jnp.where(valid, radii[safe], 0.0)
-    flat = plan.num_clusters * MAX_MEMBERS
-    members = jnp.stack([
+    c = plan.num_clusters
+    c_pad = -(-c // 8) * 8
+    flat = c * MAX_MEMBERS
+    flat_pad = c_pad * MAX_MEMBERS
+
+    cols = jnp.stack([
+        mpos[..., 0].reshape(flat),
+        mpos[..., 1].reshape(flat),
+        mpos[..., 2].reshape(flat),
+        mrad.reshape(flat),
+        jnp.where(valid, member, 0).reshape(flat).astype(jnp.float32),
+    ], axis=-1)                                       # (flat, 5)
+    members = jnp.zeros((flat_pad, 8), jnp.float32)
+    members = members.at[:flat, :5].set(cols)
+
+    def pad_to(x, total):
+        return jnp.pad(x, (0, total - x.shape[0]))
+
+    bounds_tbl = jnp.stack([
+        pad_to(bounds.center[:, 0], c_pad),
+        pad_to(bounds.center[:, 1], c_pad),
+        pad_to(bounds.center[:, 2], c_pad),
+        pad_to(bounds.radius, c_pad),
+    ])
+    return bounds_tbl, members
+
+
+def make_morton_accel(plan: ClusterPlan, centers, radii):
+    """Per-frame tables for the Morton-chunk flat kernel
+    (ops/intersect_pallas.intersect_morton_planar): refit chunk bounds +
+    planar sphere table in Morton order with an object-index row.
+    Returns ("morton", bounds_tbl (4, C_pad), table (5, C*M), C, M)."""
+    member = jnp.asarray(plan.member_object)          # (C, M)
+    c, mm = member.shape
+    valid = member >= 0
+    safe = jnp.maximum(member, 0)
+    mpos = centers[safe]
+    mrad = jnp.where(valid, radii[safe], 0.0)
+    flat = c * mm
+    table = jnp.stack([
         mpos[..., 0].reshape(flat),
         mpos[..., 1].reshape(flat),
         mpos[..., 2].reshape(flat),
         mrad.reshape(flat),
         jnp.where(valid, member, 0).reshape(flat).astype(jnp.float32),
     ])
-    bounds_tbl = jnp.stack([bounds.center[:, 0], bounds.center[:, 1],
-                            bounds.center[:, 2], bounds.radius])
-    return bounds_tbl, members
+    bounds = refit(plan, centers, radii)
+    c_pad = -(-c // 8) * 8
+
+    def pad_to(x):
+        return jnp.pad(x, (0, c_pad - x.shape[0]))
+
+    bounds_tbl = jnp.stack([pad_to(bounds.center[:, 0]),
+                            pad_to(bounds.center[:, 1]),
+                            pad_to(bounds.center[:, 2]),
+                            pad_to(bounds.radius)])
+    return ("morton", bounds_tbl, table, c, mm)

@@ -61,6 +61,12 @@ class PipelineConfig:
     restir_enabled: bool = True
     restir: restir.ReSTIRConfig = dataclasses.field(
         default_factory=restir.ReSTIRConfig)
+    # Acceleration structure for the intersection kernel: "morton" uses the
+    # Morton-chunk-culled flat kernel (tight per-chunk bounds, block-level
+    # skip); "none" uses the plain flat sweep. (The fori-loop clustered
+    # kernel exists but compiles pathologically slowly under Mosaic and is
+    # not wired here.)
+    accel_mode: str = "morton"
     # SHARC GI cache (Raytracing.ixx:114-148 sequencing).
     sharc_enabled: bool = True
     sharc: sharc_mod.SHARCConfig = dataclasses.field(
@@ -157,6 +163,7 @@ class RenderPipeline:
         self.cfg = cfg
         self.jitter_table = jnp.asarray(
             rng_mod.halton_jitter(cfg.halton_period))
+        self.cluster_plan = None  # built at init_state (BLAS-build analogue)
 
     # -- state management ---------------------------------------------------
 
@@ -164,6 +171,13 @@ class RenderPipeline:
                    seed: int = 0) -> FrameState:
         if host is None:
             host = myscene.build(seed=seed)
+        from . import clusters
+        if self.cfg.accel_mode == "morton":
+            self.cluster_plan = clusters.build_plan_morton(
+                np.asarray(host.scene.center), np.asarray(host.scene.radius),
+                max_members=64)
+        else:
+            self.cluster_plan = None
         c = self.cfg
         return FrameState(
             frame_index=jnp.int32(0),
@@ -245,9 +259,18 @@ class RenderPipeline:
 
         cam = self._camera(state, pose, prev_pose)
 
+        # Acceleration-structure refit (Scene::CreateAccelerationStructures
+        # update path, App.cpp:605-608). Only used by the Pallas backend.
+        if self.cluster_plan is not None and jax.default_backend() == "tpu":
+            from . import clusters
+            accel = clusters.make_morton_accel(self.cluster_plan,
+                                               scene.center, scene.radius)
+        else:
+            accel = None
+
         # --- RenderScene (App.cpp:1111-1283) --------------------------------
         gbuf = gbuffer.generate(scene, cam, c.render_width, c.render_height,
-                                c.block_size)
+                                c.block_size, accel=accel)
 
         # ReSTIR DI chain (RTXDI.ixx:141-241): light prep -> ReGIR build ->
         # initial -> temporal -> spatial -> final shading.
@@ -261,7 +284,7 @@ class RenderPipeline:
             surface = restir.make_surface(gbuf)
             cur = restir.initial_sampling(surface, scene, lights, grid,
                                           c.restir, state.frame_index,
-                                          c.block_size)
+                                          c.block_size, accel=accel)
             if c.restir.temporal_enabled:
                 hist = jax.tree.map(lambda x: jnp.where(reset,
                                                         jnp.zeros_like(x), x),
@@ -274,7 +297,7 @@ class RenderPipeline:
                 cur = restir.spatial_resampling(cur, surface, lights,
                                                 c.restir, state.frame_index)
             di_diffuse, di_specular = restir.final_shading(
-                cur, surface, scene, lights, c.block_size)
+                cur, surface, scene, lights, c.block_size, accel=accel)
             di_total = di_diffuse + di_specular
             reservoirs = cur
 
@@ -295,14 +318,14 @@ class RenderPipeline:
                 height=max(1, c.render_height // c.sharc_downscale))
             sharc_state = pathtrace.sharc_update_trace(
                 scene, cam, state.sharc, c.sharc, su_cfg, state.frame_index,
-                di_radiance=di_total)
+                di_radiance=di_total, accel=accel)
 
         out = pathtrace.trace_image(
             scene, cam, pt_cfg, state.frame_index, gbuf=gbuf,
             sharc_state=sharc_state if c.sharc_enabled else None,
             sharc_cfg=c.sharc if c.sharc_enabled else None,
             di_radiance=di_total,
-            di_in_radiance=(c.denoiser == "None"))
+            di_in_radiance=(c.denoiser == "None"), accel=accel)
 
         # --- PostProcessGraphics (App.cpp:1460-1525) -------------------------
         den_state = state.denoiser

@@ -38,7 +38,8 @@ class GBuffer:
 
 
 def generate(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
-             width: int, height: int, block_size: int = 16384) -> GBuffer:
+             width: int, height: int, block_size: int = 16384,
+             accel=None) -> GBuffer:
     """Primary-ray pass. Pure; jit together with the integrator."""
     ndc = camera_mod.pixel_ndc(width, height, cam.jitter)
     ray_o, ray_d, t_min, t_max = camera_mod.generate_pinhole_rays(cam, ndc)
@@ -48,7 +49,7 @@ def generate(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
     table = scene_mod.object_table(scene)
     hit = intersect.intersect_spheres(ray_o, ray_d, t_min, t_max,
                                       scene.center, scene.radius, block_size,
-                                      attributes=False)
+                                      attributes=False, accel=accel)
     surf = scene_mod.surface_attributes(scene, hit, ray_d, table)
     mat = shading.evaluate_material(surf.material, surf.uv,
                                     surf.shading_normal, surf.tangent,

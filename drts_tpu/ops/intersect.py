@@ -37,6 +37,31 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# Screen-tile ray ordering: a kernel ray block then covers an (8, 256)
+# pixel region instead of a scanline run, making block-level culling
+# (dead-block skip, Morton chunk bounds) spatially coherent. Pure
+# reshape/transpose — no gathers.
+TILE_H, TILE_W = 8, 128
+
+
+def _tileable(shape) -> bool:
+    return (len(shape) == 2 and shape[0] % TILE_H == 0
+            and shape[1] % TILE_W == 0)
+
+
+def _tile_order(x):
+    h, w = x.shape[:2]
+    rest = x.shape[2:]
+    r = x.reshape(h // TILE_H, TILE_H, w // TILE_W, TILE_W, *rest)
+    return r.swapaxes(1, 2).reshape(h * w, *rest)
+
+
+def _tile_unorder(flat, h, w):
+    rest = flat.shape[1:]
+    r = flat.reshape(h // TILE_H, w // TILE_W, TILE_H, TILE_W, *rest)
+    return r.swapaxes(1, 2).reshape(h, w, *rest)
+
+
 @struct.dataclass
 class SphereHit:
     """Per-ray hit record (the reference's HitInfo, Shaders/HitInfo.hlsli)."""
@@ -83,7 +108,8 @@ def _block_intersect(o, d, t_min, t_max, centers, radii_sq, cc_rr):
 
 
 def intersect_spheres(origin, direction, t_min, t_max, centers, radii,
-                      block_size: int = 16384, attributes: bool = True):
+                      block_size: int = 16384, attributes: bool = True,
+                      accel=None):
     """Closest-hit of rays against all spheres (brute force, blocked).
 
     origin/direction: (..., 3); t_min/t_max broadcastable to (...,).
@@ -104,11 +130,33 @@ def intersect_spheres(origin, direction, t_min, t_max, centers, radii,
 
     if _use_pallas():
         from . import intersect_pallas as ip
+        tiled = _tileable(lead_shape)
+        if tiled:
+            o = _tile_order(origin)
+            d = _tile_order(direction)
+            tmin = _tile_order(jnp.broadcast_to(t_min, lead_shape))
+            tmax = _tile_order(jnp.broadcast_to(t_max, lead_shape))
         rays, _ = ip.pack_rays(o, d, tmin, tmax)
-        table = ip.pack_spheres(centers, radii)
-        t_best, idx = ip.intersect_spheres_planar(rays, table)
-        t_best = t_best[:n].reshape(lead_shape)
-        idx = jnp.minimum(idx[:n], centers.shape[0] - 1).reshape(lead_shape)
+        if accel is not None and isinstance(accel[0], str) \
+                and accel[0] == "morton":
+            _, bounds_tbl, table, n_chunks, chunk = accel
+            t_best, idx = ip.intersect_morton_planar(
+                rays, bounds_tbl, table, n_chunks, chunk)
+        elif accel is not None:
+            bounds_tbl, members_tbl, n_clusters, mm = accel
+            t_best, idx = ip.intersect_clustered_planar(
+                rays, bounds_tbl, members_tbl, n_clusters, mm)
+        else:
+            table = ip.pack_spheres(centers, radii)
+            t_best, idx = ip.intersect_spheres_planar(rays, table)
+        if tiled:
+            t_best = _tile_unorder(t_best[:n], *lead_shape)
+            idx = _tile_unorder(jnp.minimum(idx[:n], centers.shape[0] - 1),
+                                *lead_shape)
+        else:
+            t_best = t_best[:n].reshape(lead_shape)
+            idx = jnp.minimum(idx[:n],
+                              centers.shape[0] - 1).reshape(lead_shape)
         return _make_hit(origin, direction, t_best, idx, centers, attributes)
 
     radii_sq = radii * radii

@@ -85,6 +85,253 @@ def _kernel(rays_ref, spheres_ref, t_ref, idx_ref, *, sphere_chunks: int):
         idx_ref[:, :] = best_i
 
 
+def _morton_kernel(rays_ref, bounds_ref, table_ref, t_ref, idx_ref,
+                   best_t_s, best_i_s, *, n_chunks: int, chunk: int):
+    """Flat sweep over a Morton-ordered sphere table with per-chunk bound
+    culling: the sphere table keeps the flat kernel's planar layout and
+    static slicing (full Mosaic pipelining), but consecutive columns are
+    spatially local, so each 128-wide chunk carries a tight bounding sphere
+    (in SMEM) and a whole chunk is skipped when no ray in the block can
+    touch it. Statically unrolled — no dynamic-index loads."""
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+    tmin = rays_ref[6:7, :]
+    tmax = rays_ref[7:8, :]
+
+    best_t_s[:, :] = jnp.full(ox.shape, INF, jnp.float32)
+    best_i_s[:, :] = jnp.zeros(ox.shape, jnp.int32)
+
+    @pl.when(jnp.any(tmax >= tmin))
+    def _():
+        od = ox * dx + oy * dy + oz * dz
+        oo = ox * ox + oy * oy + oz * oz
+
+        for c in range(n_chunks):
+            bx = bounds_ref[0, c]
+            by = bounds_ref[1, c]
+            bz = bounds_ref[2, c]
+            br = bounds_ref[3, c]
+            b = od - (bx * dx + by * dy + bz * dz)
+            c0 = oo - 2.0 * (bx * ox + by * oy + bz * oz) \
+                + (bx * bx + by * by + bz * bz - br * br)
+            disc = b * b - c0
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            touched = (disc > 0.0) & (-b - sq <= tmax) & (-b + sq >= tmin)
+
+            @pl.when(jnp.any(touched))
+            def _():
+                s0 = c * chunk
+                cxT = jnp.transpose(table_ref[0:1, s0:s0 + chunk])  # (S, 1)
+                cyT = jnp.transpose(table_ref[1:2, s0:s0 + chunk])
+                czT = jnp.transpose(table_ref[2:3, s0:s0 + chunk])
+                rT = jnp.transpose(table_ref[3:4, s0:s0 + chunk])
+                objT = jnp.transpose(table_ref[4:5, s0:s0 + chunk])
+
+                b2 = od - (cxT * dx + cyT * dy + czT * dz)
+                c2 = oo - 2.0 * (cxT * ox + cyT * oy + czT * oz) \
+                    + (cxT * cxT + cyT * cyT + czT * czT - rT * rT)
+                disc2 = b2 * b2 - c2
+                sq2 = jnp.sqrt(jnp.maximum(disc2, 0.0))
+                t_near = -b2 - sq2
+                t_far = -b2 + sq2
+                t = jnp.where(t_near >= tmin, t_near, t_far)
+                valid = (disc2 > 0.0) & (t >= tmin) & (t <= tmax) \
+                    & (rT > 0.0)
+                t = jnp.where(valid, t, INF)
+
+                chunk_t = jnp.min(t, axis=0, keepdims=True)
+                arg = jnp.argmin(t, axis=0)
+                lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+                onehot = lane == arg[None, :]
+                chunk_obj = jnp.sum(jnp.where(onehot, objT, 0.0), axis=0,
+                                    keepdims=True).astype(jnp.int32)
+
+                cur_t = best_t_s[:, :]
+                closer = chunk_t < cur_t
+                best_t_s[:, :] = jnp.where(closer, chunk_t, cur_t)
+                best_i_s[:, :] = jnp.where(closer, chunk_obj,
+                                           best_i_s[:, :])
+
+    t_ref[:, :] = best_t_s[:, :]
+    idx_ref[:, :] = best_i_s[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("n_chunks", "chunk",
+                                             "interpret"))
+def intersect_morton_planar(rays_planar, bounds_tbl, table, n_chunks: int,
+                            chunk: int, interpret=False):
+    """Morton-chunk-culled closest hit. rays_planar: (8, N);
+    bounds_tbl: (4, C_pad) chunk bounds (SMEM); table: (5, n_chunks*chunk)
+    planar Morton-ordered spheres [cx cy cz r obj]."""
+    n = rays_planar.shape[1]
+    assert n % RAY_BLOCK == 0, n
+    grid = (n // RAY_BLOCK,)
+
+    t, idx = pl.pallas_call(
+        functools.partial(_morton_kernel, n_chunks=n_chunks, chunk=chunk),
+        out_shape=(jax.ShapeDtypeStruct((1, n), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n), jnp.int32)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, bounds_tbl.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(table.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, RAY_BLOCK), jnp.float32),
+            pltpu.VMEM((1, RAY_BLOCK), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=25 * n * (n_chunks + table.shape[1]),
+            bytes_accessed=(8 + 2) * n * 4,
+            transcendentals=n * n_chunks),
+        interpret=interpret,
+    )(rays_planar, bounds_tbl, table)
+    return t[0], idx[0]
+
+
+def _clustered_kernel(rays_ref, bounds_ref, members_ref, t_ref, idx_ref,
+                      best_t_s, best_i_s, *, n_clusters: int,
+                      members_per_cluster: int):
+    """Cluster-culled variant: test each ray block against C cluster bounds;
+    run the member sweep only for clusters some lane can touch (predicated
+    via pl.when — the block-coherent analogue of BVH traversal)."""
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+    tmin = rays_ref[6:7, :]
+    tmax = rays_ref[7:8, :]
+
+    best_t_s[:, :] = jnp.full(ox.shape, INF, jnp.float32)
+    best_i_s[:, :] = jnp.zeros(ox.shape, jnp.int32)
+
+    @pl.when(jnp.any(tmax >= tmin))
+    def _():
+        od = ox * dx + oy * dy + oz * dz
+        oo = ox * ox + oy * oy + oz * oz
+        mm = members_per_cluster
+
+        def visit(c, _):
+            # Bounds are scalars in SMEM (dynamic lane loads from VMEM are
+            # not supported by Mosaic; scalar SMEM indexing is).
+            bx = bounds_ref[0, c]
+            by = bounds_ref[1, c]
+            bz = bounds_ref[2, c]
+            br = bounds_ref[3, c]
+            b = od - (bx * dx + by * dy + bz * dz)
+            c0 = oo - 2.0 * (bx * ox + by * oy + bz * oz) \
+                + (bx * bx + by * by + bz * bz - br * br)
+            disc = b * b - c0
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            # Conservative interval overlap with [tmin, tmax]; rays inside
+            # the bound (c0 < 0) always pass (t_near < 0 < t_far).
+            touched = (disc > 0.0) & (-b - sq <= tmax) & (-b + sq >= tmin)
+
+            @pl.when(jnp.any(touched))
+            def _():
+                s0 = pl.multiple_of(c * mm, mm)
+                chunk = members_ref[pl.ds(s0, mm), :]           # (M, 8)
+                cx = chunk[:, 0:1]                              # (M, 1)
+                cy = chunk[:, 1:2]
+                cz = chunk[:, 2:3]
+                r = chunk[:, 3:4]
+                obj = chunk[:, 4:5]
+
+                b2 = od - (cx * dx + cy * dy + cz * dz)
+                c2 = oo - 2.0 * (cx * ox + cy * oy + cz * oz) \
+                    + (cx * cx + cy * cy + cz * cz - r * r)
+                disc2 = b2 * b2 - c2
+                sq2 = jnp.sqrt(jnp.maximum(disc2, 0.0))
+                t_near = -b2 - sq2
+                t_far = -b2 + sq2
+                t = jnp.where(t_near >= tmin, t_near, t_far)
+                valid = (disc2 > 0.0) & (t >= tmin) & (t <= tmax) & (r > 0.0)
+                t = jnp.where(valid, t, INF)
+
+                chunk_t = jnp.min(t, axis=0, keepdims=True)        # (1, R)
+                arg = jnp.argmin(t, axis=0)                        # (R,)
+                lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+                onehot = lane == arg[None, :]
+                chunk_obj = jnp.sum(jnp.where(onehot, obj, 0.0), axis=0,
+                                    keepdims=True).astype(jnp.int32)
+
+                cur_t = best_t_s[:, :]
+                closer = chunk_t < cur_t
+                best_t_s[:, :] = jnp.where(closer, chunk_t, cur_t)
+                best_i_s[:, :] = jnp.where(closer, chunk_obj,
+                                           best_i_s[:, :])
+            return 0
+
+        jax.lax.fori_loop(0, n_clusters, visit, 0)
+
+    t_ref[:, :] = best_t_s[:, :]
+    idx_ref[:, :] = best_i_s[:, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_clusters", "members_per_cluster",
+                                    "interpret"))
+def intersect_clustered_planar(rays_planar, bounds_tbl, members_tbl,
+                               n_clusters: int, members_per_cluster: int,
+                               interpret=False):
+    """Clustered closest-hit. rays_planar: (8, N); bounds_tbl: (4, C_pad);
+    members_tbl: (5, C_pad*M) planar member tables (models/clusters.py);
+    n_clusters = true (unpadded) cluster count.
+    Returns (t (N,), object_index (N,) int32)."""
+    n = rays_planar.shape[1]
+    mm = members_per_cluster
+    assert n % RAY_BLOCK == 0, n
+    grid = (n // RAY_BLOCK,)
+
+    t, idx = pl.pallas_call(
+        functools.partial(_clustered_kernel, n_clusters=n_clusters,
+                          members_per_cluster=mm),
+        out_shape=(jax.ShapeDtypeStruct((1, n), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n), jnp.int32)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, bounds_tbl.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(members_tbl.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, RAY_BLOCK), jnp.float32),
+            pltpu.VMEM((1, RAY_BLOCK), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=25 * n * (n_clusters + members_tbl.shape[0] // 4),
+            bytes_accessed=(8 + 2) * n * 4,
+            transcendentals=n * n_clusters),
+        interpret=interpret,
+    )(rays_planar, bounds_tbl, members_tbl)
+    return t[0], idx[0]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def intersect_spheres_planar(rays_planar, spheres_planar, interpret=False):
     """rays_planar: (8, N) f32 [ox oy oz dx dy dz tmin tmax], N a multiple

@@ -84,8 +84,8 @@ def _shade_and_scatter(scene, surf, ray_d, rng, di_radiance=None):
 def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
                 cfg: PathTraceConfig, frame_index,
                 gbuf=None, sharc_state=None, sharc_cfg=None,
-                di_radiance=None, di_in_radiance: bool = True
-                ) -> TraceOutput:
+                di_radiance=None, di_in_radiance: bool = True,
+                accel=None) -> TraceOutput:
     """Render one frame's path-traced radiance (plus AOVs).
 
     Pure function of (scene, camera, frame index); jit with
@@ -118,7 +118,7 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
     else:
         primary_hit = intersect.intersect_spheres(
             ray_o0, ray_d0, t_min0, t_max0, scene.center, scene.radius,
-            cfg.block_size, attributes=False)
+            cfg.block_size, attributes=False, accel=accel)
         primary_surf = scene_mod.surface_attributes(scene, primary_hit,
                                                     ray_d0, table)
 
@@ -176,7 +176,8 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
                 hit = intersect.intersect_spheres(
                     origin, l_dir, jnp.zeros((h, w)),
                     jnp.where(active, jnp.inf, -1.0), scene.center,
-                    scene.radius, cfg.block_size, attributes=False)
+                    scene.radius, cfg.block_size, attributes=False,
+                    accel=accel)
                 surf = scene_mod.surface_attributes(scene, hit, l_dir, table)
                 ray_d = l_dir
                 hit_ok = hit.hit
@@ -275,7 +276,7 @@ def trace_image_jit(scene, cam, cfg: PathTraceConfig, frame_index):
 
 def sharc_update_trace(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
                        sharc_state, sharc_cfg, cfg: PathTraceConfig,
-                       frame_index, di_radiance=None):
+                       frame_index, di_radiance=None, accel=None):
     """The SHARC_UPDATE pass: a low-res trace that splats path radiance into
     the hash-grid cache (Raytracing.hlsl SHARC_UPDATE permutation,
     dispatched at renderSize/DownscaleFactor — Raytracing.ixx:114-148).
@@ -322,7 +323,8 @@ def sharc_update_trace(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
     l_dir = ray_d
     hit = intersect.intersect_spheres(ray_o, ray_d, t_min, t_max,
                                       scene.center, scene.radius,
-                                      cfg.block_size, attributes=False)
+                                      cfg.block_size, attributes=False,
+                                      accel=accel)
     surf = scene_mod.surface_attributes(scene, hit, ray_d, table)
 
     for bounce in range(cfg.bounces + 1):
@@ -332,7 +334,8 @@ def sharc_update_trace(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
             hit = intersect.intersect_spheres(
                 origin, l_dir, jnp.zeros((h, w)),
                 jnp.where(active, jnp.inf, -1.0),
-                scene.center, scene.radius, cfg.block_size, attributes=False)
+                scene.center, scene.radius, cfg.block_size, attributes=False,
+                accel=accel)
             surf = scene_mod.surface_attributes(scene, hit, l_dir, table)
 
         miss = active & ~surf.valid

@@ -195,7 +195,7 @@ def _cell_of(grid: ReGIRGrid, position, n: int):
 def initial_sampling(surface: Surface, scene: SphereScene,
                      lights: light_mod.Lights, grid: ReGIRGrid,
                      cfg: ReSTIRConfig, frame_index,
-                     block_size: int = 16384) -> Reservoirs:
+                     block_size: int = 16384, accel=None) -> Reservoirs:
     h, w = surface.depth.shape
     px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
@@ -249,7 +249,8 @@ def initial_sampling(surface: Surface, scene: SphereScene,
     origin = intersect.safe_spawn_point(surface.position,
                                         surface.sv.front_geometric_normal,
                                         direction)
-    occluded = _occluded(origin, direction, dist, scene, res_idx, block_size)
+    occluded = _occluded(origin, direction, dist, scene, res_idx, block_size,
+                         accel)
     w_out = jnp.where(occluded | ~surface.valid, 0.0, w_out)
 
     return Reservoirs(light_index=res_idx, uv=res_uv, w_sum=w_sum,
@@ -257,14 +258,14 @@ def initial_sampling(surface: Surface, scene: SphereScene,
 
 
 def _occluded(origin, direction, light_dist, scene, light_idx,
-              block_size: int):
+              block_size: int, accel=None):
     """Visibility ray toward the selected light (RAB_GetConservativeVisibility,
     RTXDIAppBridge.hlsli:418-459): blocked if anything is hit closer than
     the light surface (excluding the light itself via distance epsilon)."""
     hit = intersect.intersect_spheres(
         origin, direction, jnp.zeros(light_dist.shape),
         jnp.maximum(light_dist - 1e-3, 0.0), scene.center, scene.radius,
-        block_size, attributes=False)
+        block_size, attributes=False, accel=accel)
     return hit.hit & (hit.index != light_idx)
 
 
@@ -423,7 +424,8 @@ def spatial_resampling(cur: Reservoirs, surface: Surface,
 
 
 def final_shading(res: Reservoirs, surface: Surface, scene: SphereScene,
-                  lights: light_mod.Lights, block_size: int = 16384):
+                  lights: light_mod.Lights, block_size: int = 16384,
+                  accel=None):
     """Returns (diffuse, specular) direct-illumination images (H, W, 3) —
     the channels the denoiser and Raytracing pass consume
     (Raytracing.hlsl:150-163 `directDiffuse/directSpecular`)."""
@@ -433,7 +435,7 @@ def final_shading(res: Reservoirs, surface: Surface, scene: SphereScene,
                                         surface.sv.front_geometric_normal,
                                         direction)
     occluded = _occluded(origin, direction, dist, scene, res.light_index,
-                         block_size)
+                         block_size, accel)
     # uv-measure integrand (f * Le * dω/duv) times the reservoir weight.
     weight = jnp.where(surface.valid & ~occluded & (p_hat > 0),
                        res.w_out * inv_cone, 0.0)[..., None]

@@ -1,0 +1,74 @@
+"""Triangle-mesh path tests: Möller-Trumbore, instancing, interpolation."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from drts_tpu.models import geometry
+from drts_tpu.ops import intersect, trimesh
+from drts_tpu.utils import math as m
+
+
+def _unit_geosphere(tess=3):
+    pos, nrm, uv, idx = geometry.create_geosphere(2.0, tess)  # radius 1
+    return trimesh.make_mesh(pos, nrm, uv, idx)
+
+
+def test_single_triangle():
+    mesh = trimesh.make_mesh(
+        positions=np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32),
+        normals=np.array([[0, 0, -1]] * 3, np.float32),
+        uvs=np.array([[0, 0], [1, 0], [0, 1]], np.float32),
+        faces=np.array([[0, 1, 2]], np.int32))
+    o = jnp.array([[0.25, 0.25, -2.0], [0.9, 0.9, -2.0]])
+    d = jnp.array([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+    t, face, u, v = trimesh.intersect_mesh(o, d, jnp.zeros(2),
+                                           jnp.full((2,), 1e9), mesh)
+    assert np.isfinite(float(t[0])) and float(t[0]) == 2.0
+    assert not np.isfinite(float(t[1]))  # outside the triangle
+    np.testing.assert_allclose([float(u[0]), float(v[0])], [0.25, 0.25],
+                               atol=1e-5)
+
+
+def test_geosphere_matches_analytic_sphere():
+    """Triangle geosphere hits must match the analytic sphere within the
+    tessellation error."""
+    mesh = _unit_geosphere(4)
+    rng = np.random.RandomState(0)
+    n = 500
+    o = jnp.asarray(rng.randn(n, 3), jnp.float32) * 0.5 \
+        + jnp.array([0.0, 0.0, -5.0])
+    d = m.normalize(jnp.array([[0.0, 0.0, 1.0]]) * jnp.ones((n, 1))
+                    + 0.1 * jnp.asarray(rng.randn(n, 3), jnp.float32))
+    t_tri, face, u, v = trimesh.intersect_mesh(o, d, jnp.zeros(n),
+                                               jnp.full((n,), 1e9), mesh)
+    sph = intersect.intersect_spheres(o, d, jnp.zeros(n),
+                                      jnp.full((n,), 1e9),
+                                      jnp.zeros((1, 3)), jnp.ones(1))
+    hit_tri = np.isfinite(np.asarray(t_tri))
+    hit_sph = np.asarray(sph.hit)
+    # Same hit classification away from silhouettes (>97%).
+    assert (hit_tri == hit_sph).mean() > 0.97
+    both = hit_tri & hit_sph
+    # Tessellation chord error grows at grazing incidence; 2% covers it.
+    np.testing.assert_allclose(np.asarray(t_tri)[both],
+                               np.asarray(sph.t)[both], rtol=0.02)
+
+
+def test_instanced_meshes_and_attributes():
+    mesh = _unit_geosphere(3)
+    pos = jnp.array([[0.0, 0.0, 0.0], [3.0, 0.0, 0.0]])
+    rot = jnp.tile(m.QUAT_IDENTITY, (2, 1))
+    scale = jnp.array([1.0, 0.5])
+    o = jnp.array([[0.0, 0.0, -5.0], [3.0, 0.0, -5.0]])
+    d = jnp.array([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+    hit = trimesh.intersect_instances(o, d, jnp.zeros(2),
+                                      jnp.full((2,), 1e9), mesh, pos, rot,
+                                      scale)
+    assert bool(hit.hit[0]) and bool(hit.hit[1])
+    assert int(hit.instance[0]) == 0 and int(hit.instance[1]) == 1
+    np.testing.assert_allclose(float(hit.t[0]), 4.0, atol=0.05)
+    np.testing.assert_allclose(float(hit.t[1]), 4.5, atol=0.05)
+    normal, uv, tangent = trimesh.interpolate_attributes(mesh, hit, rot)
+    np.testing.assert_allclose(np.asarray(normal[0]), [0, 0, -1], atol=0.05)
+    assert abs(float(m.dot(normal[0], tangent[0]))) < 0.1
+    assert 0.0 <= float(uv[0, 0]) <= 1.0
