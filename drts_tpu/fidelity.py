@@ -1,0 +1,130 @@
+"""Fidelity harness: SSIM of the real-time pipeline against a high-spp
+accumulated reference render (the BASELINE.md target: SSIM >= 0.98 vs a
+1024-spp reference).
+
+The reference render is the framework's own unbiased path tracer run with
+camera-jittered accumulation and no denoising/post — the ground truth the
+reference's converged DXR output represents. The candidate is the
+real-time configuration (1 spp + ReSTIR + SHARC + denoise + TAA), compared
+after identical tone mapping.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+
+def reference_render(host, width: int, height: int, spp_total: int = 1024,
+                     bounces: int = 8, block_size: int = 32768):
+    """Accumulated ground-truth render (no denoise, no physics motion)."""
+    import jax
+    import jax.numpy as jnp
+    from .models import clusters
+    from .ops import camera as camera_mod, pathtrace
+    from .utils import rng as rng_mod
+
+    scene = host.scene
+    plan = clusters.build_plan_morton(np.asarray(scene.center),
+                                      np.asarray(scene.radius),
+                                      max_members=64)
+    jitter_table = rng_mod.halton_jitter(64)
+    cfg = pathtrace.PathTraceConfig(width=width, height=height,
+                                    bounces=bounces, samples_per_pixel=1,
+                                    block_size=block_size)
+
+    @jax.jit
+    def one(scene, jitter, frame_index):
+        cam = camera_mod.make_camera(host.camera_position,
+                                     host.camera_forward,
+                                     aspect=width / height, jitter=jitter)
+        use_accel = jax.default_backend() == "tpu"
+        accel = (clusters.make_morton_accel(plan, scene.center, scene.radius)
+                 if use_accel else None)
+        return pathtrace.trace_image(scene, cam, cfg, frame_index,
+                                     accel=accel).radiance
+
+    acc = np.zeros((height, width, 3), np.float64)
+    for i in range(spp_total):
+        acc += np.asarray(one(scene, jnp.asarray(jitter_table[i % 64]), i))
+    return (acc / spp_total).astype(np.float32)
+
+
+def realtime_render(host, width: int, height: int, frames: int = 64,
+                    settle: bool = True):
+    """The full real-time pipeline after temporal history settles
+    (static camera). Returns the final display-space frame and the pipeline
+    for config introspection."""
+    import jax
+    from .models import pipeline as pipeline_mod
+
+    # Post effects the ground truth doesn't have (bloom glow, sharpen
+    # overshoot) are disabled — the comparison isolates integrator +
+    # denoiser + TAA fidelity.
+    cfg = pipeline_mod.PipelineConfig(
+        output_width=width, output_height=height,
+        render_width=width, render_height=height,
+        bounces=8, samples_per_pixel=1, upscaling=False,
+        physics_enabled=False, block_size=32768,
+        bloom_enabled=False, sharpen_enabled=False)
+    pipe = pipeline_mod.RenderPipeline(cfg)
+    state = pipe.init_state(host)
+    pose = pipe.default_camera_pose(host)
+    step = jax.jit(lambda s, p: pipe.render_frame(s, p, 1.0 / 60.0))
+    img = None
+    for _ in range(frames):
+        state, img = step(state, pose)
+    return np.asarray(img), pipe
+
+
+def run(width: int = 640, height: int = 360, spp_reference: int = 1024,
+        frames_realtime: int = 64, seed: int = 0,
+        load_textures: bool = False, save_dir: str | None = None) -> dict:
+    """Full fidelity evaluation; returns the metric dict."""
+    from .models import myscene
+    from .ops import post
+    from .utils import image as image_mod
+    import jax.numpy as jnp
+
+    host = myscene.build(seed=seed, load_textures=load_textures)
+    ref_linear = reference_render(host, width, height, spp_reference)
+    ref_display = np.asarray(post.tonemap(jnp.asarray(ref_linear)))
+    rt_display, pipe = realtime_render(host, width, height, frames_realtime)
+    if save_dir:
+        import os
+        os.makedirs(save_dir, exist_ok=True)
+        image_mod.write_png(os.path.join(save_dir, "reference.png"),
+                            ref_display)
+        image_mod.write_png(os.path.join(save_dir, "realtime.png"),
+                            rt_display)
+
+    score = image_mod.ssim(rt_display, ref_display)
+    return {
+        "metric": "ssim_vs_reference",
+        "value": round(float(score), 4),
+        "unit": "SSIM",
+        "vs_baseline": round(float(score) / 0.98, 4),
+        "reference_spp": spp_reference,
+        "realtime_frames": frames_realtime,
+        "resolution": f"{width}x{height}",
+    }
+
+
+def main():
+    import argparse
+    p = argparse.ArgumentParser("fidelity")
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=360)
+    p.add_argument("--spp", type=int, default=1024)
+    p.add_argument("--frames", type=int, default=64)
+    p.add_argument("--save", default=None,
+                   help="directory to dump reference/realtime PNGs")
+    args = p.parse_args()
+    result = run(args.width, args.height, args.spp, args.frames,
+                 save_dir=args.save)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

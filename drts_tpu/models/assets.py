@@ -15,7 +15,6 @@ import os
 import numpy as np
 
 from ..utils import image as image_mod
-from ..utils import math as m_host
 
 # Reference asset set (MyScene.ixx:161-165, 286-294).
 TEXTURE_FILES = [

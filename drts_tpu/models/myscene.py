@@ -17,8 +17,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops import sky
-from ..ops.physics import (GRAVITATIONAL_CONSTANT, RigidBodies,
-                           first_cosmic_speed, gravitational_mass)
+from ..ops.physics import (RigidBodies, first_cosmic_speed,
+                           gravitational_mass)
 from ..utils import math as m
 from . import scene as scene_mod
 from .material import MaterialDesc, pack_materials

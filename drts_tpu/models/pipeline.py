@@ -18,7 +18,6 @@ Frame graph (mirrors SURVEY.md §3.2/3.3/3.4):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -128,3 +128,81 @@ def ndc_to_pixel(ndc, width: int, height: int):
     """Inverse of Math::CalculateNDC -> pixel coordinates (float)."""
     uv = (ndc - jnp.array([-1.0, 1.0])) / jnp.array([2.0, -2.0])
     return uv * jnp.array([width, height], jnp.float32) - 0.5
+
+
+class CameraController:
+    """Quaternion fly-camera — host-side port of the reference's
+    CameraController (Source/Camera.ixx:38-178): translate in the local
+    frame, yaw around world-up / pitch around local-right / roll around
+    forward (Camera.ixx:109), lens setup by horizontal FOV
+    (SetLens:138-153), focus-distance scaling. Produces the CameraPose the
+    pipeline consumes; numpy state (input handling is host-side, like the
+    reference's ProcessInput, App.cpp:812-970)."""
+
+    def __init__(self, position=(0.0, 0.0, -15.0), forward=(0.0, 0.0, 1.0),
+                 up=(0.0, 1.0, 0.0)):
+        self.position = np.asarray(position, np.float64)
+        f = np.asarray(forward, np.float64)
+        self._forward = f / np.linalg.norm(f)
+        u = np.asarray(up, np.float64)
+        r = np.cross(u, self._forward)
+        self._right = r / np.linalg.norm(r)
+        self._up = np.cross(self._forward, self._right)
+
+    @property
+    def forward(self):
+        return self._forward.copy()
+
+    @property
+    def right(self):
+        return self._right.copy()
+
+    @property
+    def up(self):
+        return self._up.copy()
+
+    def translate(self, displacement) -> None:
+        """Move in the local frame (right, up, forward) — Camera.ixx:105."""
+        d = np.asarray(displacement, np.float64)
+        self.position = (self.position + d[0] * self._right
+                         + d[1] * self._up + d[2] * self._forward)
+
+    @staticmethod
+    def _rotate(v, axis, angle):
+        axis = axis / np.linalg.norm(axis)
+        c, s = np.cos(angle), np.sin(angle)
+        return (v * c + np.cross(axis, v) * s
+                + axis * np.dot(axis, v) * (1.0 - c))
+
+    def rotate(self, yaw: float = 0.0, pitch: float = 0.0,
+               roll: float = 0.0) -> None:
+        """Camera.ixx:109: yaw about world +Y, pitch about local right,
+        roll about local forward (signs match the reference)."""
+        for axis, angle in (((0.0, 1.0, 0.0), yaw),
+                            (self._right, -pitch),
+                            (self._forward, -roll)):
+            if angle:
+                axis = np.asarray(axis, np.float64)
+                self._forward = self._rotate(self._forward, axis, angle)
+                self._right = self._rotate(self._right, axis, angle)
+        self._forward /= np.linalg.norm(self._forward)
+        self._right -= self._forward * np.dot(self._right, self._forward)
+        self._right /= np.linalg.norm(self._right)
+        self._up = np.cross(self._forward, self._right)
+
+    def look_at(self, target) -> None:
+        f = np.asarray(target, np.float64) - self.position
+        self._forward = f / np.linalg.norm(f)
+        r = np.cross((0.0, 1.0, 0.0), self._forward)
+        if np.linalg.norm(r) < 1e-6:
+            r = np.array([1.0, 0.0, 0.0])
+        self._right = r / np.linalg.norm(r)
+        self._up = np.cross(self._forward, self._right)
+
+    def pose(self):
+        """CameraPose pytree for RenderPipeline.render_frame."""
+        from ..models.pipeline import CameraPose
+        return CameraPose(
+            position=jnp.asarray(self.position, jnp.float32),
+            forward=jnp.asarray(self._forward, jnp.float32),
+            up=jnp.asarray(self._up, jnp.float32))

@@ -159,19 +159,22 @@ def denoise(state: DenoiserState, diffuse, specular, motion, normal, depth,
     acc_specular = m.lerp(jnp.where(history_valid[..., None], prev_specular,
                                     0.0), specular, spec_alpha)
 
-    # Spatial à-trous passes; variance shrinks with history, so widen the
-    # luminance sigma for young pixels.
-    boost = jnp.maximum(1.0, 8.0 / new_hist)
+    # Spatial à-trous passes over the accumulated signals.
     f_diffuse = acc_diffuse
     f_specular = acc_specular
     for i in range(cfg.atrous_iterations):
         step = 1 << i
-        local_cfg = dataclasses.replace(
-            cfg, sigma_luminance=cfg.sigma_luminance)
-        f_diffuse = _atrous_pass(f_diffuse * 1.0, normal, depth, step,
-                                 local_cfg)
-        f_specular = _atrous_pass(f_specular, normal, depth, step, local_cfg)
-    del boost  # reserved for variance-guided filtering (future)
+        f_diffuse = _atrous_pass(f_diffuse, normal, depth, step, cfg)
+        f_specular = _atrous_pass(f_specular, normal, depth, step, cfg)
+
+    # ReBLUR-style convergence fade: young pixels need the full spatial
+    # kernel; converged history needs none (blurring a converged signal
+    # only destroys detail). Specular additionally scales with roughness —
+    # mirror reflections (roughness ~0) must not be spatially filtered.
+    hist_blend = jnp.clip(4.0 / new_hist, 0.0, 1.0)[..., None]
+    spec_blend = hist_blend * jnp.clip(roughness * 4.0, 0.1, 1.0)[..., None]
+    f_diffuse = m.lerp(acc_diffuse, f_diffuse, hist_blend)
+    f_specular = m.lerp(acc_specular, f_specular, spec_blend)
 
     new_state = DenoiserState(diffuse=acc_diffuse, specular=acc_specular,
                               history_length=new_hist, normal=normal,

@@ -11,7 +11,6 @@ dense vector code.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from ..utils import math as m

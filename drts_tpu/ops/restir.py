@@ -112,6 +112,28 @@ def make_surface(gbuf) -> Surface:
                    depth=gbuf.linear_depth, normal=mat.shading_normal)
 
 
+def _uv_from_direction(lights: light_mod.Lights, idx, surface_pos,
+                       direction):
+    """Invert the cone-sampling map: world direction toward light `idx`
+    -> the (u, v) uniforms that would generate it (for folding BRDF-ray
+    candidates into the (light, uv) reservoir domain)."""
+    center = lights.center[idx]
+    radius = lights.radius[idx]
+    to_c = center - surface_pos
+    dist_c = jnp.maximum(m.length(to_c), 1e-6)
+    w = to_c / dist_c[..., None]
+    sin_max_sq = jnp.clip((radius / dist_c) ** 2, 0.0, 1.0 - 1e-6)
+    cos_max = jnp.sqrt(1.0 - sin_max_sq)
+    cos_t = jnp.clip(m.dot(direction, w), -1.0, 1.0)
+    u0 = jnp.clip((1.0 - cos_t) / jnp.maximum(1.0 - cos_max, 1e-8),
+                  0.0, 1.0)
+    t, b = m.orthonormal_basis(w)
+    phi = jnp.arctan2(m.dot(direction, b), m.dot(direction, t))
+    u1 = jnp.mod(phi / (2.0 * jnp.pi), 1.0)
+    inside_cone = cos_t >= cos_max
+    return jnp.stack([u0, u1], axis=-1), inside_cone
+
+
 def _target_pdf(surface: Surface, lights: light_mod.Lights, idx, uv):
     """p_hat: the unshadowed contribution integrand of sample (idx, uv) at
     this surface, in *uv-square measure*: the reservoir domain is
@@ -211,7 +233,21 @@ def initial_sampling(surface: Surface, scene: SphereScene,
     w_sum = jnp.zeros((h, w), jnp.float32)
     m_count = jnp.zeros((h, w), jnp.float32)
 
-    for _ in range(cfg.local_light_samples):
+    n_l = cfg.local_light_samples
+    n_b = cfg.brdf_samples
+    m_total = float(n_l + n_b)
+
+    def brdf_pdf_uv(idx, uv):
+        """BSDF mixture pdf of the direction generated by (idx, uv),
+        converted to uv-square measure (x solid angle of the cone) — the
+        'other technique' density for MIS."""
+        direction, _, cone_pdf, _ = light_mod.sample_sphere_light(
+            lights, idx, surface.position, uv)
+        p_w = bxdf.eval_pdf(surface.bsdf, surface.sv, direction,
+                            surface.view, surface.lobe_weights)
+        return p_w / jnp.maximum(cone_pdf, 1e-12)
+
+    for _ in range(n_l):
         u3, rng = rng_mod.next_floats(rng, 3)
         uv, rng = rng_mod.next_floats(rng, 2)
         u_slot, u_pick, u_keep = u3[..., 0], u3[..., 1], u3[..., 2]
@@ -231,13 +267,61 @@ def initial_sampling(surface: Surface, scene: SphereScene,
         inv_src = jnp.where(use_grid, inv_src_grid, inv_src_pow)
 
         p_hat = _target_pdf(surface, lights, cand, uv)[0]
-        wi = p_hat * inv_src
+        # Balance-heuristic MIS against the BRDF-sampling technique
+        # (DIInitialSampling's light/BRDF candidate mix): each candidate's
+        # RIS weight is p_hat over the count-weighted mixture density
+        # (x M to match the W = w_sum/(M p_hat) storage convention).
+        p_self = 1.0 / jnp.maximum(inv_src, 1e-20)
+        if n_b > 0:
+            p_other = brdf_pdf_uv(cand, uv)
+            wi = m_total * p_hat / jnp.maximum(
+                n_l * p_self + n_b * p_other, 1e-20)
+            wi = jnp.where(inv_src > 0, wi, 0.0)
+        else:
+            wi = p_hat * inv_src
         w_sum = w_sum + wi
         m_count = m_count + 1.0
         take = (u_keep * w_sum) < wi
         res_idx = jnp.where(take, cand, res_idx)
         res_uv = jnp.where(take[..., None], uv, res_uv)
         res_phat = jnp.where(take, p_hat, res_phat)
+
+    # BRDF-ray candidates (DIInitialSampling.hlsl BRDF samples): sample the
+    # BSDF, trace, and fold emissive hits into the reservoir domain.
+    for _ in range(n_b):
+        rand4, rng = rng_mod.next_floats(rng, 4)
+        u_keep2, rng = rng_mod.next_float(rng)
+        l_dir, lobe, valid_dir = bxdf.sample(surface.bsdf, surface.sv,
+                                             surface.view, rand4)
+        origin = intersect.safe_spawn_point(
+            surface.position, surface.sv.front_geometric_normal, l_dir)
+        hit = intersect.intersect_spheres(
+            origin, l_dir, jnp.zeros((h, w)),
+            jnp.where(surface.valid & valid_dir, jnp.inf, -1.0),
+            scene.center, scene.radius, block_size, attributes=False,
+            accel=accel)
+        k = hit.index
+        is_emissive = hit.hit & (lights.power[k] > 0)
+        uv_b, inside_cone = _uv_from_direction(lights, k, surface.position,
+                                               l_dir)
+        ok = is_emissive & inside_cone & valid_dir & surface.valid
+
+        p_w = bxdf.eval_pdf(surface.bsdf, surface.sv, l_dir, surface.view,
+                            surface.lobe_weights)
+        _, _, cone_pdf_b, _ = light_mod.sample_sphere_light(
+            lights, k, surface.position, uv_b)
+        p_self = p_w / jnp.maximum(cone_pdf_b, 1e-12)
+        p_light = lights.power[k] / jnp.maximum(lights.total_power, 1e-20)
+        p_hat_b = _target_pdf(surface, lights, k, uv_b)[0]
+        wi = jnp.where(ok & (p_self > 0),
+                       m_total * p_hat_b / jnp.maximum(
+                           n_b * p_self + n_l * p_light, 1e-20), 0.0)
+        w_sum = w_sum + wi
+        m_count = m_count + 1.0
+        take = (u_keep2 * w_sum) < wi
+        res_idx = jnp.where(take, k, res_idx)
+        res_uv = jnp.where(take[..., None], uv_b, res_uv)
+        res_phat = jnp.where(take, p_hat_b, res_phat)
 
     w_out = jnp.where(res_phat > 0,
                       w_sum / (jnp.maximum(m_count, 1.0)

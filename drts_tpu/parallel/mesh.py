@@ -10,7 +10,6 @@ at image assembly). No hand-written NCCL analogue exists or is needed.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

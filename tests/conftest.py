@@ -17,3 +17,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon TPU plugin registers itself regardless of JAX_PLATFORMS; pin the
+# default platform explicitly so tests run on the 8-device virtual CPU mesh
+# (and stop competing with TPU benchmarks).
+import jax  # noqa: E402
+
+jax.config.update("jax_platform_name", "cpu")
