@@ -60,7 +60,9 @@ def init_state(height: int, width: int) -> DenoiserState:
 
 
 def _bilinear_sample(img, y, x):
-    """Bilinear gather with clamp addressing; img (H, W, C), y/x (H, W)."""
+    """Bilinear gather with clamp addressing; img (H, W, C), y/x (H, W).
+    Flattened single-axis gathers; callers pack multiple buffers into one
+    wide channel axis so the 4 taps are shared."""
     h, w = img.shape[0], img.shape[1]
     y0 = jnp.floor(y)
     x0 = jnp.floor(x)
@@ -70,10 +72,11 @@ def _bilinear_sample(img, y, x):
     y1i = jnp.clip(y0i + 1, 0, h - 1)
     x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
     x1i = jnp.clip(x0i + 1, 0, w - 1)
-    c00 = img[y0i, x0i]
-    c01 = img[y0i, x1i]
-    c10 = img[y1i, x0i]
-    c11 = img[y1i, x1i]
+    flat = img.reshape(-1, img.shape[-1])
+    c00 = flat[y0i * w + x0i]
+    c01 = flat[y0i * w + x1i]
+    c10 = flat[y1i * w + x0i]
+    c11 = flat[y1i * w + x1i]
     return (c00 * (1 - fx) + c01 * fx) * (1 - fy) \
         + (c10 * (1 - fx) + c11 * fx) * fy
 
@@ -129,13 +132,17 @@ def denoise(state: DenoiserState, diffuse, specular, motion, normal, depth,
     prev_x = px + motion[..., 0]
     prev_y = py + motion[..., 1]
 
-    prev_diffuse = _bilinear_sample(state.diffuse, prev_y, prev_x)
-    prev_specular = _bilinear_sample(state.specular, prev_y, prev_x)
-    prev_hist = _bilinear_sample(state.history_length[..., None],
-                                 prev_y, prev_x)[..., 0]
-    prev_normal = _bilinear_sample(state.normal, prev_y, prev_x)
-    prev_depth = _bilinear_sample(state.depth[..., None],
-                                  prev_y, prev_x)[..., 0]
+    # One packed history fetch: 4 taps over a 13-channel buffer instead of
+    # 5 separate bilinear samples (20 gathers -> 4).
+    packed = jnp.concatenate(
+        [state.diffuse, state.specular, state.history_length[..., None],
+         state.normal, state.depth[..., None]], axis=-1)
+    prev = _bilinear_sample(packed, prev_y, prev_x)
+    prev_diffuse = prev[..., 0:4]
+    prev_specular = prev[..., 4:8]
+    prev_hist = prev[..., 8]
+    prev_normal = prev[..., 9:12]
+    prev_depth = prev[..., 12]
 
     # Disocclusion tests (NRD common settings: depth + normal consistency).
     in_bounds = ((prev_x >= 0) & (prev_x <= w - 1)

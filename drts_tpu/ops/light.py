@@ -28,7 +28,9 @@ class Lights:
 
     Per-frame product of light preparation (LightPreparation::Process).
     `power` is 0 for non-emissive objects, so the CDF only ever selects
-    true lights; `count` (static) is the object count.
+    true lights. `table` packs [cx cy cz r er eg eb power] so per-ray
+    fetches are ONE wide-row gather — narrow per-field gathers from small
+    tables cost ~17 ms each at 2M lanes on TPU.
     """
     center: jnp.ndarray     # (K, 3) — current frame positions
     radius: jnp.ndarray     # (K,)
@@ -36,6 +38,22 @@ class Lights:
     power: jnp.ndarray      # (K,) luminance-weighted emitted power
     cdf: jnp.ndarray        # (K,) normalized inclusive power CDF
     total_power: jnp.ndarray  # scalar
+    table: jnp.ndarray      # (K, 8) packed row per light
+
+
+@struct.dataclass
+class LightRows:
+    """Per-ray gathered light attributes (one wide gather)."""
+    center: jnp.ndarray     # (..., 3)
+    radius: jnp.ndarray     # (...,)
+    emission: jnp.ndarray   # (..., 3)
+    power: jnp.ndarray      # (...,)
+
+
+def fetch_rows(lights: Lights, idx) -> LightRows:
+    row = lights.table[idx]
+    return LightRows(center=row[..., 0:3], radius=row[..., 3],
+                     emission=row[..., 4:7], power=row[..., 7])
 
 
 def prepare(scene: SphereScene) -> Lights:
@@ -47,28 +65,87 @@ def prepare(scene: SphereScene) -> Lights:
     power = m.luminance(emission) * scene.radius * scene.radius
     total = jnp.sum(power)
     cdf = jnp.cumsum(power) / jnp.maximum(total, 1e-20)
+    table = jnp.concatenate([scene.center, scene.radius[:, None], emission,
+                             power[:, None]], axis=-1)
     return Lights(center=scene.center, radius=scene.radius,
-                  emission=emission, power=power, cdf=cdf, total_power=total)
+                  emission=emission, power=power, cdf=cdf, total_power=total,
+                  table=table)
+
+
+def _count_leq_chunked(cdf, u, chunk: int = 64):
+    """#{cdf_j <= u} per query — searchsorted(side='right') for a small
+    sorted table, laid out sublane-major ((chunk, N) compares) so the
+    reduce runs along sublanes. Direct jnp.searchsorted lowers terribly on
+    TPU at millions of queries (scan: ~250 ms; compare_all / lane-major
+    broadcasts: tens of GB of traffic)."""
+    import jax
+    k = cdf.shape[0]
+    k_pad = -(-k // chunk) * chunk
+    table = jnp.pad(cdf, (0, k_pad - k), constant_values=jnp.inf)
+    u_flat = u.reshape(1, -1)
+
+    def body(c, acc):
+        part = jax.lax.dynamic_slice_in_dim(table, c * chunk, chunk)
+        return acc + jnp.sum(part[:, None] <= u_flat, axis=0,
+                             dtype=jnp.int32)
+
+    counts = jax.lax.fori_loop(0, k_pad // chunk, body,
+                               jnp.zeros(u_flat.shape[1:], jnp.int32))
+    return counts.reshape(u.shape)
 
 
 def sample_light_index(lights: Lights, u):
     """Power-proportional light pick: index + its selection PDF.
-    The CDF searchsorted is the TPU analogue of the reference's PDF-texture
-    mip descent (LocalLightPresampling.hlsl)."""
-    idx = jnp.searchsorted(lights.cdf, u, side="right").astype(jnp.int32)
+    The CDF inversion is the TPU analogue of the reference's PDF-texture
+    mip descent. For per-pixel candidate streams use `presample_tiles` —
+    the LocalLightPresampling.hlsl design — which amortizes the inversion
+    into one small pass per frame."""
+    idx = _count_leq_chunked(lights.cdf, u)
     idx = jnp.clip(idx, 0, lights.cdf.shape[0] - 1)
+    pdf = lights.power[idx] / jnp.maximum(lights.total_power, 1e-20)
+    return idx, pdf
+
+
+def presample_tiles(lights: Lights, count: int, frame_index):
+    """Power-RIS presampling tiles (LocalLightPresampling.hlsl / RTXDI RIS
+    buffer): draw `count` light indices from the power distribution once
+    per frame; per-pixel candidates then pick uniformly from the tile —
+    marginally power-distributed, O(1) per candidate."""
+    from ..utils import rng as rng_mod
+    lane = jnp.arange(count, dtype=jnp.int32)
+    state = rng_mod.init(lane, jnp.full((count,), 4242, jnp.int32),
+                         frame_index)
+    u, _ = rng_mod.next_float(state)
+    idx, _ = sample_light_index(lights, u)
+    return idx
+
+
+def pick_from_tiles(lights: Lights, tiles, u):
+    """Uniform pick from the presampled tile buffer + its marginal pdf."""
+    count = tiles.shape[0]
+    slot = jnp.minimum((u * count).astype(jnp.int32), count - 1)
+    idx = tiles[slot]
     pdf = lights.power[idx] / jnp.maximum(lights.total_power, 1e-20)
     return idx, pdf
 
 
 def sample_sphere_light(lights: Lights, idx, surface_pos, rand2):
     """Solid-angle cone sampling of sphere light `idx` from `surface_pos`.
+    Convenience wrapper: fetches the packed row then defers to
+    `sample_sphere_light_rows`."""
+    rows = fetch_rows(lights, idx)
+    return sample_sphere_light_rows(rows, surface_pos, rand2)
+
+
+def sample_sphere_light_rows(rows: LightRows, surface_pos, rand2):
+    """Cone sampling from pre-gathered light rows (one wide gather at the
+    call site instead of four narrow ones here).
 
     Returns (direction, distance, solid_angle_pdf, emission). Exact for
     points outside the sphere; degrades to uniform-sphere-direction inside.
     """
-    center = lights.center[idx]
-    radius = lights.radius[idx]
+    center = rows.center
+    radius = rows.radius
     to_c = center - surface_pos
     dist_c = jnp.maximum(m.length(to_c), 1e-6)
     w = to_c / dist_c[..., None]
@@ -92,14 +169,19 @@ def sample_sphere_light(lights: Lights, idx, surface_pos, rand2):
     disc = jnp.maximum(bq * bq - cq, 0.0)
     dist = jnp.maximum(-bq - jnp.sqrt(disc), 1e-4)
 
-    return direction, dist, pdf, lights.emission[idx]
+    return direction, dist, pdf, rows.emission
 
 
 def light_pdf(lights: Lights, idx, surface_pos):
     """Solid-angle PDF of having cone-sampled light `idx` from
     `surface_pos` (for MIS against BSDF sampling — RAB_* contract)."""
-    center = lights.center[idx]
-    radius = lights.radius[idx]
+    rows = fetch_rows(lights, idx)
+    return light_pdf_rows(rows, surface_pos)
+
+
+def light_pdf_rows(rows: LightRows, surface_pos):
+    center = rows.center
+    radius = rows.radius
     dist_c = jnp.maximum(m.length(center - surface_pos), 1e-6)
     sin_max_sq = jnp.clip((radius / dist_c) ** 2, 0.0, 1.0 - 1e-6)
     cos_max = jnp.sqrt(1.0 - sin_max_sq)

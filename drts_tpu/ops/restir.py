@@ -74,9 +74,12 @@ def init_reservoirs(height: int, width: int) -> Reservoirs:
 
 @struct.dataclass
 class ReGIRGrid:
-    """Camera-centered world-space cell reservoirs (ReGIR onion analogue)."""
+    """Camera-centered world-space cell reservoirs (ReGIR onion analogue).
+    `packed` = flat (C*S, 2) [light_index, weight] rows for one-gather
+    candidate fetches."""
     light_index: jnp.ndarray  # (C, S) int32
     weight: jnp.ndarray       # (C, S) RIS weight W per slot
+    packed: jnp.ndarray       # (C*S, 2) float32
     origin: jnp.ndarray       # (3,) grid corner
     cell_size: jnp.ndarray    # scalar
 
@@ -112,13 +115,12 @@ def make_surface(gbuf) -> Surface:
                    depth=gbuf.linear_depth, normal=mat.shading_normal)
 
 
-def _uv_from_direction(lights: light_mod.Lights, idx, surface_pos,
-                       direction):
-    """Invert the cone-sampling map: world direction toward light `idx`
-    -> the (u, v) uniforms that would generate it (for folding BRDF-ray
-    candidates into the (light, uv) reservoir domain)."""
-    center = lights.center[idx]
-    radius = lights.radius[idx]
+def _uv_from_direction(rows: light_mod.LightRows, surface_pos, direction):
+    """Invert the cone-sampling map: world direction toward a light (its
+    pre-gathered row) -> the (u, v) uniforms that would generate it (for
+    folding BRDF-ray candidates into the (light, uv) reservoir domain)."""
+    center = rows.center
+    radius = rows.radius
     to_c = center - surface_pos
     dist_c = jnp.maximum(m.length(to_c), 1e-6)
     w = to_c / dist_c[..., None]
@@ -141,15 +143,18 @@ def _target_pdf(surface: Surface, lights: light_mod.Lights, idx, uv):
     up the cone Jacobian dω/duv = 1/cone_pdf. Omitting it scales DI by
     ~1/solid-angle per light (vastly over-bright for small lights).
     Also returns the shading pieces (direction, distance, f_diffuse,
-    f_specular, emission, inv_cone_pdf)."""
-    direction, dist, cone_pdf, emission = light_mod.sample_sphere_light(
-        lights, idx, surface.position, uv)
+    f_specular, emission, inv_cone_pdf). All per-light attributes come from
+    ONE wide-row gather (narrow per-field gathers cost ~17 ms each at 2M
+    lanes on TPU)."""
+    rows = light_mod.fetch_rows(lights, idx)
+    direction, dist, cone_pdf, emission = light_mod.sample_sphere_light_rows(
+        rows, surface.position, uv)
     diff, spec = bxdf.eval_split(surface.bsdf, surface.sv, direction,
                                  surface.view, surface.lobe_weights)
     inv_cone = 1.0 / jnp.maximum(cone_pdf, 1e-12)
     contrib = (diff + spec) * emission
     p_hat = m.luminance(contrib) * inv_cone
-    is_light = lights.power[idx] > 0
+    is_light = rows.power > 0
     p_hat = jnp.where(surface.valid & is_light, p_hat, 0.0)
     return p_hat, direction, dist, diff, spec, emission, inv_cone
 
@@ -197,7 +202,9 @@ def build_regir_grid(lights: light_mod.Lights, camera_position,
     w_out = jnp.where(best_phat > 0,
                       w_sum / (cfg.regir_build_samples
                                * jnp.maximum(best_phat, 1e-20)), 0.0)
-    return ReGIRGrid(light_index=best_idx, weight=w_out,
+    packed = jnp.stack([best_idx.reshape(-1).astype(jnp.float32),
+                        w_out.reshape(-1)], axis=-1)
+    return ReGIRGrid(light_index=best_idx, weight=w_out, packed=packed,
                      origin=origin, cell_size=jnp.float32(cfg.regir_cell_size))
 
 
@@ -226,6 +233,14 @@ def initial_sampling(surface: Surface, scene: SphereScene,
     cell, inside = _cell_of(grid, surface.position,
                             cfg.regir_cells_per_axis)
     s = cfg.regir_slots_per_cell
+    # Power-presampled light tiles (LocalLightPresampling.hlsl): O(1)
+    # candidate picks instead of per-candidate CDF inversion. Packed with
+    # the marginal pdf for a single-gather fetch.
+    tile_idx = light_mod.presample_tiles(lights, 8192, frame_index)
+    tile_pdf = lights.power[tile_idx] / jnp.maximum(lights.total_power,
+                                                    1e-20)
+    tiles_packed = jnp.stack([tile_idx.astype(jnp.float32), tile_pdf],
+                             axis=-1)
 
     res_idx = jnp.zeros((h, w), jnp.int32)
     res_uv = jnp.zeros((h, w, 2), jnp.float32)
@@ -252,12 +267,18 @@ def initial_sampling(surface: Surface, scene: SphereScene,
         uv, rng = rng_mod.next_floats(rng, 2)
         u_slot, u_pick, u_keep = u3[..., 0], u3[..., 1], u3[..., 2]
 
-        # Candidate from the ReGIR cell; fall back to global power sampling
-        # outside the grid (RTXDI fallback path).
+        # Candidate from the ReGIR cell; fall back to a presampled-tile
+        # pick outside the grid (RTXDI fallback path). One wide-row gather
+        # per source.
         slot = jnp.minimum((u_slot * s).astype(jnp.int32), s - 1)
-        cand_grid = grid.light_index[cell, slot]
-        w_grid = grid.weight[cell, slot]
-        cand_pow, pow_pdf = light_mod.sample_light_index(lights, u_pick)
+        grow = grid.packed[cell * s + slot]
+        cand_grid = grow[..., 0].astype(jnp.int32)
+        w_grid = grow[..., 1]
+        tslot = jnp.minimum((u_pick * tiles_packed.shape[0]).astype(
+            jnp.int32), tiles_packed.shape[0] - 1)
+        trow = tiles_packed[tslot]
+        cand_pow = trow[..., 0].astype(jnp.int32)
+        pow_pdf = trow[..., 1]
         # Source "pdf" expressed as inverse weight: grid gives W directly.
         inv_src_grid = w_grid                      # candidate weight
         inv_src_pow = jnp.where(pow_pdf > 0, 1.0 / jnp.maximum(pow_pdf,
@@ -301,17 +322,18 @@ def initial_sampling(surface: Surface, scene: SphereScene,
             scene.center, scene.radius, block_size, attributes=False,
             accel=accel)
         k = hit.index
-        is_emissive = hit.hit & (lights.power[k] > 0)
-        uv_b, inside_cone = _uv_from_direction(lights, k, surface.position,
+        krows = light_mod.fetch_rows(lights, k)   # one wide gather
+        is_emissive = hit.hit & (krows.power > 0)
+        uv_b, inside_cone = _uv_from_direction(krows, surface.position,
                                                l_dir)
         ok = is_emissive & inside_cone & valid_dir & surface.valid
 
         p_w = bxdf.eval_pdf(surface.bsdf, surface.sv, l_dir, surface.view,
                             surface.lobe_weights)
-        _, _, cone_pdf_b, _ = light_mod.sample_sphere_light(
-            lights, k, surface.position, uv_b)
+        _, _, cone_pdf_b, _ = light_mod.sample_sphere_light_rows(
+            krows, surface.position, uv_b)
         p_self = p_w / jnp.maximum(cone_pdf_b, 1e-12)
-        p_light = lights.power[k] / jnp.maximum(lights.total_power, 1e-20)
+        p_light = krows.power / jnp.maximum(lights.total_power, 1e-20)
         p_hat_b = _target_pdf(surface, lights, k, uv_b)[0]
         wi = jnp.where(ok & (p_self > 0),
                        m_total * p_hat_b / jnp.maximum(

@@ -73,13 +73,14 @@ def _catmull_rom_sample(img, y, x):
 
     wy = weights(fy)
     wx = weights(fx)
+    flat = img.reshape(-1, img.shape[-1])  # single-axis gathers (faster)
     acc = jnp.zeros(y.shape + (img.shape[-1],), img.dtype)
     for iy in range(4):
         yi = jnp.clip((yc + iy - 1).astype(jnp.int32), 0, h - 1)
         row = jnp.zeros_like(acc)
         for ix in range(4):
             xi = jnp.clip((xc + ix - 1).astype(jnp.int32), 0, w - 1)
-            row = row + img[yi, xi] * wx[ix][..., None]
+            row = row + flat[yi * w + xi] * wx[ix][..., None]
         acc = acc + row * wy[iy][..., None]
     return jnp.maximum(acc, 0.0)
 
