@@ -89,11 +89,14 @@ def resize_bilinear(img, out_h: int, out_w: int):
 
 
 def _shift(img, dy: int, dx: int):
-    """Clamp-addressed neighborhood shift."""
+    """Clamp-addressed neighborhood shift via edge-pad + static slice —
+    index-vector gathers here cost ~2 ms per tap at 1080p and the a-trous
+    chain takes 100+ taps; pad+slice is a plain copy XLA fuses."""
     h, w = img.shape[0], img.shape[1]
-    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
-    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
-    return img[ys][:, xs]
+    pads = ((max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0)))
+    pads = pads + ((0, 0),) * (img.ndim - 2)
+    p = jnp.pad(img, pads, mode="edge")
+    return p[max(dy, 0):max(dy, 0) + h, max(dx, 0):max(dx, 0) + w]
 
 
 def _karis_weight(c):

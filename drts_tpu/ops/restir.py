@@ -159,6 +159,18 @@ def _target_pdf(surface: Surface, lights: light_mod.Lights, idx, uv):
     return p_hat, direction, dist, diff, spec, emission, inv_cone
 
 
+def _target_pdf_with_bsdf(surface: Surface, lights: light_mod.Lights, idx,
+                          uv):
+    """_target_pdf plus the BSDF mixture pdf of the generated direction in
+    uv measure (shares the row fetch and cone sampling — the MIS 'other
+    technique' density for light candidates)."""
+    p_hat, direction, dist, diff, spec, emission, inv_cone = _target_pdf(
+        surface, lights, idx, uv)
+    p_w = bxdf.eval_pdf(surface.bsdf, surface.sv, direction, surface.view,
+                        surface.lobe_weights)
+    return p_hat, p_w * inv_cone
+
+
 # ----------------------------------------------------------------------------
 # ReGIR grid build (ReGIRPresampling.hlsl analogue)
 
@@ -252,16 +264,6 @@ def initial_sampling(surface: Surface, scene: SphereScene,
     n_b = cfg.brdf_samples
     m_total = float(n_l + n_b)
 
-    def brdf_pdf_uv(idx, uv):
-        """BSDF mixture pdf of the direction generated by (idx, uv),
-        converted to uv-square measure (x solid angle of the cone) — the
-        'other technique' density for MIS."""
-        direction, _, cone_pdf, _ = light_mod.sample_sphere_light(
-            lights, idx, surface.position, uv)
-        p_w = bxdf.eval_pdf(surface.bsdf, surface.sv, direction,
-                            surface.view, surface.lobe_weights)
-        return p_w / jnp.maximum(cone_pdf, 1e-12)
-
     for _ in range(n_l):
         u3, rng = rng_mod.next_floats(rng, 3)
         uv, rng = rng_mod.next_floats(rng, 2)
@@ -287,18 +289,19 @@ def initial_sampling(surface: Surface, scene: SphereScene,
         cand = jnp.where(use_grid, cand_grid, cand_pow)
         inv_src = jnp.where(use_grid, inv_src_grid, inv_src_pow)
 
-        p_hat = _target_pdf(surface, lights, cand, uv)[0]
         # Balance-heuristic MIS against the BRDF-sampling technique
         # (DIInitialSampling's light/BRDF candidate mix): each candidate's
         # RIS weight is p_hat over the count-weighted mixture density
         # (x M to match the W = w_sum/(M p_hat) storage convention).
         p_self = 1.0 / jnp.maximum(inv_src, 1e-20)
         if n_b > 0:
-            p_other = brdf_pdf_uv(cand, uv)
+            p_hat, p_other = _target_pdf_with_bsdf(surface, lights, cand,
+                                                   uv)
             wi = m_total * p_hat / jnp.maximum(
                 n_l * p_self + n_b * p_other, 1e-20)
             wi = jnp.where(inv_src > 0, wi, 0.0)
         else:
+            p_hat = _target_pdf(surface, lights, cand, uv)[0]
             wi = p_hat * inv_src
         w_sum = w_sum + wi
         m_count = m_count + 1.0
@@ -404,6 +407,22 @@ def _finalize(idx, uv, phat, w_sum, m_count):
 # temporal resampling (DITemporalResampling.hlsl)
 
 
+def _pack_reservoirs(res: Reservoirs, extra=()):
+    """(H, W, 5+) packed reservoir rows for one-gather neighbor fetches."""
+    cols = [res.light_index.astype(jnp.float32)[..., None], res.uv,
+            res.m_count[..., None], res.w_out[..., None]]
+    cols += [e[..., None] if e.ndim == 2 else e for e in extra]
+    return jnp.concatenate(cols, axis=-1)
+
+
+def _fetch_packed(packed, iy, ix):
+    h, w = packed.shape[:2]
+    flat = packed.reshape(-1, packed.shape[-1])
+    row = flat[iy * w + ix]
+    return (row[..., 0].astype(jnp.int32), row[..., 1:3], row[..., 3],
+            row[..., 4], row[..., 5:])
+
+
 def temporal_resampling(cur: Reservoirs, prev: Reservoirs, surface: Surface,
                         lights: light_mod.Lights, motion, prev_depth,
                         prev_normal, cfg: ReSTIRConfig,
@@ -416,12 +435,10 @@ def temporal_resampling(cur: Reservoirs, prev: Reservoirs, surface: Surface,
     prev_y = jnp.clip(jnp.round(py + motion[..., 1]).astype(jnp.int32),
                       0, h - 1)
 
-    p_idx = prev.light_index[prev_y, prev_x]
-    p_uv = prev.uv[prev_y, prev_x]
-    p_m = prev.m_count[prev_y, prev_x]
-    p_w = prev.w_out[prev_y, prev_x]
-    pd = prev_depth[prev_y, prev_x]
-    pn = prev_normal[prev_y, prev_x]
+    packed = _pack_reservoirs(prev, (prev_depth, prev_normal))
+    p_idx, p_uv, p_m, p_w, rest = _fetch_packed(packed, prev_y, prev_x)
+    pd = rest[..., 0]
+    pn = rest[..., 1:4]
 
     # History validity (depth/normal similarity like the denoiser's test).
     in_bounds = ((px + motion[..., 0] >= 0) & (px + motion[..., 0] <= w - 1)
@@ -492,6 +509,8 @@ def spatial_resampling(cur: Reservoirs, surface: Surface,
 
     py = jnp.arange(h)[:, None] + jnp.zeros((1, w), jnp.int32)
     px = jnp.arange(w)[None, :] + jnp.zeros((h, 1), jnp.int32)
+    sdepth = jnp.where(jnp.isfinite(surface.depth), surface.depth, 1e8)
+    packed = _pack_reservoirs(cur, (sdepth, surface.normal))
 
     for _ in range(cfg.spatial_samples):
         u3, rng = rng_mod.next_floats(rng, 3)
@@ -503,15 +522,11 @@ def spatial_resampling(cur: Reservoirs, surface: Surface,
         ny = jnp.clip(py + jnp.round(radius * jnp.sin(angle)).astype(
             jnp.int32), 0, h - 1)
 
-        n_idx = cur.light_index[ny, nx]
-        n_uv = cur.uv[ny, nx]
-        n_m = cur.m_count[ny, nx]
-        n_w = cur.w_out[ny, nx]
+        n_idx, n_uv, n_m, n_w, rest = _fetch_packed(packed, ny, nx)
         # Material/geometry similarity (DISpatialResampling.hlsl:6-41).
-        depth_ok = jnp.abs(surface.depth[ny, nx] - surface.depth) \
-            <= cfg.depth_threshold * jnp.maximum(jnp.abs(surface.depth),
-                                                 1e-3)
-        normal_ok = m.dot(surface.normal[ny, nx],
+        depth_ok = jnp.abs(rest[..., 0] - sdepth) \
+            <= cfg.depth_threshold * jnp.maximum(jnp.abs(sdepth), 1e-3)
+        normal_ok = m.dot(rest[..., 1:4],
                           surface.normal) >= cfg.normal_threshold
         ok = depth_ok & normal_ok & surface.valid
         n_m = jnp.where(ok, n_m, 0.0)

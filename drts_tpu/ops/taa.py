@@ -41,6 +41,9 @@ def render_size_for(output_w: int, output_h: int, mode: str):
 class TAAConfig:
     blend_alpha: float = 0.1
     clip_gamma: float = 1.0      # variance-clip box size in std-devs
+    # History resample: "catmull" = 16 random row-reads/pixel (sharpest),
+    # "bilinear" = 4. Random HBM reads dominate this pass on TPU.
+    history_filter: str = "bilinear"
 
 
 @struct.dataclass
@@ -85,6 +88,25 @@ def _catmull_rom_sample(img, y, x):
     return jnp.maximum(acc, 0.0)
 
 
+def _bilinear_history(img, y, x):
+    h, w = img.shape[0], img.shape[1]
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    fy = (y - y0)[..., None]
+    fx = (x - x0)[..., None]
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    flat = img.reshape(-1, img.shape[-1])
+    c00 = flat[y0i * w + x0i]
+    c01 = flat[y0i * w + x1i]
+    c10 = flat[y1i * w + x0i]
+    c11 = flat[y1i * w + x1i]
+    return (c00 * (1 - fx) + c01 * fx) * (1 - fy) \
+        + (c10 * (1 - fx) + c11 * fx) * fy
+
+
 def upscale(state: TAAState, color, motion, jitter, out_h: int, out_w: int,
             reset, cfg: TAAConfig = TAAConfig()):
     """One TAA-upscale step.
@@ -108,8 +130,12 @@ def upscale(state: TAAState, color, motion, jitter, out_h: int, out_w: int,
         * jnp.ones((1, out_w), jnp.float32)
     px = jnp.arange(out_w, dtype=jnp.float32)[None, :] \
         * jnp.ones((out_h, 1), jnp.float32)
-    hist = _catmull_rom_sample(state.history, py + motion_up[..., 1],
-                               px + motion_up[..., 0])
+    if cfg.history_filter == "catmull":
+        hist = _catmull_rom_sample(state.history, py + motion_up[..., 1],
+                                   px + motion_up[..., 0])
+    else:
+        hist = _bilinear_history(state.history, py + motion_up[..., 1],
+                                 px + motion_up[..., 0])
 
     # Neighborhood variance clipping in the current frame (render res
     # neighborhood, evaluated at output res via the upsampled image).
