@@ -1,29 +1,33 @@
 """Benchmark harness: Mray/s per chip at 1080p, 1 spp (BASELINE.md metric).
 
-Runs the flagship path tracer (reference default workload: 8 bounces,
-Russian roulette on, the 448-sphere demo scene — MyAppData.h:183-188 /
-MyScene.ixx) and prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Headline: the flagship path tracer at the reference's default workload
+(8 bounces, Russian roulette on, the 448-sphere demo scene —
+MyAppData.h:183-188 / MyScene.ixx). Also profiles the FULL frame graph
+(ReSTIR + SHARC + denoise + TAA + post) per pass and end-to-end, the way
+the reference's PIX scoped events attribute frame time (App.cpp:598).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "full_pipeline_ms": N, "passes_ms": {...}, ...}
 vs_baseline is measured Mray/s divided by the 200 Mray/s/chip target.
+
+Env:
+  DRTS_BENCH_FAST=1  -> skip the full-pipeline profile (trace-only).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 
-def main():
+def bench_trace(width=1920, height=1080, bounces=8, spp=1, iters=8):
     import jax
-    import jax.numpy as jnp
-
     import numpy as np
 
-    from drts_tpu.models import clusters, myscene, scene as scene_mod
+    from drts_tpu.models import clusters, myscene
     from drts_tpu.ops import camera as camera_mod, gbuffer, pathtrace
-
-    width, height = 1920, 1080
-    bounces, spp = 8, 1
 
     host = myscene.build(oscillator_grid=10)
     scene = host.scene
@@ -46,12 +50,10 @@ def main():
                                     accel=accel)
         return out.radiance, out.rays_traced
 
-    # Warm up / compile.
-    radiance, rays = frame(scene, cam, 0)
+    radiance, rays = frame(scene, cam, 0)  # compile + warm
     jax.block_until_ready(radiance)
     rays_per_frame = float(rays)
 
-    iters = 8
     start = time.perf_counter()
     for i in range(iters):
         radiance, rays = frame(scene, cam, i + 1)
@@ -60,7 +62,46 @@ def main():
 
     frame_ms = elapsed / iters * 1e3
     mray_s = rays_per_frame * iters / elapsed / 1e6
-    print(json.dumps({
+    return mray_s, frame_ms, rays_per_frame
+
+
+def bench_full_pipeline(width=1920, height=1080, iters=4):
+    """Full frame graph at the reference defaults: per-pass ms (separately
+    jitted, synced) + monolithic jitted frame ms."""
+    import jax
+
+    from drts_tpu.models import myscene, pipeline
+
+    cfg = pipeline.PipelineConfig(
+        output_width=width, output_height=height,
+        render_width=width, render_height=height,
+        bounces=8, samples_per_pixel=1, block_size=32768)
+    pipe = pipeline.RenderPipeline(cfg)
+    host = myscene.build(oscillator_grid=10)
+    state = pipe.init_state(host)
+    pose = pipe.default_camera_pose(host)
+
+    # Warm the temporal state one step so the profile reflects steady state.
+    step = jax.jit(lambda s, p: pipe.render_frame(s, p, 1.0 / 60.0))
+    state, image = step(state, pose)
+    jax.block_until_ready(image)
+
+    passes = pipe.profile_passes(state, pose, iters=iters)
+
+    start = time.perf_counter()
+    cur = state
+    for _ in range(iters):
+        cur, image = step(cur, pose)
+    jax.block_until_ready(image)
+    full_ms = (time.perf_counter() - start) / iters * 1e3
+    return full_ms, {k: round(v, 2) for k, v in passes.items()}
+
+
+def main():
+    import jax
+
+    mray_s, frame_ms, rays_per_frame = bench_trace()
+    record = {
         "metric": "path_trace_1080p_1spp_8bounce",
         "value": round(mray_s, 2),
         "unit": "Mray/s/chip",
@@ -68,7 +109,13 @@ def main():
         "frame_ms": round(frame_ms, 2),
         "rays_per_frame": int(rays_per_frame),
         "device": str(jax.devices()[0]),
-    }))
+    }
+    if not os.environ.get("DRTS_BENCH_FAST"):
+        full_ms, passes = bench_full_pipeline()
+        record["full_pipeline_ms"] = round(full_ms, 2)
+        record["passes_ms"] = passes
+        record["passes_sum_ms"] = round(sum(passes.values()), 2)
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":

@@ -21,17 +21,19 @@ import time
 import numpy as np
 
 
-def _build_pipeline(args):
+def _load_settings(args):
     from . import config as config_mod
-    from .models import myscene, pipeline
 
     if args.settings and os.path.exists(args.settings):
-        settings = config_mod.load_settings(args.settings)
-    else:
-        settings = config_mod.GraphicsSettings().check()
+        return config_mod.load_settings(args.settings)
+    return config_mod.GraphicsSettings().check()
 
-    cfg = pipeline.PipelineConfig.from_settings(
-        settings, output_width=args.width, output_height=args.height)
+
+def _build_session(args):
+    from . import session as session_mod
+    from .models import myscene
+
+    settings = _load_settings(args)
     overrides = {}
     if args.bounces is not None:
         overrides["bounces"] = args.bounces
@@ -41,73 +43,136 @@ def _build_pipeline(args):
         overrides["denoiser"] = "None"
     if args.no_physics:
         overrides["physics_enabled"] = False
-    if overrides:
-        import dataclasses
-        cfg = dataclasses.replace(cfg, **overrides)
+    if args.debug_view != "None":
+        overrides["debug_view"] = args.debug_view
 
-    pipe = pipeline.RenderPipeline(cfg)
     host = myscene.build(seed=args.seed,
                          load_textures=not args.no_textures)
-    return pipe, host
+    return session_mod.Session(settings, output_width=args.width,
+                               output_height=args.height, host=host,
+                               config_overrides=overrides)
+
+
+def _parse_mutations(args):
+    """--mutate FRAME:key=value entries -> {frame: [(key, value), ...]}."""
+    sched: dict = {}
+    for entry in getattr(args, "mutate", None) or []:
+        at, _, kv = entry.partition(":")
+        key, _, value = kv.partition("=")
+        sched.setdefault(int(at), []).append((key, value))
+    return sched
+
+
+def _maybe_reload(sess, args, mtime_box):
+    """--watch-settings: re-apply the settings file when it changes."""
+    if not getattr(args, "watch_settings", False):
+        return
+    try:
+        mtime = os.path.getmtime(args.settings)
+    except OSError:
+        return
+    if mtime_box[0] is None:
+        mtime_box[0] = mtime
+    elif mtime > mtime_box[0]:
+        mtime_box[0] = mtime
+        changed = sess.reload_settings(args.settings)
+        if changed:
+            print(f"settings reloaded: {', '.join(changed)}")
 
 
 def cmd_render(args):
-    import jax
+    from .utils import checkpoint as ckpt_mod
     from .utils import image as image_mod
 
-    pipe, host = _build_pipeline(args)
-    state = pipe.init_state(host)
-    pose = pipe.default_camera_pose(host)
-    step = jax.jit(lambda s, p: pipe.render_frame(s, p, 1.0 / 60.0))
+    sess = _build_session(args)
+    if args.resume:
+        # Elastic recovery (SURVEY §5.3): resume the temporal state pytree
+        # from the checkpoint directory if one exists, else start fresh.
+        sess.state, resumed = ckpt_mod.resume_or_init(sess.pipe, args.resume,
+                                                      sess.host)
+        if resumed:
+            print(f"resumed at frame {int(sess.state.frame_index)}")
+    pose = sess.default_pose()
+    mutations = _parse_mutations(args)
+    mtime_box = [None]
 
     os.makedirs(args.out_dir, exist_ok=True)
     for i in range(args.frames):
-        state, img = step(state, pose)
+        for key, value in mutations.get(i, ()):
+            how = sess.set(key, value)
+            print(f"frame {i}: set {key}={value} ({how})")
+        _maybe_reload(sess, args, mtime_box)
+        img = sess.step(pose)
         if i >= args.frames - args.save_last:
             path = os.path.join(args.out_dir, f"frame_{i:04d}.png")
             image_mod.write_png(path, np.asarray(img))
             print(f"wrote {path}")
+    if args.resume:
+        ckpt_mod.save(sess.state, args.resume)
+        print(f"checkpointed frame {int(sess.state.frame_index)}")
 
 
 def cmd_bench(args):
     import jax
 
-    pipe, host = _build_pipeline(args)
-    state = pipe.init_state(host)
-    pose = pipe.default_camera_pose(host)
-    step = jax.jit(lambda s, p: pipe.render_frame(s, p, 1.0 / 60.0))
+    sess = _build_session(args)
+    pose = sess.default_pose()
 
-    state, img = step(state, pose)  # compile
+    img = sess.step(pose)  # compile
     jax.block_until_ready(img)
     start = time.perf_counter()
     for _ in range(args.frames):
-        state, img = step(state, pose)
+        img = sess.step(pose)
     jax.block_until_ready(img)
     elapsed = time.perf_counter() - start
-    print(json.dumps({
+    cfg = sess.pipe.cfg
+    record = {
         "frames": args.frames,
         "frame_ms": round(elapsed / args.frames * 1e3, 2),
         "fps": round(args.frames / elapsed, 2),
-        "resolution": f"{pipe.cfg.render_width}x{pipe.cfg.render_height}"
-                      f"->{pipe.cfg.output_width}x{pipe.cfg.output_height}",
-    }))
+        "resolution": f"{cfg.render_width}x{cfg.render_height}"
+                      f"->{cfg.output_width}x{cfg.output_height}",
+    }
+    if args.passes:
+        passes = sess.pipe.profile_passes(sess.state, pose)
+        record["passes_ms"] = {k: round(v, 2) for k, v in passes.items()}
+    print(json.dumps(record))
+
+
+def cmd_set(args):
+    """Persisted settings mutation: `drts_tpu set key=value [...]` edits the
+    settings JSON (the settings-window Save path)."""
+    from . import config as config_mod
+    from . import session as session_mod
+
+    settings = _load_settings(args)
+    for entry in args.assignments:
+        key, _, value = entry.partition("=")
+        settings = session_mod.set_by_path(settings, key, value)
+        print(f"set {key} = {value}")
+    os.makedirs(os.path.dirname(args.settings) or ".", exist_ok=True)
+    config_mod.save_settings(settings, args.settings)
+    print(f"saved {args.settings}")
 
 
 def cmd_interactive(args):
-    """Scripted orbit fly-through (CameraController analogue)."""
-    import jax
+    """Scripted orbit fly-through (CameraController analogue) with optional
+    mid-flight settings mutation."""
     import jax.numpy as jnp
     from .models.pipeline import CameraPose
     from .utils import image as image_mod
 
-    pipe, host = _build_pipeline(args)
-    state = pipe.init_state(host)
-    step = jax.jit(lambda s, p, q: pipe.render_frame(s, p, 1.0 / 60.0,
-                                                     prev_pose=q))
+    sess = _build_session(args)
+    mutations = _parse_mutations(args)
+    mtime_box = [None]
 
     os.makedirs(args.out_dir, exist_ok=True)
-    prev = pipe.default_camera_pose(host)
+    prev = sess.default_pose()
     for i in range(args.frames):
+        for key, value in mutations.get(i, ()):
+            how = sess.set(key, value)
+            print(f"frame {i}: set {key}={value} ({how})")
+        _maybe_reload(sess, args, mtime_box)
         angle = 2.0 * np.pi * i / max(args.frames, 1) * 0.25
         pos = np.array([15.0 * np.sin(angle), 2.0, -15.0 * np.cos(angle)],
                        np.float32)
@@ -115,7 +180,7 @@ def cmd_interactive(args):
         pose = CameraPose(position=jnp.asarray(pos),
                           forward=jnp.asarray(fwd, jnp.float32),
                           up=jnp.asarray([0.0, 1.0, 0.0], jnp.float32))
-        state, img = step(state, pose, prev)
+        img = sess.step(pose, prev_pose=prev)
         prev = pose
         if args.save_last and i >= args.frames - args.save_last:
             path = os.path.join(args.out_dir, f"orbit_{i:04d}.png")
@@ -134,24 +199,45 @@ def main(argv=None):
     p.add_argument("--spp", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-denoise", action="store_true")
+    p.add_argument("--debug-view", default="None",
+                   choices=["None", "ReGIRCells", "SHARC", "NRDValidation"],
+                   help="diagnostic overlay (ReGIR cells / SHARC voxels / "
+                        "denoiser history validation)")
     p.add_argument("--no-physics", action="store_true")
     p.add_argument("--no-textures", action="store_true")
     sub = p.add_subparsers(dest="command", required=True)
+
+    def add_runtime_flags(sp):
+        sp.add_argument("--mutate", action="append", metavar="FRAME:KEY=VAL",
+                        help="apply a settings change at frame N "
+                             "(the ImGui settings-window analogue)")
+        sp.add_argument("--watch-settings", action="store_true",
+                        help="reload the settings file when it changes")
 
     r = sub.add_parser("render")
     r.add_argument("--frames", type=int, default=8)
     r.add_argument("--save-last", type=int, default=1)
     r.add_argument("--out-dir", default="out")
+    r.add_argument("--resume", default=None, metavar="CKPT_DIR",
+                   help="resume temporal state from / checkpoint to DIR")
+    add_runtime_flags(r)
     r.set_defaults(fn=cmd_render)
 
     b = sub.add_parser("bench")
     b.add_argument("--frames", type=int, default=16)
+    b.add_argument("--passes", action="store_true",
+                   help="also print per-pass ms (separately jitted)")
     b.set_defaults(fn=cmd_bench)
+
+    st = sub.add_parser("set", help="edit the settings JSON: key=value ...")
+    st.add_argument("assignments", nargs="+", metavar="KEY=VALUE")
+    st.set_defaults(fn=cmd_set)
 
     it = sub.add_parser("interactive")
     it.add_argument("--frames", type=int, default=32)
     it.add_argument("--save-last", type=int, default=4)
     it.add_argument("--out-dir", default="out")
+    add_runtime_flags(it)
     it.set_defaults(fn=cmd_interactive)
 
     args = p.parse_args(argv)

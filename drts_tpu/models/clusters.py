@@ -27,6 +27,27 @@ from flax import struct
 MAX_MEMBERS = 32
 
 
+@struct.dataclass
+class MortonAccel:
+    """Per-frame acceleration structure for the Morton-chunk flat kernel
+    (the TLAS analogue): planar Morton-ordered sphere table + per-chunk
+    culling bounds. Static chunk geometry rides the treedef so the handle
+    passes through jit boundaries as an ordinary pytree."""
+    bounds_tbl: jnp.ndarray   # (4, C_pad) chunk bounding spheres (SMEM)
+    table: jnp.ndarray        # (5, C*M) planar [cx cy cz r obj]
+    n_chunks: int = struct.field(pytree_node=False, default=0)
+    chunk: int = struct.field(pytree_node=False, default=0)
+
+
+@struct.dataclass
+class ClusteredAccel:
+    """Cluster-culled kernel tables (fori-loop variant)."""
+    bounds_tbl: jnp.ndarray   # (4, C_pad)
+    members_tbl: jnp.ndarray  # (C_pad*M, 8)
+    n_clusters: int = struct.field(pytree_node=False, default=0)
+    max_members: int = struct.field(pytree_node=False, default=0)
+
+
 @dataclasses.dataclass(frozen=True)
 class ClusterPlan:
     """Host-side static clustering (membership never changes; bounds refit
@@ -144,7 +165,9 @@ def make_accel(plan: ClusterPlan, centers, radii):
     by ops/intersect.py — the TLAS-refit product."""
     bounds = refit(plan, centers, radii)
     bounds_tbl, members_tbl = pack_for_kernel(plan, bounds, centers, radii)
-    return (bounds_tbl, members_tbl, plan.num_clusters, MAX_MEMBERS)
+    return ClusteredAccel(bounds_tbl=bounds_tbl, members_tbl=members_tbl,
+                          n_clusters=plan.num_clusters,
+                          max_members=plan.member_object.shape[1])
 
 
 def pack_for_kernel(plan: ClusterPlan, bounds: ClusterBounds, centers,
@@ -159,10 +182,10 @@ def pack_for_kernel(plan: ClusterPlan, bounds: ClusterBounds, centers,
     safe = jnp.maximum(member, 0)
     mpos = centers[safe]                              # (C, M, 3)
     mrad = jnp.where(valid, radii[safe], 0.0)
-    c = plan.num_clusters
+    c, mm = plan.member_object.shape
     c_pad = -(-c // 8) * 8
-    flat = c * MAX_MEMBERS
-    flat_pad = c_pad * MAX_MEMBERS
+    flat = c * mm
+    flat_pad = c_pad * mm
 
     cols = jnp.stack([
         mpos[..., 0].reshape(flat),
@@ -189,8 +212,7 @@ def pack_for_kernel(plan: ClusterPlan, bounds: ClusterBounds, centers,
 def make_morton_accel(plan: ClusterPlan, centers, radii):
     """Per-frame tables for the Morton-chunk flat kernel
     (ops/intersect_pallas.intersect_morton_planar): refit chunk bounds +
-    planar sphere table in Morton order with an object-index row.
-    Returns ("morton", bounds_tbl (4, C_pad), table (5, C*M), C, M)."""
+    planar sphere table in Morton order with an object-index row."""
     member = jnp.asarray(plan.member_object)          # (C, M)
     c, mm = member.shape
     valid = member >= 0
@@ -215,4 +237,5 @@ def make_morton_accel(plan: ClusterPlan, centers, radii):
                             pad_to(bounds.center[:, 1]),
                             pad_to(bounds.center[:, 2]),
                             pad_to(bounds.radius)])
-    return ("morton", bounds_tbl, table, c, mm)
+    return MortonAccel(bounds_tbl=bounds_tbl, table=table, n_chunks=c,
+                       chunk=mm)

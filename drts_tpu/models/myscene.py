@@ -212,3 +212,71 @@ def build(seed: int = 0, oscillator_grid: int = 10,
         star_index=jnp.int32(int(np.nonzero(kinds_np == KIND_STAR)[0][0])),
     )
     return MySceneHost(scene=the_scene, bodies=bodies, kinds=kinds_np)
+
+
+def add_mesh_content(host: MySceneHost, tessellation: int = 3,
+                     alpha_test: bool = True) -> MySceneHost:
+    """Extend the demo scene with instanced TRIANGLE-MESH geometry — the
+    reference's geosphere BLAS path (MyScene.ixx:53-88 creates a geosphere
+    mesh; Scene.ixx:225-284 instances it): three geosphere instances with
+    distinct materials — bare metal, checker-textured diffuse, and an
+    alpha-tested (cutout) checker — exercising vertex interpolation,
+    texturing, and the anyhit alpha-test loop through the full frame graph.
+    """
+    from ..ops import trimesh
+    from . import geometry
+
+    pos, nrm, uv, faces = geometry.create_geosphere(1.0, tessellation)
+    mesh = trimesh.make_mesh(pos, nrm, uv, faces)
+
+    scene = host.scene
+    atlas = (np.asarray(scene.textures) if scene.textures is not None
+             else None)
+    s = atlas.shape[1] if atlas is not None else 64
+    t0 = atlas.shape[0] if atlas is not None else 0
+
+    # Procedural checker textures: rgb checker + cutout checker (alpha 0/1).
+    yy, xx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+    checks = (((yy // max(1, s // 8)) + (xx // max(1, s // 8))) % 2) \
+        .astype(np.float32)
+    checker_rgb = np.stack([0.2 + 0.7 * checks, 0.7 - 0.5 * checks,
+                            np.full_like(checks, 0.3),
+                            np.ones_like(checks)], axis=-1)
+    checker_cut = np.stack([np.full_like(checks, 0.9),
+                            np.full_like(checks, 0.6),
+                            np.full_like(checks, 0.2),
+                            checks], axis=-1)  # alpha holes
+    new_tex = np.stack([checker_rgb, checker_cut]).astype(np.float32)
+    atlas = (np.concatenate([atlas, new_tex])
+             if atlas is not None else new_tex)
+
+    mesh_mats = [
+        MaterialDesc(base_color=(0.9, 0.7, 0.3, 1.0), metallic=1.0,
+                     roughness=0.15),
+        MaterialDesc(base_color=(1.0, 1.0, 1.0, 1.0), roughness=0.6,
+                     base_color_map=t0),
+        MaterialDesc(base_color=(1.0, 1.0, 1.0, 1.0), roughness=0.4,
+                     base_color_map=t0 + 1, alpha_cutoff=0.5),
+    ]
+    centers = np.array([[2.5, 1.2, -5.0], [-2.5, 1.2, -5.0],
+                        [0.0, 2.2, -6.0]], np.float32)
+    scales = np.array([0.8, 0.8, 1.0], np.float32)
+    mcount = len(mesh_mats)
+    rot = np.tile(np.asarray(m.QUAT_IDENTITY, np.float32), (mcount, 1))
+
+    all_mats = _concat_materials(scene.materials, pack_materials(mesh_mats))
+
+    mi = scene_mod.MeshInstances(
+        center=jnp.asarray(centers), rotation=jnp.asarray(rot),
+        prev_center=jnp.asarray(centers), prev_rotation=jnp.asarray(rot),
+        scale=jnp.asarray(scales))
+    new_scene = dataclasses.replace(
+        scene, materials=all_mats, textures=jnp.asarray(atlas),
+        mesh=mesh, mesh_instances=mi,
+        alpha_test_rounds=2 if alpha_test else 0)
+    return dataclasses.replace(host, scene=new_scene)
+
+
+def _concat_materials(a, b):
+    import jax
+    return jax.tree.map(lambda x, y: jnp.concatenate([x, y]), a, b)

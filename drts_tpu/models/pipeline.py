@@ -43,7 +43,11 @@ class PipelineConfig:
     samples_per_pixel: int = 1
     russian_roulette: bool = True
     throughput_threshold: float = 1e-3
-    denoiser: str = "NRDReBLUR"           # "None" | "NRDReBLUR" | "NRDReLAX"
+    # "None" | "NRDReBLUR" | "NRDReLAX" | "DLSSRayReconstruction" — each
+    # enum selects a distinct code path (App.cpp:456,1628-1671): ReBLUR =
+    # history-fade à-trous, ReLAX = variance-guided à-trous, DLSS-RR =
+    # ReLAX core + joint denoise/upscale confidence coupling into TAA.
+    denoiser: str = "NRDReBLUR"
     upscaling: bool = True
     bloom_enabled: bool = True
     bloom_strength: float = 0.05
@@ -66,6 +70,9 @@ class PipelineConfig:
     # kernel exists but compiles pathologically slowly under Mosaic and is
     # not wired here.)
     accel_mode: str = "morton"
+    # Diagnostic view (ops/debugviz.py): "None" | "ReGIRCells" | "SHARC" |
+    # "NRDValidation" — the reference's runtime correctness probes.
+    debug_view: str = "None"
     # SHARC GI cache (Raytracing.ixx:114-148 sequencing).
     sharc_enabled: bool = True
     sharc: sharc_mod.SHARCConfig = dataclasses.field(
@@ -115,8 +122,7 @@ class PipelineConfig:
             samples_per_pixel=s.raytracing.samples_per_pixel,
             russian_roulette=s.raytracing.is_russian_roulette_enabled,
             throughput_threshold=s.raytracing.throughput_threshold,
-            denoiser=("None" if s.post.denoiser == config_mod.Denoiser.NONE
-                      else "NRDReBLUR"),
+            denoiser=s.post.denoiser.value,
             upscaling=(rw, rh) != (ow, oh),
             bloom_enabled=s.post.is_bloom_enabled,
             bloom_strength=s.post.bloom_strength,
@@ -148,6 +154,23 @@ class FrameState:
 
 
 @struct.dataclass
+class DynamicSettings:
+    """Per-frame tunable scalars (the ImGui sliders that do NOT change
+    kernel topology, App.cpp:2128-2207): applied as traced values, so a
+    runtime `set` takes effect without recompilation."""
+    exposure: jnp.ndarray        # scalar
+    bloom_strength: jnp.ndarray  # scalar
+    sharpness: jnp.ndarray       # scalar
+
+
+def default_dynamic(cfg: PipelineConfig) -> DynamicSettings:
+    return DynamicSettings(
+        exposure=jnp.float32(cfg.exposure),
+        bloom_strength=jnp.float32(cfg.bloom_strength),
+        sharpness=jnp.float32(cfg.sharpness))
+
+
+@struct.dataclass
 class CameraPose:
     """Dynamic camera inputs (position/orientation from the controller)."""
     position: jnp.ndarray  # (3,)
@@ -166,10 +189,8 @@ class RenderPipeline:
 
     # -- state management ---------------------------------------------------
 
-    def init_state(self, host: myscene.MySceneHost | None = None,
-                   seed: int = 0) -> FrameState:
-        if host is None:
-            host = myscene.build(seed=seed)
+    def build_plan(self, host: myscene.MySceneHost) -> None:
+        """Build the static cluster plan (the BLAS-build analogue)."""
         from . import clusters
         if self.cfg.accel_mode == "morton":
             self.cluster_plan = clusters.build_plan_morton(
@@ -177,6 +198,12 @@ class RenderPipeline:
                 max_members=64)
         else:
             self.cluster_plan = None
+
+    def init_state(self, host: myscene.MySceneHost | None = None,
+                   seed: int = 0) -> FrameState:
+        if host is None:
+            host = myscene.build(seed=seed)
+        self.build_plan(host)
         c = self.cfg
         return FrameState(
             frame_index=jnp.int32(0),
@@ -238,16 +265,14 @@ class RenderPipeline:
                               prev_forward=prev.forward)
         return cam
 
-    def render_frame(self, state: FrameState, pose: CameraPose,
-                     dt=1.0 / 60.0, prev_pose: CameraPose | None = None,
-                     reset=False):
-        """One full App::Tick (update + render + post). Pure; jittable.
+    # -- frame stages (profiled individually by profile_passes) -------------
 
-        Returns (new_state, output image (OH, OW, 3) in display [0,1])."""
+    def _stage_update(self, state: FrameState, pose: CameraPose, dt,
+                      prev_pose: CameraPose | None = None):
+        """Physics + scene pose refresh + camera + accel refit
+        (App.cpp:556-557,972 and the TLAS-update analogue,
+        App.cpp:605-608)."""
         c = self.cfg
-        reset = jnp.asarray(reset)
-
-        # --- Update: physics + scene refresh (App.cpp:556-557,972) ---------
         if c.physics_enabled:
             bodies = physics.step(state.bodies, dt, state.earth_gravity,
                                   state.star_gravity)
@@ -255,21 +280,167 @@ class RenderPipeline:
             bodies = state.bodies
         scene = scene_mod.advance_pose(state.scene, bodies.position,
                                        bodies.rotation)
-
         cam = self._camera(state, pose, prev_pose)
 
-        # Acceleration-structure refit (Scene::CreateAccelerationStructures
-        # update path, App.cpp:605-608). Only used by the Pallas backend.
-        if self.cluster_plan is not None and jax.default_backend() == "tpu":
+        from ..ops import intersect
+        if self.cluster_plan is not None and intersect.pallas_enabled():
             from . import clusters
             accel = clusters.make_morton_accel(self.cluster_plan,
                                                scene.center, scene.radius)
         else:
             accel = None
+        return bodies, scene, cam, accel
+
+    def _stage_gbuffer(self, scene, cam, accel):
+        c = self.cfg
+        return gbuffer.generate(scene, cam, c.render_width, c.render_height,
+                                c.block_size, accel=accel)
+
+    def _restir_prepare(self, scene, cam, frame_index):
+        """Light prep + ReGIR grid build (RTXDI.ixx:141-241 head)."""
+        lights = light_mod.prepare(scene)
+        grid = restir.build_regir_grid(lights, cam.position, self.cfg.restir,
+                                       frame_index)
+        return lights, grid
+
+    def _restir_initial(self, gbuf, scene, lights, grid, frame_index, accel):
+        c = self.cfg
+        surface = restir.make_surface(gbuf)
+        cur = restir.initial_sampling(surface, scene, lights, grid,
+                                      c.restir, frame_index,
+                                      c.block_size, accel=accel)
+        return surface, cur
+
+    def _restir_temporal(self, state, cur, surface, lights, gbuf, reset,
+                         frame_index):
+        hist = jax.tree.map(lambda x: jnp.where(reset, jnp.zeros_like(x), x),
+                            state.reservoirs)
+        return restir.temporal_resampling(
+            cur, hist, surface, lights, gbuf.motion,
+            state.prev_depth, state.prev_normal, self.cfg.restir,
+            frame_index)
+
+    def _restir_spatial(self, cur, surface, lights, frame_index):
+        return restir.spatial_resampling(cur, surface, lights,
+                                         self.cfg.restir, frame_index)
+
+    def _restir_final(self, cur, surface, scene, lights, accel):
+        return restir.final_shading(cur, surface, scene, lights,
+                                    self.cfg.block_size, accel=accel)
+
+    def _pt_cfg(self) -> pathtrace.PathTraceConfig:
+        c = self.cfg
+        return pathtrace.PathTraceConfig(
+            width=c.render_width, height=c.render_height, bounces=c.bounces,
+            samples_per_pixel=c.samples_per_pixel,
+            russian_roulette=c.russian_roulette,
+            throughput_threshold=c.throughput_threshold,
+            block_size=c.block_size)
+
+    def _stage_sharc(self, state, scene, cam, di_total, accel, frame_index):
+        """SHARC update trace + resolve at downscaled res
+        (Raytracing.ixx:114-148)."""
+        c = self.cfg
+        su_cfg = dataclasses.replace(
+            self._pt_cfg(),
+            width=max(1, c.render_width // c.sharc_downscale),
+            height=max(1, c.render_height // c.sharc_downscale))
+        return pathtrace.sharc_update_trace(
+            scene, cam, state.sharc, c.sharc, su_cfg, frame_index,
+            di_radiance=di_total, accel=accel)
+
+    def _stage_trace(self, scene, cam, gbuf, sharc_state, di_total,
+                     frame_index, accel):
+        c = self.cfg
+        return pathtrace.trace_image(
+            scene, cam, self._pt_cfg(), frame_index, gbuf=gbuf,
+            sharc_state=sharc_state if c.sharc_enabled else None,
+            sharc_cfg=c.sharc if c.sharc_enabled else None,
+            di_radiance=di_total,
+            di_in_radiance=(c.denoiser == "None"), accel=accel)
+
+    def _stage_denoise(self, state, out, gbuf, di_diffuse, di_specular,
+                       reset):
+        """Demodulated denoise + compose (Raytracing.hlsl:400-413 +
+        NRDComposition)."""
+        # Split indirect radiance into demodulated diffuse/specular
+        # channels (Raytracing.hlsl:400-413 + NRDComposition pack).
+        indirect = jnp.maximum(out.radiance - out.primary_radiance, 0.0)
+        hd = jnp.where(jnp.isfinite(out.hit_distance), out.hit_distance,
+                       0.0)
+        diffuse_chan = jnp.where(out.is_diffuse[..., None], indirect, 0.0)
+        specular_chan = jnp.where(out.is_diffuse[..., None], 0.0, indirect)
+        if di_diffuse is not None:
+            # direct + indirect per channel (Raytracing.hlsl:407-412).
+            diffuse_chan = diffuse_chan + di_diffuse
+            specular_chan = specular_chan + di_specular
+        d_diff, d_spec = denoise.demodulate(
+            diffuse_chan, specular_chan,
+            out.primary_albedo, out.primary_f_env)
+        diff4 = jnp.concatenate([d_diff, hd[..., None]], axis=-1)
+        spec4 = jnp.concatenate([d_spec, hd[..., None]], axis=-1)
+        c = self.cfg
+        if c.denoiser == "NRDReLAX":
+            den_fn, den_cfg = denoise.denoise_relax, denoise.DenoiseConfig()
+        elif c.denoiser == "DLSSRayReconstruction":
+            # Joint mode: lighter spatial core; the temporal upscaler gets
+            # the denoiser's history confidence (see _stage_post).
+            den_fn = denoise.denoise_relax
+            den_cfg = denoise.DenoiseConfig(relax_atrous_iterations=3)
+        else:
+            den_fn, den_cfg = denoise.denoise, denoise.DenoiseConfig()
+        den_state, f_diff, f_spec = den_fn(
+            state.denoiser, diff4, spec4, gbuf.motion,
+            out.primary_normal, gbuf.linear_depth, out.primary_valid,
+            gbuf.mat.roughness, reset, den_cfg)
+        color = denoise.compose(out.primary_radiance, f_diff, f_spec,
+                                out.primary_albedo, out.primary_f_env,
+                                out.primary_valid)
+        if c.denoiser == "DLSSRayReconstruction":
+            confidence = den_state.history_length / 30.0
+        else:
+            confidence = None
+        return den_state, color, confidence
+
+    def _stage_post(self, state, color, gbuf, cam, reset, confidence=None,
+                    dyn: DynamicSettings | None = None):
+        """TAA upscale + bloom/sharpen/tonemap
+        (PostProcessGraphics, App.cpp:1460-1525)."""
+        c = self.cfg
+        if dyn is None:
+            dyn = default_dynamic(c)
+        taa_state = state.taa
+        if c.upscaling or c.denoiser != "None":
+            taa_state, color = taa.upscale(
+                state.taa, color, gbuf.motion, cam.jitter,
+                c.output_height, c.output_width, reset,
+                confidence=confidence)
+        elif (c.output_height, c.output_width) != (c.render_height,
+                                                   c.render_width):
+            color = post.resize_bilinear(color, c.output_height,
+                                         c.output_width)
+
+        if c.sharpen_enabled:
+            color = post.sharpen(color, dyn.sharpness)
+        if c.bloom_enabled:
+            color = post.bloom(color, dyn.bloom_strength)
+        image = post.tonemap(color, c.tone_map_operator, dyn.exposure)
+        return taa_state, image
+
+    def render_frame(self, state: FrameState, pose: CameraPose,
+                     dt=1.0 / 60.0, prev_pose: CameraPose | None = None,
+                     reset=False, dyn: DynamicSettings | None = None):
+        """One full App::Tick (update + render + post). Pure; jittable.
+
+        Returns (new_state, output image (OH, OW, 3) in display [0,1])."""
+        c = self.cfg
+        reset = jnp.asarray(reset)
+
+        bodies, scene, cam, accel = self._stage_update(state, pose, dt,
+                                                       prev_pose)
 
         # --- RenderScene (App.cpp:1111-1283) --------------------------------
-        gbuf = gbuffer.generate(scene, cam, c.render_width, c.render_height,
-                                c.block_size, accel=accel)
+        gbuf = self._stage_gbuffer(scene, cam, accel)
 
         # ReSTIR DI chain (RTXDI.ixx:141-241): light prep -> ReGIR build ->
         # initial -> temporal -> spatial -> final shading.
@@ -277,101 +448,65 @@ class RenderPipeline:
         di_diffuse = di_specular = None
         reservoirs = state.reservoirs
         if c.restir_enabled:
-            lights = light_mod.prepare(scene)
-            grid = restir.build_regir_grid(lights, cam.position, c.restir,
-                                           state.frame_index)
-            surface = restir.make_surface(gbuf)
-            cur = restir.initial_sampling(surface, scene, lights, grid,
-                                          c.restir, state.frame_index,
-                                          c.block_size, accel=accel)
+            lights, grid = self._restir_prepare(scene, cam,
+                                                state.frame_index)
+            surface, cur = self._restir_initial(gbuf, scene, lights, grid,
+                                                state.frame_index, accel)
             if c.restir.temporal_enabled:
-                hist = jax.tree.map(lambda x: jnp.where(reset,
-                                                        jnp.zeros_like(x), x),
-                                    state.reservoirs)
-                cur = restir.temporal_resampling(
-                    cur, hist, surface, lights, gbuf.motion,
-                    state.prev_depth, state.prev_normal, c.restir,
-                    state.frame_index)
+                cur = self._restir_temporal(state, cur, surface, lights,
+                                            gbuf, reset, state.frame_index)
             if c.restir.spatial_enabled:
-                cur = restir.spatial_resampling(cur, surface, lights,
-                                                c.restir, state.frame_index)
-            di_diffuse, di_specular = restir.final_shading(
-                cur, surface, scene, lights, c.block_size, accel=accel)
+                cur = self._restir_spatial(cur, surface, lights,
+                                           state.frame_index)
+            di_diffuse, di_specular = self._restir_final(cur, surface, scene,
+                                                         lights, accel)
             di_total = di_diffuse + di_specular
             reservoirs = cur
-
-        pt_cfg = pathtrace.PathTraceConfig(
-            width=c.render_width, height=c.render_height, bounces=c.bounces,
-            samples_per_pixel=c.samples_per_pixel,
-            russian_roulette=c.russian_roulette,
-            throughput_threshold=c.throughput_threshold,
-            block_size=c.block_size)
 
         # SHARC GI cache: update pass at downscaled res, then resolve, then
         # the main trace queries the fresh cache (Raytracing.ixx:114-148).
         sharc_state = state.sharc
         if c.sharc_enabled:
-            su_cfg = dataclasses.replace(
-                pt_cfg,
-                width=max(1, c.render_width // c.sharc_downscale),
-                height=max(1, c.render_height // c.sharc_downscale))
-            sharc_state = pathtrace.sharc_update_trace(
-                scene, cam, state.sharc, c.sharc, su_cfg, state.frame_index,
-                di_radiance=di_total, accel=accel)
+            sharc_state = self._stage_sharc(state, scene, cam, di_total,
+                                            accel, state.frame_index)
 
-        out = pathtrace.trace_image(
-            scene, cam, pt_cfg, state.frame_index, gbuf=gbuf,
-            sharc_state=sharc_state if c.sharc_enabled else None,
-            sharc_cfg=c.sharc if c.sharc_enabled else None,
-            di_radiance=di_total,
-            di_in_radiance=(c.denoiser == "None"), accel=accel)
+        out = self._stage_trace(scene, cam, gbuf, sharc_state, di_total,
+                                state.frame_index, accel)
 
         # --- PostProcessGraphics (App.cpp:1460-1525) -------------------------
         den_state = state.denoiser
+        confidence = None
         if c.denoiser != "None":
-            # Split indirect radiance into demodulated diffuse/specular
-            # channels (Raytracing.hlsl:400-413 + NRDComposition pack).
-            indirect = jnp.maximum(out.radiance - out.primary_radiance, 0.0)
-            hd = jnp.where(jnp.isfinite(out.hit_distance), out.hit_distance,
-                           0.0)
-            diffuse_chan = jnp.where(out.is_diffuse[..., None], indirect,
-                                     0.0)
-            specular_chan = jnp.where(out.is_diffuse[..., None], 0.0,
-                                      indirect)
-            if di_diffuse is not None:
-                # direct + indirect per channel (Raytracing.hlsl:407-412).
-                diffuse_chan = diffuse_chan + di_diffuse
-                specular_chan = specular_chan + di_specular
-            d_diff, d_spec = denoise.demodulate(
-                diffuse_chan, specular_chan,
-                out.primary_albedo, out.primary_f_env)
-            diff4 = jnp.concatenate([d_diff, hd[..., None]], axis=-1)
-            spec4 = jnp.concatenate([d_spec, hd[..., None]], axis=-1)
-            den_state, f_diff, f_spec = denoise.denoise(
-                state.denoiser, diff4, spec4, gbuf.motion,
-                out.primary_normal, gbuf.linear_depth, out.primary_valid,
-                gbuf.mat.roughness, reset)
-            color = denoise.compose(out.primary_radiance, f_diff, f_spec,
-                                    out.primary_albedo, out.primary_f_env,
-                                    out.primary_valid)
+            den_state, color, confidence = self._stage_denoise(
+                state, out, gbuf, di_diffuse, di_specular, reset)
         else:
             color = out.radiance
 
-        taa_state = state.taa
-        if c.upscaling or c.denoiser != "None":
-            taa_state, color = taa.upscale(
-                state.taa, color, gbuf.motion, cam.jitter,
-                c.output_height, c.output_width, reset)
-        elif (c.output_height, c.output_width) != (c.render_height,
-                                                   c.render_width):
-            color = post.resize_bilinear(color, c.output_height,
-                                         c.output_width)
+        taa_state, image = self._stage_post(state, color, gbuf, cam, reset,
+                                            confidence, dyn)
 
-        if c.sharpen_enabled:
-            color = post.sharpen(color, c.sharpness)
-        if c.bloom_enabled:
-            color = post.bloom(color, c.bloom_strength)
-        image = post.tonemap(color, c.tone_map_operator, c.exposure)
+        # Diagnostic overlays (DIFinalShading.hlsl:69-75,
+        # Raytracing.hlsl:279-284, App.cpp:1522-1524).
+        if c.debug_view != "None":
+            from ..ops import debugviz
+            if c.debug_view == "ReGIRCells" and c.restir_enabled:
+                dbg = debugviz.regir_cells(grid, gbuf.surf.position,
+                                           gbuf.surf.valid,
+                                           c.restir.regir_cells_per_axis)
+                image = post.resize_bilinear(dbg, c.output_height,
+                                             c.output_width)
+            elif c.debug_view == "SHARC" and c.sharc_enabled:
+                front = jnp.where(gbuf.surf.is_front_face[..., None],
+                                  gbuf.surf.geometric_normal,
+                                  -gbuf.surf.geometric_normal)
+                dbg = debugviz.sharc_voxels(gbuf.surf.position, front,
+                                            cam.position, gbuf.surf.valid,
+                                            c.sharc)
+                image = post.resize_bilinear(dbg, c.output_height,
+                                             c.output_width)
+            elif c.debug_view == "NRDValidation" and c.denoiser != "None":
+                image = debugviz.validation_overlay(
+                    image, den_state.history_length)
 
         new_state = FrameState(
             frame_index=state.frame_index + 1,
@@ -384,6 +519,128 @@ class RenderPipeline:
             earth_gravity=state.earth_gravity,
             star_gravity=state.star_gravity)
         return new_state, image
+
+    # -- per-pass profiling (SURVEY §5.1/§5.5; the PIX-timing analogue) ------
+
+    def profile_passes(self, state: FrameState, pose: CameraPose,
+                       dt=1.0 / 60.0, iters: int = 4) -> dict:
+        """Time each frame-graph pass as its own jitted call (device-synced).
+
+        Returns {pass_name: ms}. This is the instrument the reference gets
+        from PIX scoped events (App.cpp:598); the sum slightly exceeds the
+        monolithic jit's frame time because XLA can't overlap across the
+        sync boundaries here.
+        """
+        import time as _time
+        c = self.cfg
+        reset = jnp.asarray(False)
+        timings: dict = {}
+
+        def timed(name, fn, *args):
+            out = fn(*args)  # compile + warm
+            jax.block_until_ready(out)
+            t0 = _time.perf_counter()
+            for _ in range(iters):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            timings[name] = (_time.perf_counter() - t0) / iters * 1e3
+            return out
+
+        fi = state.frame_index
+        bodies, scene, cam, accel = timed(
+            "update", jax.jit(lambda s, p: self._stage_update(s, p, dt)),
+            state, pose)
+        gbuf = timed("gbuffer", jax.jit(self._stage_gbuffer), scene, cam,
+                     accel)
+
+        di_total = di_diffuse = di_specular = None
+        if c.restir_enabled:
+            lights, grid = timed(
+                "restir_prepare",
+                jax.jit(lambda s, cm: self._restir_prepare(s, cm, fi)),
+                scene, cam)
+            surface, cur = timed(
+                "restir_initial",
+                jax.jit(lambda g, s, li, gr, a:
+                        self._restir_initial(g, s, li, gr, fi, a)),
+                gbuf, scene, lights, grid, accel)
+            if c.restir.temporal_enabled:
+                cur = timed(
+                    "restir_temporal",
+                    jax.jit(lambda st, cu, su, li, g:
+                            self._restir_temporal(st, cu, su, li, g, reset,
+                                                  fi)),
+                    state, cur, surface, lights, gbuf)
+            if c.restir.spatial_enabled:
+                cur = timed(
+                    "restir_spatial",
+                    jax.jit(lambda cu, su, li:
+                            self._restir_spatial(cu, su, li, fi)),
+                    cur, surface, lights)
+            di_diffuse, di_specular = timed(
+                "restir_final",
+                jax.jit(lambda cu, su, s, li, a:
+                        self._restir_final(cu, su, s, li, a)),
+                cur, surface, scene, lights, accel)
+            di_total = di_diffuse + di_specular
+
+        sharc_state = state.sharc
+        if c.sharc_enabled:
+            if di_total is not None:
+                sharc_state = timed(
+                    "sharc_update",
+                    jax.jit(lambda st, s, cm, di, a:
+                            self._stage_sharc(st, s, cm, di, a, fi)),
+                    state, scene, cam, di_total, accel)
+            else:
+                sharc_state = timed(
+                    "sharc_update",
+                    jax.jit(lambda st, s, cm, a:
+                            self._stage_sharc(st, s, cm, None, a, fi)),
+                    state, scene, cam, accel)
+
+        if di_total is not None:
+            out = timed(
+                "trace",
+                jax.jit(lambda s, cm, g, sh, di, a:
+                        self._stage_trace(s, cm, g, sh, di, fi, a)),
+                scene, cam, gbuf, sharc_state, di_total, accel)
+        else:
+            out = timed(
+                "trace",
+                jax.jit(lambda s, cm, g, sh, a:
+                        self._stage_trace(s, cm, g, sh, None, fi, a)),
+                scene, cam, gbuf, sharc_state, accel)
+
+        confidence = None
+        if c.denoiser != "None":
+            if di_diffuse is not None:
+                _, color, confidence = timed(
+                    "denoise",
+                    jax.jit(lambda st, o, g, dd, ds:
+                            self._stage_denoise(st, o, g, dd, ds, reset)),
+                    state, out, gbuf, di_diffuse, di_specular)
+            else:
+                _, color, confidence = timed(
+                    "denoise",
+                    jax.jit(lambda st, o, g:
+                            self._stage_denoise(st, o, g, None, None,
+                                                reset)),
+                    state, out, gbuf)
+        else:
+            color = out.radiance
+
+        if confidence is not None:
+            timed("taa_post",
+                  jax.jit(lambda st, cl, g, cm, cf:
+                          self._stage_post(st, cl, g, cm, reset, cf)),
+                  state, color, gbuf, cam, confidence)
+        else:
+            timed("taa_post",
+                  jax.jit(lambda st, cl, g, cm:
+                          self._stage_post(st, cl, g, cm, reset)),
+                  state, color, gbuf, cam)
+        return timings
 
     def render_frame_jit(self):
         """Jitted render_frame closure (static self via closure capture)."""

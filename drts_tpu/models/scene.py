@@ -22,6 +22,20 @@ from .material import Materials
 
 
 @struct.dataclass
+class MeshInstances:
+    """Triangle-mesh instances in the scene (the reference's geosphere BLAS
+    instancing, Scene.ixx:225-284): rigid transforms + material rows.
+    Material rows live at indices [K, K+M) of scene.materials (after the K
+    sphere materials), so the combined hit-index space is
+    [0, K) spheres | [K, K+M) mesh instances."""
+    center: jnp.ndarray         # (M, 3)
+    rotation: jnp.ndarray       # (M, 4) quaternion, object->world
+    prev_center: jnp.ndarray    # (M, 3)
+    prev_rotation: jnp.ndarray  # (M, 4)
+    scale: jnp.ndarray          # (M,)
+
+
+@struct.dataclass
 class SphereScene:
     """All scene state a render pass reads (SURVEY.md §1 L2)."""
     # Dynamic pose (written by physics each frame; Scene::Refresh analogue).
@@ -29,12 +43,20 @@ class SphereScene:
     rotation: jnp.ndarray       # (K, 4) quaternion, object->world
     prev_center: jnp.ndarray    # (K, 3)
     prev_rotation: jnp.ndarray  # (K, 4)
-    # Static shape + materials.
+    # Static shape + materials ((K+M,) arrays when mesh instances exist).
     radius: jnp.ndarray         # (K,)
     materials: Materials
     env: sky.EnvironmentLight
     # Texture atlas: (T, S, S, 4) float32 stack or None (added by loaders).
     textures: jnp.ndarray | None = None
+    # Optional triangle-mesh content (ops/trimesh.py path).
+    mesh: "object | None" = None            # ops.trimesh.TriMesh
+    mesh_instances: MeshInstances | None = None
+    # Alpha-tested transparency: number of anyhit re-trace rounds
+    # (ShadingHelpers.hlsli:105-159 IsOpaque). 0 = all-opaque fast path;
+    # scene builders set >0 when any material is alpha-tested. Static so
+    # opaque scenes compile with no alpha machinery at all.
+    alpha_test_rounds: int = struct.field(pytree_node=False, default=0)
 
     @property
     def object_count(self) -> int:
@@ -68,19 +90,34 @@ class HitSurface:
 
 # Packed per-object attribute table. TPU gathers are fast for one wide row
 # fetch and ~30x slower as many narrow fetches, so every per-ray attribute
-# lookup goes through ONE (K, 28) table gather (measured: 13 scalar gathers
-# = 224 ms vs one wide gather = 8 ms at 2M rays on v5e).
+# lookup goes through ONE (K+M, 32) table gather (measured: 13 scalar
+# gathers = 224 ms vs one wide gather = 8 ms at 2M rays on v5e).
 # Columns: 0:3 center | 3 radius | 4:8 rotation | 8:11 prev_center |
 # 11:15 prev_rotation | 15:18 base_color rgb | 18 alpha | 19:22 emission |
 # 22 metallic | 23 roughness | 24 ior | 25 transmission |
-# 26 base_color_map | 27 normal_map | 28 metallic_map | 29 roughness_map
+# 26 base_color_map | 27 normal_map | 28 metallic_map | 29 roughness_map |
+# 30 alpha_cutoff | 31 emissive_color_map.
+# Rows [K, K+M) are mesh instances (radius 0; center/rotation = instance
+# transform, so the G-buffer's rigid-motion reprojection works unchanged).
 
 
 def object_table(scene: SphereScene) -> jnp.ndarray:
     mat = scene.materials
+    center, radius = scene.center, scene.radius
+    rotation = scene.rotation
+    prev_center, prev_rotation = scene.prev_center, scene.prev_rotation
+    if scene.mesh_instances is not None:
+        mi = scene.mesh_instances
+        mcount = mi.center.shape[0]
+        center = jnp.concatenate([center, mi.center])
+        radius = jnp.concatenate([radius,
+                                  jnp.zeros((mcount,), jnp.float32)])
+        rotation = jnp.concatenate([rotation, mi.rotation])
+        prev_center = jnp.concatenate([prev_center, mi.prev_center])
+        prev_rotation = jnp.concatenate([prev_rotation, mi.prev_rotation])
     cols = [
-        scene.center, scene.radius[:, None], scene.rotation,
-        scene.prev_center, scene.prev_rotation,
+        center, radius[:, None], rotation,
+        prev_center, prev_rotation,
         mat.base_color[:, :3], mat.base_color[:, 3:4], mat.emission(),
         mat.metallic[:, None], mat.roughness[:, None], mat.ior[:, None],
         mat.transmission[:, None],
@@ -88,6 +125,8 @@ def object_table(scene: SphereScene) -> jnp.ndarray:
         mat.normal_map[:, None].astype(jnp.float32),
         mat.metallic_map[:, None].astype(jnp.float32),
         mat.roughness_map[:, None].astype(jnp.float32),
+        mat.alpha_cutoff[:, None],
+        mat.emissive_color_map[:, None].astype(jnp.float32),
     ]
     return jnp.concatenate(cols, axis=-1)
 
@@ -122,7 +161,6 @@ def surface_attributes(scene: SphereScene, hit, ray_direction,
         uv = jnp.zeros(hit.t.shape + (2,), jnp.float32)
         tangent, _ = m.orthonormal_basis(shading_normal)
 
-    zeros_i = jnp.full(hit.t.shape, -1, jnp.int32)
     material = Materials(
         base_color=jnp.concatenate([row[..., 15:18], row[..., 18:19]],
                                    axis=-1),
@@ -132,9 +170,9 @@ def surface_attributes(scene: SphereScene, hit, ray_direction,
         roughness=row[..., 23],
         ior=row[..., 24],
         transmission=row[..., 25],
-        alpha_cutoff=jnp.full(hit.t.shape, 0.5, jnp.float32),
+        alpha_cutoff=row[..., 30],
         base_color_map=row[..., 26].astype(jnp.int32),
-        emissive_color_map=zeros_i,
+        emissive_color_map=row[..., 31].astype(jnp.int32),
         metallic_map=row[..., 28].astype(jnp.int32),
         roughness_map=row[..., 29].astype(jnp.int32),
         normal_map=row[..., 27].astype(jnp.int32),

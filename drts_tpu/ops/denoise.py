@@ -1,15 +1,24 @@
-"""ReBLUR-style denoiser: demodulated diffuse/specular temporal accumulation
-plus hit-distance- and edge-guided à-trous spatial filtering.
+"""NRD-analogue denoisers: ReBLUR-style and ReLAX-style modes.
 
 TPU-native replacement for the NRD library integration (SURVEY.md §2.3 "NRD"
 row; host wrapper /root/reference/Source/NRD.ixx, composition passes
 /root/reference/Shaders/NRDComposition.hlsl): the same data contract —
 demodulated diffuse and specular radiance+hitdist channels in, denoised
 radiance out, composed as ``diffuse*albedo + specular*f_env + direct``
-(NRDComposition.hlsl:71-87) — with the denoising core rebuilt as pure JAX:
-motion-vector reprojection, depth/normal disocclusion tests, exponential
-accumulation with per-pixel history length (ReBLUR's accumulation model),
-and 3 à-trous wavelet iterations with edge-stopping weights.
+(NRDComposition.hlsl:71-87) — with the denoising cores rebuilt as pure JAX.
+
+Two selectable modes, matching the reference's two NRD denoisers
+(App.cpp:456 creates both REBLUR_DIFFUSE_SPECULAR and
+RELAX_DIFFUSE_SPECULAR; the active one is a runtime setting):
+
+* ``denoise`` — ReBLUR-style: exponential accumulation with per-pixel
+  history length, hit-distance/edge-guided à-trous, history-convergence
+  fade.
+* ``denoise_relax`` — ReLAX-style (SVGF lineage): temporal accumulation of
+  luminance *moments*, per-pixel variance estimation, variance-guided
+  à-trous weights with variance propagation (w² filtering), and firefly
+  suppression. Distinct tuning: more aggressive spatial filtering while
+  variance is high, less reliance on history fade.
 """
 
 from __future__ import annotations
@@ -34,6 +43,11 @@ class DenoiseConfig:
     # pixel, "bilinear" 4 (random HBM reads dominate the temporal pass:
     # ~60 ms vs ~250 ms at 1080p).
     history_filter: str = "nearest"
+    # ReLAX-mode tuning (NRD RelaxSettings analogues).
+    relax_atrous_iterations: int = 4
+    relax_sigma_luminance: float = 3.0   # in units of sqrt(variance)
+    relax_firefly: bool = True           # enableAntiFirefly
+    relax_firefly_factor: float = 8.0    # clamp at N x neighborhood mean
 
 
 # Finite stand-in for miss-pixel depth: the G-buffer reports inf on miss
@@ -45,12 +59,15 @@ _FAR_DEPTH = 1e8
 @struct.dataclass
 class DenoiserState:
     """History buffers (the reference's ping-pong texture pairs,
-    App.cpp:618-625, held functionally)."""
+    App.cpp:618-625, held functionally). ``moments`` carries the ReLAX-mode
+    luminance moments [diff_mu1, diff_mu2, spec_mu1, spec_mu2]; the ReBLUR
+    path leaves it untouched."""
     diffuse: jnp.ndarray        # (H, W, 4) rgb + hitdist
     specular: jnp.ndarray      # (H, W, 4)
     history_length: jnp.ndarray  # (H, W)
     normal: jnp.ndarray         # (H, W, 3) previous shading normal
     depth: jnp.ndarray          # (H, W) previous linear depth
+    moments: jnp.ndarray        # (H, W, 4) ReLAX luminance moments
 
 
 def init_state(height: int, width: int) -> DenoiserState:
@@ -60,7 +77,8 @@ def init_state(height: int, width: int) -> DenoiserState:
         specular=jnp.zeros((height, width, 4), jnp.float32),
         history_length=jnp.zeros((height, width), jnp.float32),
         normal=jnp.zeros((height, width, 3), jnp.float32),
-        depth=jnp.full((height, width), _FAR_DEPTH, jnp.float32))
+        depth=jnp.full((height, width), _FAR_DEPTH, jnp.float32),
+        moments=jnp.zeros((height, width, 4), jnp.float32))
 
 
 def _bilinear_sample(img, y, x):
@@ -109,6 +127,26 @@ def _shift_chw(img, dy: int, dx: int):
 _LUMA_W = (0.2126, 0.7152, 0.0722)
 
 
+def _reproject(packed, motion, history_filter: str):
+    """Motion-vector history fetch of a packed multi-channel buffer.
+    Returns (prev (H, W, C), in_bounds (H, W)). One wide row-gather per tap
+    (narrow per-buffer gathers measured ~17 ms each at 2M lanes)."""
+    h, w = packed.shape[:2]
+    py = jnp.arange(h, dtype=jnp.float32)[:, None]
+    px = jnp.arange(w, dtype=jnp.float32)[None, :]
+    prev_x = px + motion[..., 0]
+    prev_y = py + motion[..., 1]
+    if history_filter == "nearest":
+        yi = jnp.clip(jnp.round(prev_y).astype(jnp.int32), 0, h - 1)
+        xi = jnp.clip(jnp.round(prev_x).astype(jnp.int32), 0, w - 1)
+        prev = packed.reshape(-1, packed.shape[-1])[yi * w + xi]
+    else:
+        prev = _bilinear_sample(packed, prev_y, prev_x)
+    in_bounds = ((prev_x >= 0) & (prev_x <= w - 1)
+                 & (prev_y >= 0) & (prev_y <= h - 1))
+    return prev, in_bounds
+
+
 def _atrous_pass_chw(signal, normal, depth, step: int, cfg: DenoiseConfig):
     """One edge-stopping à-trous iteration, channel-FIRST (C, H, W).
 
@@ -155,24 +193,13 @@ def denoise(state: DenoiserState, diffuse, specular, motion, normal, depth,
     depth = jnp.where(jnp.isfinite(depth), depth, _FAR_DEPTH)
     diffuse = jnp.nan_to_num(diffuse, nan=0.0, posinf=0.0, neginf=0.0)
     specular = jnp.nan_to_num(specular, nan=0.0, posinf=0.0, neginf=0.0)
-    h, w = depth.shape
-    py = jnp.arange(h, dtype=jnp.float32)[:, None]
-    px = jnp.arange(w, dtype=jnp.float32)[None, :]
-    prev_x = px + motion[..., 0]
-    prev_y = py + motion[..., 1]
 
     # One packed history fetch: 4 taps over a 13-channel buffer instead of
     # 5 separate bilinear samples (20 gathers -> 4).
     packed = jnp.concatenate(
         [state.diffuse, state.specular, state.history_length[..., None],
          state.normal, state.depth[..., None]], axis=-1)
-    if cfg.history_filter == "nearest":
-        h_, w_ = packed.shape[:2]
-        yi = jnp.clip(jnp.round(prev_y).astype(jnp.int32), 0, h_ - 1)
-        xi = jnp.clip(jnp.round(prev_x).astype(jnp.int32), 0, w_ - 1)
-        prev = packed.reshape(-1, packed.shape[-1])[yi * w_ + xi]
-    else:
-        prev = _bilinear_sample(packed, prev_y, prev_x)
+    prev, in_bounds = _reproject(packed, motion, cfg.history_filter)
     prev_diffuse = prev[..., 0:4]
     prev_specular = prev[..., 4:8]
     prev_hist = prev[..., 8]
@@ -180,8 +207,6 @@ def denoise(state: DenoiserState, diffuse, specular, motion, normal, depth,
     prev_depth = prev[..., 12]
 
     # Disocclusion tests (NRD common settings: depth + normal consistency).
-    in_bounds = ((prev_x >= 0) & (prev_x <= w - 1)
-                 & (prev_y >= 0) & (prev_y <= h - 1))
     depth_ok = jnp.abs(prev_depth - depth) \
         <= cfg.depth_threshold * jnp.maximum(jnp.abs(depth), 1e-3)
     normal_ok = m.dot(prev_normal, normal) >= cfg.normal_threshold
@@ -226,7 +251,164 @@ def denoise(state: DenoiserState, diffuse, specular, motion, normal, depth,
 
     new_state = DenoiserState(diffuse=acc_diffuse, specular=acc_specular,
                               history_length=new_hist, normal=normal,
-                              depth=depth)
+                              depth=depth, moments=state.moments)
+    return new_state, f_diffuse, f_specular
+
+
+def _firefly_suppress(signal, factor: float):
+    """ReLAX anti-firefly (enableAntiFirefly): clamp pixels whose luminance
+    exceeds ``factor`` x the 3x3 neighbor mean. Shift-based — no gathers."""
+    rgb = signal[..., :3]
+    lum = (_LUMA_W[0] * rgb[..., 0] + _LUMA_W[1] * rgb[..., 1]
+           + _LUMA_W[2] * rgb[..., 2])
+    nsum = jnp.zeros_like(lum)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nsum = nsum + _shift(lum[..., None], dy, dx)[..., 0]
+    nmean = nsum / 8.0
+    limit = factor * nmean + 1e-3
+    scale = jnp.where(lum > limit, limit / jnp.maximum(lum, 1e-6), 1.0)
+    return jnp.concatenate([rgb * scale[..., None], signal[..., 3:]],
+                           axis=-1)
+
+
+def _atrous_relax_chw(signal, var, normal, depth, step: int,
+                      cfg: DenoiseConfig):
+    """One variance-guided à-trous iteration (the SVGF/ReLAX core),
+    channel-first. Luminance edge-stopping is scaled by the local noise
+    estimate sqrt(var); variance propagates through the filter with w²
+    weights so later iterations relax as the signal converges."""
+    kernel = ((0, 0, 0.25), (-1, 0, 0.125), (1, 0, 0.125), (0, -1, 0.125),
+              (0, 1, 0.125), (-1, -1, 0.0625), (-1, 1, 0.0625),
+              (1, -1, 0.0625), (1, 1, 0.0625))
+    lum_c = (_LUMA_W[0] * signal[0] + _LUMA_W[1] * signal[1]
+             + _LUMA_W[2] * signal[2])
+    # 3x3-prefiltered variance for the sigma estimate (SVGF does a gaussian
+    # prefilter of the variance before using it in the weight).
+    vsum = var
+    for dy, dx, wk in kernel[1:]:
+        vsum = vsum + _shift_chw(var, dy, dx)
+    sigma = jnp.sqrt(jnp.maximum(vsum / 9.0, 0.0))
+    inv_sigma_l = 1.0 / (cfg.relax_sigma_luminance * sigma + 1e-4)
+    inv_depth_sigma = 1.0 / jnp.maximum(
+        cfg.depth_threshold * jnp.abs(depth), 1e-4)
+    acc = jnp.zeros_like(signal)
+    acc_var = jnp.zeros_like(var)
+    wsum = jnp.zeros(var.shape, jnp.float32)
+    for dy, dx, wk in kernel:
+        s = _shift_chw(signal, dy * step, dx * step)
+        v = _shift_chw(var, dy * step, dx * step)
+        n = _shift_chw(normal, dy * step, dx * step)
+        d = _shift_chw(depth, dy * step, dx * step)
+        ndot = n[0] * normal[0] + n[1] * normal[1] + n[2] * normal[2]
+        w_n = jnp.maximum(ndot, 0.0) ** 32
+        w_d = 1.0 / (1.0 + jnp.abs(d - depth) * inv_depth_sigma)
+        lum_s = (_LUMA_W[0] * s[0] + _LUMA_W[1] * s[1] + _LUMA_W[2] * s[2])
+        w_l = 1.0 / (1.0 + jnp.abs(lum_s - lum_c) * inv_sigma_l)
+        w = wk * w_n * w_d * w_l
+        acc = acc + s * w[None]
+        acc_var = acc_var + v * w * w
+        wsum = wsum + w
+    wsum = jnp.maximum(wsum, 1e-8)
+    return acc / wsum[None], acc_var / (wsum * wsum)
+
+
+def denoise_relax(state: DenoiserState, diffuse, specular, motion, normal,
+                  depth, valid, roughness, reset,
+                  cfg: DenoiseConfig = DenoiseConfig()):
+    """ReLAX-style denoise: moment accumulation + variance-guided à-trous.
+
+    Same I/O contract as ``denoise`` (the reference swaps NRD denoisers
+    behind one integration, App.cpp:1628-1636). Differences: per-pixel
+    luminance variance drives the spatial filter instead of a fixed sigma,
+    variance is propagated through the filter (w²), young pixels fall back
+    to a spatial variance estimate, and fireflies are clamped up front.
+    """
+    depth = jnp.where(jnp.isfinite(depth), depth, _FAR_DEPTH)
+    diffuse = jnp.nan_to_num(diffuse, nan=0.0, posinf=0.0, neginf=0.0)
+    specular = jnp.nan_to_num(specular, nan=0.0, posinf=0.0, neginf=0.0)
+    if cfg.relax_firefly:
+        diffuse = _firefly_suppress(diffuse, cfg.relax_firefly_factor)
+        specular = _firefly_suppress(specular, cfg.relax_firefly_factor)
+
+    lum_d = (_LUMA_W[0] * diffuse[..., 0] + _LUMA_W[1] * diffuse[..., 1]
+             + _LUMA_W[2] * diffuse[..., 2])
+    lum_s = (_LUMA_W[0] * specular[..., 0] + _LUMA_W[1] * specular[..., 1]
+             + _LUMA_W[2] * specular[..., 2])
+    cur_moments = jnp.stack([lum_d, lum_d * lum_d, lum_s, lum_s * lum_s],
+                            axis=-1)
+
+    # Packed 17-channel history fetch (diffuse, specular, hist, normal,
+    # depth, moments).
+    packed = jnp.concatenate(
+        [state.diffuse, state.specular, state.history_length[..., None],
+         state.normal, state.depth[..., None], state.moments], axis=-1)
+    prev, in_bounds = _reproject(packed, motion, cfg.history_filter)
+    prev_diffuse = prev[..., 0:4]
+    prev_specular = prev[..., 4:8]
+    prev_hist = prev[..., 8]
+    prev_normal = prev[..., 9:12]
+    prev_depth = prev[..., 12]
+    prev_moments = prev[..., 13:17]
+
+    depth_ok = jnp.abs(prev_depth - depth) \
+        <= cfg.depth_threshold * jnp.maximum(jnp.abs(depth), 1e-3)
+    normal_ok = m.dot(prev_normal, normal) >= cfg.normal_threshold
+    history_valid = in_bounds & depth_ok & normal_ok & valid & ~reset
+
+    hist = jnp.where(history_valid, prev_hist, 0.0)
+    new_hist = jnp.minimum(hist + 1.0, cfg.max_accumulated_frames)
+    alpha = (1.0 / new_hist)[..., None]
+
+    hv = history_valid[..., None]
+    acc_diffuse = m.lerp(jnp.where(hv, prev_diffuse, 0.0), diffuse, alpha)
+    acc_specular = m.lerp(jnp.where(hv, prev_specular, 0.0), specular,
+                          alpha)
+    acc_moments = m.lerp(jnp.where(hv, prev_moments, 0.0), cur_moments,
+                         alpha)
+
+    var_d = jnp.maximum(acc_moments[..., 1] - acc_moments[..., 0] ** 2, 0.0)
+    var_s = jnp.maximum(acc_moments[..., 3] - acc_moments[..., 2] ** 2, 0.0)
+    # Young history -> temporal variance unreliable; fall back to a 3x3
+    # spatial estimate of the current frame's moments (SVGF's fallback).
+    sp_d1 = sp_d2 = sp_s1 = sp_s2 = jnp.zeros_like(lum_d)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            ld = _shift(lum_d[..., None], dy, dx)[..., 0]
+            ls = _shift(lum_s[..., None], dy, dx)[..., 0]
+            sp_d1 += ld
+            sp_d2 += ld * ld
+            sp_s1 += ls
+            sp_s2 += ls * ls
+    sp_var_d = jnp.maximum(sp_d2 / 9.0 - (sp_d1 / 9.0) ** 2, 0.0)
+    sp_var_s = jnp.maximum(sp_s2 / 9.0 - (sp_s1 / 9.0) ** 2, 0.0)
+    young = new_hist < 4.0
+    var_d = jnp.where(young, jnp.maximum(var_d, sp_var_d), var_d)
+    var_s = jnp.where(young, jnp.maximum(var_s, sp_var_s), var_s)
+
+    normal_chw = jnp.moveaxis(normal, -1, 0)
+    f_diffuse = jnp.moveaxis(acc_diffuse, -1, 0)
+    f_specular = jnp.moveaxis(acc_specular, -1, 0)
+    for i in range(cfg.relax_atrous_iterations):
+        step = 1 << i
+        f_diffuse, var_d = _atrous_relax_chw(f_diffuse, var_d, normal_chw,
+                                             depth, step, cfg)
+        f_specular, var_s = _atrous_relax_chw(f_specular, var_s, normal_chw,
+                                              depth, step, cfg)
+    f_diffuse = jnp.moveaxis(f_diffuse, 0, -1)
+    f_specular = jnp.moveaxis(f_specular, 0, -1)
+
+    # Mirror-like specular must stay unfiltered (same rationale as ReBLUR
+    # path); diffuse keeps the full variance-guided result — the variance
+    # weights already collapse the kernel once converged.
+    spec_keep = jnp.clip(roughness * 4.0, 0.1, 1.0)[..., None]
+    f_specular = m.lerp(acc_specular, f_specular, spec_keep)
+
+    new_state = DenoiserState(diffuse=acc_diffuse, specular=acc_specular,
+                              history_length=new_hist, normal=normal,
+                              depth=depth, moments=acc_moments)
     return new_state, f_diffuse, f_specular
 
 

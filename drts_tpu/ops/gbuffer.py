@@ -20,7 +20,7 @@ from flax import struct
 
 from ..utils import math as m
 from ..models import scene as scene_mod
-from . import bxdf, camera as camera_mod, intersect, shading, sky
+from . import bxdf, camera as camera_mod, shading, sky, trace as trace_mod
 
 
 @struct.dataclass
@@ -47,10 +47,9 @@ def generate(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
     t_max = jnp.broadcast_to(t_max, (height, width))
 
     table = scene_mod.object_table(scene)
-    hit = intersect.intersect_spheres(ray_o, ray_d, t_min, t_max,
-                                      scene.center, scene.radius, block_size,
-                                      attributes=False, accel=accel)
-    surf = scene_mod.surface_attributes(scene, hit, ray_d, table)
+    surf = trace_mod.trace_scene(scene, ray_o, ray_d, t_min, t_max,
+                                 block_size, accel=accel, table=table,
+                                 alpha_rounds=scene.alpha_test_rounds)
     mat = shading.evaluate_material(surf.material, surf.uv,
                                     surf.shading_normal, surf.tangent,
                                     scene.textures)
@@ -66,17 +65,17 @@ def generate(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
     # (GBufferGeneration.hlsl emission/env channel; consumed at
     # Raytracing.hlsl:119 as `primaryRadiance`).
     env = sky.environment_color(scene.env, ray_d)
-    radiance = jnp.where(hit.hit[..., None], mat.emission, env)
+    radiance = jnp.where(surf.valid[..., None], mat.emission, env)
 
     # Linear depth along the normalized camera forward axis.
     fwd = m.normalize(cam.forward)
-    depth = jnp.where(hit.hit,
+    depth = jnp.where(surf.valid,
                       m.dot(surf.position - cam.position, fwd), jnp.inf)
 
     # Motion vectors: world hit -> object space (current pose) -> world via
     # previous pose -> previous camera NDC -> pixel delta. Pose columns come
     # from the packed object-table row (one gather, see models/scene.py).
-    row = table[hit.index]
+    row = table[surf.object_index]
     obj_local = m.quat_rotate(m.quat_conj(row[..., 4:8]),
                               surf.position - row[..., 0:3])
     prev_world = row[..., 8:11] + m.quat_rotate(row[..., 11:15], obj_local)
@@ -85,7 +84,7 @@ def generate(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
                                            previous=False)
     prev_px = camera_mod.ndc_to_pixel(prev_ndc, width, height)
     cur_px = camera_mod.ndc_to_pixel(cur_ndc, width, height)
-    motion = jnp.where(hit.hit[..., None], prev_px - cur_px, 0.0)
+    motion = jnp.where(surf.valid[..., None], prev_px - cur_px, 0.0)
 
     return GBuffer(surf=surf, mat=mat, ray_origin=ray_o, ray_direction=ray_d,
                    linear_depth=depth, motion=motion, radiance=radiance,

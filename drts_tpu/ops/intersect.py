@@ -25,16 +25,24 @@ from ..utils import math as m
 INF = jnp.float32(jnp.inf)
 
 # Intersection backend: "auto" uses the Pallas VMEM-resident kernel on TPU
-# and the XLA formulation elsewhere; force with "xla" / "pallas".
+# and the XLA formulation elsewhere; force with "xla" / "pallas", or
+# "interpret" to run the production Pallas kernels in interpret mode on any
+# backend (CPU test coverage of the TPU path).
 BACKEND = "auto"
 
 
 def _use_pallas() -> bool:
-    if BACKEND == "pallas":
+    if BACKEND in ("pallas", "interpret"):
         return True
     if BACKEND == "xla":
         return False
     return jax.default_backend() == "tpu"
+
+
+def pallas_enabled() -> bool:
+    """True when intersection will run the Pallas kernels (so callers know
+    the accel tables will actually be consumed)."""
+    return _use_pallas()
 
 
 # Screen-tile ray ordering: a kernel ray block then covers an (8, 256)
@@ -130,6 +138,8 @@ def intersect_spheres(origin, direction, t_min, t_max, centers, radii,
 
     if _use_pallas():
         from . import intersect_pallas as ip
+        from ..models import clusters as clusters_mod
+        interp = BACKEND == "interpret"
         tiled = _tileable(lead_shape)
         if tiled:
             o = _tile_order(origin)
@@ -137,18 +147,18 @@ def intersect_spheres(origin, direction, t_min, t_max, centers, radii,
             tmin = _tile_order(jnp.broadcast_to(t_min, lead_shape))
             tmax = _tile_order(jnp.broadcast_to(t_max, lead_shape))
         rays, _ = ip.pack_rays(o, d, tmin, tmax)
-        if accel is not None and isinstance(accel[0], str) \
-                and accel[0] == "morton":
-            _, bounds_tbl, table, n_chunks, chunk = accel
+        if isinstance(accel, clusters_mod.MortonAccel):
             t_best, idx = ip.intersect_morton_planar(
-                rays, bounds_tbl, table, n_chunks, chunk)
-        elif accel is not None:
-            bounds_tbl, members_tbl, n_clusters, mm = accel
+                rays, accel.bounds_tbl, accel.table, accel.n_chunks,
+                accel.chunk, interpret=interp)
+        elif isinstance(accel, clusters_mod.ClusteredAccel):
             t_best, idx = ip.intersect_clustered_planar(
-                rays, bounds_tbl, members_tbl, n_clusters, mm)
+                rays, accel.bounds_tbl, accel.members_tbl, accel.n_clusters,
+                accel.max_members, interpret=interp)
         else:
             table = ip.pack_spheres(centers, radii)
-            t_best, idx = ip.intersect_spheres_planar(rays, table)
+            t_best, idx = ip.intersect_spheres_planar(rays, table,
+                                                      interpret=interp)
         if tiled:
             t_best = _tile_unorder(t_best[:n], *lead_shape)
             idx = _tile_unorder(jnp.minimum(idx[:n], centers.shape[0] - 1),
@@ -208,14 +218,60 @@ def _make_hit(origin, direction, t_best, idx, centers,
 
 
 def intersect_spheres_any(origin, direction, t_min, t_max, centers, radii,
-                          block_size: int = 16384):
-    """Any-hit (shadow/visibility ray) — boolean occlusion.
+                          block_size: int = 16384, exclude_index=None,
+                          accel=None):
+    """Any-hit (shadow/visibility ray) — boolean occlusion, optionally
+    excluding one object per ray (the target light itself).
 
-    The reference issues these for ReSTIR visibility
-    (Shaders/RTXDIAppBridge.hlsli:418-459).
+    The reference issues these via
+    RAY_FLAG_ACCEPT_FIRST_HIT_AND_END_SEARCH for ReSTIR visibility
+    (Shaders/RTXDIAppBridge.hlsli:418-459). On TPU with a Morton accel this
+    runs the specialized any-hit Pallas kernel (no closest-t bookkeeping,
+    whole-block early-out once every lane is occluded).
     """
+    from ..models import clusters as clusters_mod
+
+    lead_shape = origin.shape[:-1]
+    if _use_pallas() and isinstance(accel, clusters_mod.MortonAccel):
+        from . import intersect_pallas as ip
+        interp = BACKEND == "interpret"
+        tiled = _tileable(lead_shape)
+        if tiled:
+            o = _tile_order(origin)
+            d = _tile_order(direction)
+            tmin = _tile_order(jnp.broadcast_to(t_min, lead_shape))
+            tmax = _tile_order(jnp.broadcast_to(t_max, lead_shape))
+            excl = (_tile_order(jnp.broadcast_to(exclude_index, lead_shape))
+                    if exclude_index is not None else None)
+        else:
+            n0 = 1
+            for s in lead_shape:
+                n0 *= s
+            o = origin.reshape(n0, 3)
+            d = direction.reshape(n0, 3)
+            tmin = jnp.broadcast_to(t_min, lead_shape).reshape(n0)
+            tmax = jnp.broadcast_to(t_max, lead_shape).reshape(n0)
+            excl = (jnp.broadcast_to(exclude_index,
+                                     lead_shape).reshape(n0)
+                    if exclude_index is not None else None)
+        rays, n = ip.pack_rays(o, d, tmin, tmax)
+        if excl is None:
+            excl_row = jnp.full((1, rays.shape[1]), -1.0, jnp.float32)
+        else:
+            excl_row = jnp.full((rays.shape[1],), -1.0, jnp.float32) \
+                .at[:n].set(excl.astype(jnp.float32))[None, :]
+        rays9 = jnp.concatenate([rays, excl_row])
+        occ = ip.occlusion_morton_planar(rays9, accel.bounds_tbl,
+                                         accel.table, accel.n_chunks,
+                                         accel.chunk, interpret=interp)
+        if tiled:
+            return _tile_unorder(occ[:n], *lead_shape)
+        return occ[:n].reshape(lead_shape)
+
     hit = intersect_spheres(origin, direction, t_min, t_max, centers, radii,
-                            block_size, attributes=False)
+                            block_size, attributes=False, accel=accel)
+    if exclude_index is not None:
+        return hit.hit & (hit.index != exclude_index)
     return hit.hit
 
 

@@ -92,7 +92,14 @@ def _morton_kernel(rays_ref, bounds_ref, table_ref, t_ref, idx_ref,
     static slicing (full Mosaic pipelining), but consecutive columns are
     spatially local, so each 128-wide chunk carries a tight bounding sphere
     (in SMEM) and a whole chunk is skipped when no ray in the block can
-    touch it. Statically unrolled — no dynamic-index loads."""
+    touch it. Statically unrolled — no dynamic-index loads.
+
+    Two-level cull per (block, chunk): first a SCALAR bounding-cone test —
+    the block's live rays are summarized as an origin sphere + direction
+    cone via masked reductions, and a chunk whose bound lies outside the
+    cone is skipped without any per-ray math (this is what makes screen-
+    tile-ordered primary and shadow blocks cheap); only then the per-ray
+    interval test gates the member sweep."""
     ox = rays_ref[0:1, :]
     oy = rays_ref[1:2, :]
     oz = rays_ref[2:3, :]
@@ -110,51 +117,93 @@ def _morton_kernel(rays_ref, bounds_ref, table_ref, t_ref, idx_ref,
         od = ox * dx + oy * dy + oz * dz
         oo = ox * ox + oy * oy + oz * oz
 
+        # --- block ray-bundle summary (masked scalar reductions) ---------
+        live = tmax >= tmin
+        livef = live.astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(livef), 1.0)
+        mx = jnp.sum(jnp.where(live, ox, 0.0)) / cnt
+        my = jnp.sum(jnp.where(live, oy, 0.0)) / cnt
+        mz = jnp.sum(jnp.where(live, oz, 0.0)) / cnt
+        orad2 = jnp.max(jnp.where(
+            live, (ox - mx) ** 2 + (oy - my) ** 2 + (oz - mz) ** 2, 0.0))
+        orad = jnp.sqrt(orad2)
+        ax = jnp.sum(jnp.where(live, dx, 0.0))
+        ay = jnp.sum(jnp.where(live, dy, 0.0))
+        az = jnp.sum(jnp.where(live, dz, 0.0))
+        alen = jnp.sqrt(ax * ax + ay * ay + az * az)
+        inv_alen = 1.0 / jnp.maximum(alen, 1e-12)
+        ax, ay, az = ax * inv_alen, ay * inv_alen, az * inv_alen
+        # cone half-angle: min cos over live rays (dirs are unit). A spread
+        # beyond 90° (cmin <= 0) voids the cone/behind tests entirely —
+        # incoherent blocks fall back to per-ray culling only.
+        cmin = jnp.min(jnp.where(live, ax * dx + ay * dy + az * dz, 1.0))
+        coherent = cmin > 0.0
+        cmin = jnp.maximum(cmin, 0.0)
+        sin_c = jnp.sqrt(jnp.maximum(1.0 - cmin * cmin, 0.0))
+
         for c in range(n_chunks):
             bx = bounds_ref[0, c]
             by = bounds_ref[1, c]
             bz = bounds_ref[2, c]
             br = bounds_ref[3, c]
-            b = od - (bx * dx + by * dy + bz * dz)
-            c0 = oo - 2.0 * (bx * ox + by * oy + bz * oz) \
-                + (bx * bx + by * by + bz * bz - br * br)
-            disc = b * b - c0
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            touched = (disc > 0.0) & (-b - sq <= tmax) & (-b + sq >= tmin)
 
-            @pl.when(jnp.any(touched))
+            # Scalar cone-vs-sphere: expand the chunk bound by the origin
+            # spread, test against the direction cone from the centroid.
+            vx, vy, vz = bx - mx, by - my, bz - mz
+            er = br + orad
+            along = vx * ax + vy * ay + vz * az
+            d2 = vx * vx + vy * vy + vz * vz
+            perp = jnp.sqrt(jnp.maximum(d2 - along * along, 0.0))
+            # Signed distance of the (expanded) sphere center outside the
+            # cone surface: positive and > er means no ray can reach it.
+            outside_cone = perp * cmin - along * sin_c > er
+            behind = along < -er
+            chunk_possible = jnp.logical_not(
+                coherent & (outside_cone | behind))
+
+            @pl.when(chunk_possible)
             def _():
-                s0 = c * chunk
-                cxT = jnp.transpose(table_ref[0:1, s0:s0 + chunk])  # (S, 1)
-                cyT = jnp.transpose(table_ref[1:2, s0:s0 + chunk])
-                czT = jnp.transpose(table_ref[2:3, s0:s0 + chunk])
-                rT = jnp.transpose(table_ref[3:4, s0:s0 + chunk])
-                objT = jnp.transpose(table_ref[4:5, s0:s0 + chunk])
+                b = od - (bx * dx + by * dy + bz * dz)
+                c0 = oo - 2.0 * (bx * ox + by * oy + bz * oz) \
+                    + (bx * bx + by * by + bz * bz - br * br)
+                disc = b * b - c0
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                touched = (disc > 0.0) & (-b - sq <= tmax) & (-b + sq >= tmin)
 
-                b2 = od - (cxT * dx + cyT * dy + czT * dz)
-                c2 = oo - 2.0 * (cxT * ox + cyT * oy + czT * oz) \
-                    + (cxT * cxT + cyT * cyT + czT * czT - rT * rT)
-                disc2 = b2 * b2 - c2
-                sq2 = jnp.sqrt(jnp.maximum(disc2, 0.0))
-                t_near = -b2 - sq2
-                t_far = -b2 + sq2
-                t = jnp.where(t_near >= tmin, t_near, t_far)
-                valid = (disc2 > 0.0) & (t >= tmin) & (t <= tmax) \
-                    & (rT > 0.0)
-                t = jnp.where(valid, t, INF)
+                @pl.when(jnp.any(touched))
+                def _():
+                    s0 = c * chunk
+                    cxT = jnp.transpose(table_ref[0:1, s0:s0 + chunk])
+                    cyT = jnp.transpose(table_ref[1:2, s0:s0 + chunk])
+                    czT = jnp.transpose(table_ref[2:3, s0:s0 + chunk])
+                    rT = jnp.transpose(table_ref[3:4, s0:s0 + chunk])
+                    objT = jnp.transpose(table_ref[4:5, s0:s0 + chunk])
 
-                chunk_t = jnp.min(t, axis=0, keepdims=True)
-                arg = jnp.argmin(t, axis=0)
-                lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-                onehot = lane == arg[None, :]
-                chunk_obj = jnp.sum(jnp.where(onehot, objT, 0.0), axis=0,
-                                    keepdims=True).astype(jnp.int32)
+                    b2 = od - (cxT * dx + cyT * dy + czT * dz)
+                    c2 = oo - 2.0 * (cxT * ox + cyT * oy + czT * oz) \
+                        + (cxT * cxT + cyT * cyT + czT * czT - rT * rT)
+                    disc2 = b2 * b2 - c2
+                    sq2 = jnp.sqrt(jnp.maximum(disc2, 0.0))
+                    t_near = -b2 - sq2
+                    t_far = -b2 + sq2
+                    t = jnp.where(t_near >= tmin, t_near, t_far)
+                    valid = (disc2 > 0.0) & (t >= tmin) & (t <= tmax) \
+                        & (rT > 0.0)
+                    t = jnp.where(valid, t, INF)
 
-                cur_t = best_t_s[:, :]
-                closer = chunk_t < cur_t
-                best_t_s[:, :] = jnp.where(closer, chunk_t, cur_t)
-                best_i_s[:, :] = jnp.where(closer, chunk_obj,
-                                           best_i_s[:, :])
+                    chunk_t = jnp.min(t, axis=0, keepdims=True)
+                    arg = jnp.argmin(t, axis=0)
+                    lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+                    onehot = lane == arg[None, :]
+                    chunk_obj = jnp.sum(jnp.where(onehot, objT, 0.0),
+                                        axis=0,
+                                        keepdims=True).astype(jnp.int32)
+
+                    cur_t = best_t_s[:, :]
+                    closer = chunk_t < cur_t
+                    best_t_s[:, :] = jnp.where(closer, chunk_t, cur_t)
+                    best_i_s[:, :] = jnp.where(closer, chunk_obj,
+                                               best_i_s[:, :])
 
     t_ref[:, :] = best_t_s[:, :]
     idx_ref[:, :] = best_i_s[:, :]
@@ -201,6 +250,130 @@ def intersect_morton_planar(rays_planar, bounds_tbl, table, n_chunks: int,
         interpret=interpret,
     )(rays_planar, bounds_tbl, table)
     return t[0], idx[0]
+
+
+def _anyhit_kernel(rays_ref, bounds_ref, table_ref, occ_ref, occ_s, *,
+                   n_chunks: int, chunk: int):
+    """Occlusion (shadow-ray) sweep: the specialized any-hit kernel the
+    reference reaches via RAY_FLAG_ACCEPT_FIRST_HIT_AND_END_SEARCH
+    (RTXDIAppBridge.hlsli:418-459). No closest-t/argmin bookkeeping — just
+    a running per-lane 'blocked' bit; a chunk is skipped when the block's
+    cone misses it OR every live lane is already blocked. Row 8 of the ray
+    SoA is an object index to EXCLUDE (the target light itself)."""
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+    tmin = rays_ref[6:7, :]
+    tmax = rays_ref[7:8, :]
+    exclude = rays_ref[8:9, :]
+
+    occ_s[:, :] = jnp.zeros(ox.shape, jnp.int32)
+
+    @pl.when(jnp.any(tmax >= tmin))
+    def _():
+        od = ox * dx + oy * dy + oz * dz
+        oo = ox * ox + oy * oy + oz * oz
+
+        live = tmax >= tmin
+        livef = live.astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(livef), 1.0)
+        mx = jnp.sum(jnp.where(live, ox, 0.0)) / cnt
+        my = jnp.sum(jnp.where(live, oy, 0.0)) / cnt
+        mz = jnp.sum(jnp.where(live, oz, 0.0)) / cnt
+        orad = jnp.sqrt(jnp.max(jnp.where(
+            live, (ox - mx) ** 2 + (oy - my) ** 2 + (oz - mz) ** 2, 0.0)))
+        ax = jnp.sum(jnp.where(live, dx, 0.0))
+        ay = jnp.sum(jnp.where(live, dy, 0.0))
+        az = jnp.sum(jnp.where(live, dz, 0.0))
+        inv_alen = 1.0 / jnp.maximum(
+            jnp.sqrt(ax * ax + ay * ay + az * az), 1e-12)
+        ax, ay, az = ax * inv_alen, ay * inv_alen, az * inv_alen
+        cmin = jnp.min(jnp.where(live, ax * dx + ay * dy + az * dz, 1.0))
+        coherent = cmin > 0.0
+        cmin = jnp.maximum(cmin, 0.0)
+        sin_c = jnp.sqrt(jnp.maximum(1.0 - cmin * cmin, 0.0))
+        # Shadow rays are range-bounded: cull chunks beyond the farthest
+        # live tmax along the cone axis.
+        tmax_max = jnp.max(jnp.where(live, tmax, 0.0))
+
+        for c in range(n_chunks):
+            bx = bounds_ref[0, c]
+            by = bounds_ref[1, c]
+            bz = bounds_ref[2, c]
+            br = bounds_ref[3, c]
+            vx, vy, vz = bx - mx, by - my, bz - mz
+            er = br + orad
+            along = vx * ax + vy * ay + vz * az
+            d2 = vx * vx + vy * vy + vz * vz
+            perp = jnp.sqrt(jnp.maximum(d2 - along * along, 0.0))
+            outside_cone = perp * cmin - along * sin_c > er
+            behind = along < -er
+            too_far = d2 > (tmax_max + er) * (tmax_max + er)
+            chunk_possible = jnp.logical_not(
+                (coherent & (outside_cone | behind)) | too_far)
+            unresolved = jnp.any((occ_s[:, :] == 0) & live)
+
+            @pl.when(chunk_possible & unresolved)
+            def _():
+                s0 = c * chunk
+                cxT = jnp.transpose(table_ref[0:1, s0:s0 + chunk])
+                cyT = jnp.transpose(table_ref[1:2, s0:s0 + chunk])
+                czT = jnp.transpose(table_ref[2:3, s0:s0 + chunk])
+                rT = jnp.transpose(table_ref[3:4, s0:s0 + chunk])
+                objT = jnp.transpose(table_ref[4:5, s0:s0 + chunk])
+
+                b2 = od - (cxT * dx + cyT * dy + czT * dz)
+                c2 = oo - 2.0 * (cxT * ox + cyT * oy + czT * oz) \
+                    + (cxT * cxT + cyT * cyT + czT * czT - rT * rT)
+                disc2 = b2 * b2 - c2
+                sq2 = jnp.sqrt(jnp.maximum(disc2, 0.0))
+                t_near = -b2 - sq2
+                t_far = -b2 + sq2
+                t = jnp.where(t_near >= tmin, t_near, t_far)
+                blocked = (disc2 > 0.0) & (t >= tmin) & (t <= tmax) \
+                    & (rT > 0.0) & (objT != exclude)
+                any_hit = jnp.sum(blocked.astype(jnp.int32), axis=0,
+                                  keepdims=True)
+                occ_s[:, :] = occ_s[:, :] | (any_hit > 0).astype(jnp.int32)
+
+    occ_ref[:, :] = occ_s[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("n_chunks", "chunk",
+                                             "interpret"))
+def occlusion_morton_planar(rays9, bounds_tbl, table, n_chunks: int,
+                            chunk: int, interpret=False):
+    """Any-hit occlusion over the Morton table. rays9: (9, N) planar
+    [ox oy oz dx dy dz tmin tmax exclude_obj]; returns occluded (N,) bool."""
+    n = rays9.shape[1]
+    assert n % RAY_BLOCK == 0, n
+    grid = (n // RAY_BLOCK,)
+
+    occ = pl.pallas_call(
+        functools.partial(_anyhit_kernel, n_chunks=n_chunks, chunk=chunk),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((9, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, bounds_tbl.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(table.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, RAY_BLOCK), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=20 * n * (n_chunks + table.shape[1]),
+            bytes_accessed=(9 + 1) * n * 4,
+            transcendentals=n * n_chunks),
+        interpret=interpret,
+    )(rays9, bounds_tbl, table)
+    return occ[0] > 0
 
 
 def _clustered_kernel(rays_ref, bounds_ref, members_ref, t_ref, idx_ref,

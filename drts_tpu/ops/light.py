@@ -58,8 +58,25 @@ def fetch_rows(lights: Lights, idx) -> LightRows:
 
 def prepare(scene: SphereScene) -> Lights:
     """CountLights/PrepareResources/Process analogue
-    (LightPreparation.ixx:52-133): emission -> power -> sampling CDF."""
-    emission = scene.materials.emission()
+    (LightPreparation.ixx:52-133): emission -> power -> sampling CDF.
+
+    Emissive-texture handling (LightPreparation.hlsl:86-128): the
+    reference scales each light's radiance by a filtered average of its
+    emissive map; here the per-texture mean is folded into the light
+    record the same way. Mesh instances (material rows >= K) are not
+    light sources — emissive mesh support would need triangle-area
+    sampling (the reference's emissive-triangle path)."""
+    k = scene.center.shape[0]
+
+    def head(x):
+        return x[:k]
+
+    emission = head(scene.materials.emission())
+    if scene.textures is not None:
+        emap = head(scene.materials.emissive_color_map)
+        tex_mean = jnp.mean(scene.textures[..., :3], axis=(1, 2))  # (T, 3)
+        avg = tex_mean[jnp.maximum(emap, 0)]
+        emission = emission * jnp.where((emap >= 0)[:, None], avg, 1.0)
     # Power ∝ luminance * surface area (4 pi r^2); constant factors cancel
     # in the normalized CDF.
     power = m.luminance(emission) * scene.radius * scene.radius

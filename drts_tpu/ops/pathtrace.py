@@ -28,7 +28,8 @@ from flax import struct
 from ..utils import math as m
 from ..utils import rng as rng_mod
 from ..models import scene as scene_mod
-from . import bxdf, camera as camera_mod, intersect, shading, sharc, sky
+from . import (bxdf, camera as camera_mod, intersect, shading, sharc, sky,
+               trace as trace_mod)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,6 +46,16 @@ class PathTraceConfig:
     # footprint exceeds texel size well before then; saves ~20 gathers per
     # bounce). Bounce 0 samples bilinearly, deeper bounces nearest.
     texture_bounces: int = 2
+    # Compact-wavefront switchover: bounces >= compact_from run on a
+    # compacted survivor buffer of n_pixels/compact_fraction lanes instead
+    # of full-frame masked-dense arrays. Measured at 1080p/8 bounces:
+    # bounces 2-8 carry ~130k live rays yet cost ~95 ms dense (scattered
+    # live lanes defeat the dead-block skip); compacted they cost a few ms
+    # per bounce. The SER/ray-compaction analogue of
+    # /root/reference/Shaders/RaytracingHelpers.hlsli:46-53. Set
+    # compact_from > bounces to disable (pure dense).
+    compact_from: int = 2
+    compact_fraction: int = 8
 
 
 @struct.dataclass
@@ -86,6 +97,124 @@ def _shade_and_scatter(scene, surf, ray_d, rng, atlas=None,
     return mat.emission, l_dir, weight, valid, lobe, bs, sv, v, rng
 
 
+def _compact_capacity(n_pixels: int, cfg: PathTraceConfig) -> int:
+    cap = max(1024, n_pixels // cfg.compact_fraction)
+    return -(-cap // 1024) * 1024
+
+
+def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
+                        sharc_state, sharc_cfg, origin, l_dir, throughput,
+                        prev_roughness, rng, active, start_bounce: int,
+                        accel, cap: int):
+    """Bounces >= start_bounce on a compacted survivor buffer.
+
+    Live paths are packed to the front of a (cap,) buffer with ONE wide
+    row-gather; every per-bounce op (intersection sweep, attribute fetch,
+    SHARC query, BSDF sample) then costs O(survivors) instead of
+    O(frame pixels). Survivors beyond `cap` are dropped (counted in the
+    returned overflow) — capacity is sized ~3x the measured survivor count.
+    Returns (radiance_add (H, W, 3), rays_traced_add, overflow_count).
+    """
+    h, w = active.shape
+    n = h * w
+
+    act = active.reshape(n)
+    pos = jnp.cumsum(act.astype(jnp.int32)) - 1
+    keep = act & (pos < cap)
+    overflow = jnp.sum(act.astype(jnp.int32)) - jnp.sum(keep.astype(jnp.int32))
+
+    # Source-pixel table: slot s -> flat pixel index (n = empty slot).
+    slot_of_src = jnp.where(keep, pos, cap)
+    src = jnp.full((cap + 1,), n, jnp.int32).at[slot_of_src].set(
+        jnp.arange(n, dtype=jnp.int32))[:cap]
+    slot_live = src < n
+
+    # One wide packed gather of all per-path state (11 channels).
+    packed = jnp.concatenate([
+        origin.reshape(n, 3), l_dir.reshape(n, 3), throughput.reshape(n, 3),
+        prev_roughness.reshape(n, 1),
+        jax.lax.bitcast_convert_type(rng, jnp.float32).reshape(n, 1),
+    ], axis=-1)
+    dead_row = jnp.zeros((1, 11), jnp.float32).at[0, 5].set(1.0)  # dir=+z
+    packed = jnp.concatenate([packed, dead_row])
+    rows = packed[jnp.minimum(src, n)]
+    c_origin = rows[:, 0:3]
+    c_dir = rows[:, 3:6]
+    c_thr = rows[:, 6:9]
+    c_rough = rows[:, 9]
+    c_rng = jax.lax.bitcast_convert_type(rows[:, 10], jnp.uint32)
+
+    c_active = slot_live
+    c_radiance = jnp.zeros((cap, 3), jnp.float32)
+    rays_add = jnp.float32(0.0)
+    zeros_c = jnp.zeros((cap,), jnp.float32)
+
+    for bounce in range(start_bounce, cfg.bounces + 1):
+        rays_add = rays_add + jnp.sum(c_active.astype(jnp.float32))
+        surf = trace_mod.trace_scene(
+            scene, c_origin, c_dir, zeros_c,
+            jnp.where(c_active, jnp.inf, -1.0), cfg.block_size,
+            accel=accel, table=table,
+            alpha_rounds=scene.alpha_test_rounds)
+
+        env_color = sky.environment_color(scene.env, c_dir)
+        miss = c_active & ~surf.valid
+        c_radiance = c_radiance + jnp.where(miss[..., None],
+                                            c_thr * env_color, 0.0)
+        c_active = c_active & surf.valid
+
+        if sharc_state is not None:
+            front_flat = jnp.where(surf.is_front_face[..., None],
+                                   surf.geometric_normal,
+                                   -surf.geometric_normal)
+            fp_ok = sharc.footprint_valid(surf.distance, c_rough,
+                                          surf.position, cam.position,
+                                          sharc_cfg)
+            cached, cache_hit = sharc.query(sharc_state, surf.position,
+                                            front_flat, cam.position,
+                                            sharc_cfg)
+            use_cache = c_active & fp_ok & cache_hit
+            c_radiance = c_radiance + jnp.where(use_cache[..., None],
+                                                c_thr * cached, 0.0)
+            c_active = c_active & ~use_cache
+
+        atlas_b = scene.textures if bounce < cfg.texture_bounces else None
+        if bounce == cfg.bounces:
+            mat = shading.evaluate_material(surf.material, surf.uv,
+                                            surf.shading_normal,
+                                            surf.tangent, atlas_b, "nearest")
+            c_radiance = c_radiance + jnp.where(c_active[..., None],
+                                                c_thr * mat.emission, 0.0)
+            break
+
+        emission, new_dir, weight, valid, lobe, bs, _, _, c_rng = \
+            _shade_and_scatter(scene, surf, c_dir, c_rng, atlas_b, "nearest")
+        c_radiance = c_radiance + jnp.where(c_active[..., None],
+                                            c_thr * emission, 0.0)
+        c_thr = c_thr * weight
+        c_active = c_active & valid
+        c_rough = c_rough + jnp.where(lobe == bxdf.LOBE_DIFFUSE, 1.0,
+                                      bs.roughness)
+
+        if cfg.russian_roulette and bounce > 3:
+            prob = jnp.max(c_thr, axis=-1)
+            u, c_rng = rng_mod.next_float(c_rng)
+            kill = u >= prob
+            c_active = c_active & ~kill
+            c_thr = c_thr / jnp.maximum(prob, 1e-20)[..., None]
+        c_active = c_active & (m.luminance(c_thr) > cfg.throughput_threshold)
+
+        c_origin = intersect.safe_spawn_point(surf.position,
+                                              surf.geometric_normal, new_dir)
+        c_dir = new_dir
+
+    # Scatter contributions back to their pixels (each path owns one pixel).
+    contrib = jnp.where(slot_live[..., None], c_radiance, 0.0)
+    pix = jnp.where(slot_live, src, 0)
+    radiance_add = jnp.zeros((n, 3), jnp.float32).at[pix].add(contrib)
+    return radiance_add.reshape(h, w, 3), rays_add, overflow
+
+
 def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
                 cfg: PathTraceConfig, frame_index,
                 gbuf=None, sharc_state=None, sharc_cfg=None,
@@ -115,17 +244,16 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
     if gbuf is not None:
         primary_surf = gbuf.surf
         ray_d0 = gbuf.ray_direction
-
-        class _P:  # minimal hit view over the gbuffer surface
-            hit = primary_surf.valid
-            t = primary_surf.distance
-        primary_hit = _P
     else:
-        primary_hit = intersect.intersect_spheres(
-            ray_o0, ray_d0, t_min0, t_max0, scene.center, scene.radius,
-            cfg.block_size, attributes=False, accel=accel)
-        primary_surf = scene_mod.surface_attributes(scene, primary_hit,
-                                                    ray_d0, table)
+        primary_surf = trace_mod.trace_scene(
+            scene, ray_o0, ray_d0, t_min0, t_max0, cfg.block_size,
+            accel=accel, table=table,
+            alpha_rounds=scene.alpha_test_rounds)
+
+    class _P:  # minimal hit view over the primary surface
+        hit = primary_surf.valid
+        t = primary_surf.distance
+    primary_hit = _P
 
     # Primary demodulation AOVs for the denoiser (GBufferGeneration.hlsl).
     p_mat = shading.evaluate_material(primary_surf.material, primary_surf.uv,
@@ -153,6 +281,13 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
     else:
         di_valid = jnp.zeros((h, w), bool)
 
+    # Compact-wavefront switchover (see PathTraceConfig.compact_from): the
+    # dense loop runs bounces [0, compact_start); survivors continue on the
+    # compacted buffer. Bounces 0-1 stay dense (AOVs, DI handoff, textures).
+    use_compact = 2 <= cfg.compact_from <= cfg.bounces
+    dense_last = cfg.compact_from - 1 if use_compact else cfg.bounces
+    cap = _compact_capacity(h * w, cfg)
+
     for sample_index in range(cfg.samples_per_pixel):
         rng = rng_mod.init(px, py,
                            frame_index * cfg.samples_per_pixel + sample_index)
@@ -171,7 +306,7 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
             sample_radiance = sample_radiance + jnp.where(
                 di_valid[..., None], di_radiance, 0.0)
 
-        for bounce in range(cfg.bounces + 1):
+        for bounce in range(dense_last + 1):
             if bounce > 0:
                 rays_traced = rays_traced + jnp.sum(
                     active.astype(jnp.float32))
@@ -179,17 +314,16 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
                     surf.position, surf.geometric_normal, l_dir)
                 # Dead lanes get tmax < tmin so the kernel's block-skip can
                 # drop whole tiles of terminated paths.
-                hit = intersect.intersect_spheres(
-                    origin, l_dir, jnp.zeros((h, w)),
-                    jnp.where(active, jnp.inf, -1.0), scene.center,
-                    scene.radius, cfg.block_size, attributes=False,
-                    accel=accel)
-                surf = scene_mod.surface_attributes(scene, hit, l_dir, table)
+                surf = trace_mod.trace_scene(
+                    scene, origin, l_dir, jnp.zeros((h, w)),
+                    jnp.where(active, jnp.inf, -1.0), cfg.block_size,
+                    accel=accel, table=table,
+                    alpha_rounds=scene.alpha_test_rounds)
                 ray_d = l_dir
-                hit_ok = hit.hit
+                hit_ok = surf.valid
                 if sample_index == 0 and bounce == 1:
                     is_diffuse = lobe == bxdf.LOBE_DIFFUSE
-                    hit_distance = jnp.where(hit_ok, hit.t, jnp.inf)
+                    hit_distance = jnp.where(hit_ok, surf.distance, jnp.inf)
 
             # Miss -> environment light, terminate (Raytracing.hlsl:241-259).
             env_color = sky.environment_color(scene.env, ray_d)
@@ -246,8 +380,9 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
             prev_roughness = prev_roughness + jnp.where(
                 lobe == bxdf.LOBE_DIFFUSE, 1.0, bs.roughness)
 
-            # Russian roulette after bounce 3 (Raytracing.hlsl:348-356).
-            if cfg.russian_roulette and bounce >= 3:
+            # Russian roulette after bounce 3 (Raytracing.hlsl:348-356:
+            # `bounceIndex > 3`, i.e. first applied on the 4th bounce).
+            if cfg.russian_roulette and bounce > 3:
                 prob = jnp.max(throughput, axis=-1)
                 u, rng = rng_mod.next_float(rng)
                 kill = u >= prob
@@ -257,6 +392,16 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
             # Throughput luminance cutoff (Raytracing.hlsl:361-364).
             active = active & (m.luminance(throughput)
                                > cfg.throughput_threshold)
+
+        if use_compact:
+            origin = intersect.safe_spawn_point(
+                surf.position, surf.geometric_normal, l_dir)
+            radiance_add, rays_add, _overflow = _trace_deep_compact(
+                scene, table, cam, cfg, sharc_state, sharc_cfg,
+                origin, l_dir, throughput, prev_roughness, rng, active,
+                cfg.compact_from, accel, cap)
+            sample_radiance = sample_radiance + radiance_add
+            rays_traced = rays_traced + rays_add
 
         # NaN guard (Raytracing.hlsl:377).
         finite = jnp.all(jnp.isfinite(sample_radiance), axis=-1,
@@ -333,22 +478,19 @@ def sharc_update_trace(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
     slots, fps, emissions, seg_weights, actives = [], [], [], [], []
     active = jnp.ones((h, w), bool)
     l_dir = ray_d
-    hit = intersect.intersect_spheres(ray_o, ray_d, t_min, t_max,
-                                      scene.center, scene.radius,
-                                      cfg.block_size, attributes=False,
-                                      accel=accel)
-    surf = scene_mod.surface_attributes(scene, hit, ray_d, table)
+    surf = trace_mod.trace_scene(scene, ray_o, ray_d, t_min, t_max,
+                                 cfg.block_size, accel=accel, table=table,
+                                 alpha_rounds=scene.alpha_test_rounds)
 
     for bounce in range(cfg.bounces + 1):
         if bounce > 0:
             origin = intersect.safe_spawn_point(surf.position,
                                                 surf.geometric_normal, l_dir)
-            hit = intersect.intersect_spheres(
-                origin, l_dir, jnp.zeros((h, w)),
-                jnp.where(active, jnp.inf, -1.0),
-                scene.center, scene.radius, cfg.block_size, attributes=False,
-                accel=accel)
-            surf = scene_mod.surface_attributes(scene, hit, l_dir, table)
+            surf = trace_mod.trace_scene(
+                scene, origin, l_dir, jnp.zeros((h, w)),
+                jnp.where(active, jnp.inf, -1.0), cfg.block_size,
+                accel=accel, table=table,
+                alpha_rounds=scene.alpha_test_rounds)
 
         miss = active & ~surf.valid
         env_color = sky.environment_color(scene.env, l_dir)
@@ -391,19 +533,22 @@ def sharc_update_trace(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
         l_dir = l_dir_new
 
     # Backward scan: L_v = E_v + T_v * L_{v+1} (SharcUpdateHit's internal
-    # accumulation, made explicit), then one scatter-add per level.
+    # accumulation, made explicit), then ONE fused scatter for all levels
+    # (splat_levels — per-level scatters dominated this pass).
     radiance_next = jnp.zeros((h, w, 3), jnp.float32)
     capacity = sharc_state.fingerprint.shape[0]
-    acc = (jnp.zeros((capacity, 3), jnp.float32),
-           jnp.zeros((capacity,), jnp.float32),
-           sharc_state.fingerprint)
+    level_radiance = [None] * len(slots)
     for b in range(len(slots) - 1, -1, -1):
         l_here = emissions[b] + seg_weights[b] * radiance_next
         l_here = jnp.where(jnp.isfinite(l_here), l_here, 0.0)
-        acc = sharc_mod.splat(acc, slots[b], fps[b], l_here, actives[b])
+        level_radiance[b] = l_here
         radiance_next = l_here
 
-    frame_sum, frame_count, frame_fp = acc
+    acc = (jnp.zeros((capacity, 3), jnp.float32),
+           jnp.zeros((capacity,), jnp.float32),
+           jnp.zeros((capacity,), jnp.uint32))
+    frame_sum, frame_count, frame_fp = sharc_mod.splat_levels(
+        acc, slots, fps, level_radiance, actives)
     return sharc_mod.resolve(sharc_state, frame_sum, frame_count, frame_fp,
                              sharc_cfg)
 

@@ -319,14 +319,17 @@ def initial_sampling(surface: Surface, scene: SphereScene,
                                              surface.view, rand4)
         origin = intersect.safe_spawn_point(
             surface.position, surface.sv.front_geometric_normal, l_dir)
-        hit = intersect.intersect_spheres(
-            origin, l_dir, jnp.zeros((h, w)),
+        from . import trace as trace_mod
+        bhit, _btri = trace_mod._closest_hit(
+            scene, origin, l_dir, jnp.zeros((h, w)),
             jnp.where(surface.valid & valid_dir, jnp.inf, -1.0),
-            scene.center, scene.radius, block_size, attributes=False,
-            accel=accel)
-        k = hit.index
+            block_size, accel)
+        # Mesh-instance hits (index >= K) are occluders, never lights.
+        n_spheres = scene.center.shape[0]
+        k = jnp.minimum(bhit.index, n_spheres - 1)
         krows = light_mod.fetch_rows(lights, k)   # one wide gather
-        is_emissive = hit.hit & (krows.power > 0)
+        is_emissive = bhit.hit & (bhit.index < n_spheres) \
+            & (krows.power > 0)
         uv_b, inside_cone = _uv_from_direction(krows, surface.position,
                                                l_dir)
         ok = is_emissive & inside_cone & valid_dir & surface.valid
@@ -369,13 +372,13 @@ def initial_sampling(surface: Surface, scene: SphereScene,
 def _occluded(origin, direction, light_dist, scene, light_idx,
               block_size: int, accel=None):
     """Visibility ray toward the selected light (RAB_GetConservativeVisibility,
-    RTXDIAppBridge.hlsli:418-459): blocked if anything is hit closer than
-    the light surface (excluding the light itself via distance epsilon)."""
-    hit = intersect.intersect_spheres(
-        origin, direction, jnp.zeros(light_dist.shape),
-        jnp.maximum(light_dist - 1e-3, 0.0), scene.center, scene.radius,
-        block_size, attributes=False, accel=accel)
-    return hit.hit & (hit.index != light_idx)
+    RTXDIAppBridge.hlsli:418-459): blocked if anything (sphere or mesh) is
+    hit closer than the light surface (excluding the light itself via
+    distance epsilon). Runs the specialized any-hit kernel on TPU."""
+    from . import trace as trace_mod
+    return trace_mod.occluded_scene(
+        scene, origin, direction, jnp.maximum(light_dist - 1e-3, 0.0),
+        light_idx, block_size, accel=accel)
 
 
 # ----------------------------------------------------------------------------

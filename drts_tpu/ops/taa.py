@@ -44,6 +44,13 @@ class TAAConfig:
     # History resample: "catmull" = 16 random row-reads/pixel (sharpest),
     # "bilinear" = 4. Random HBM reads dominate this pass on TPU.
     history_filter: str = "bilinear"
+    # Jitter-aware sample accumulation (the DLSS-style reconstruction):
+    # the current frame is resampled at its TRUE sub-pixel sample positions
+    # (grid shifted by the camera jitter) and each output pixel's blend
+    # weight scales with its distance to the nearest real sample, so the
+    # Halton jitter sequence adds sub-pixel detail instead of shimmer.
+    jitter_aware: bool = True
+    jitter_sigma: float = 0.45   # reconstruction kernel width (render px)
 
 
 @struct.dataclass
@@ -107,21 +114,62 @@ def _bilinear_history(img, y, x):
         + (c10 * (1 - fx) + c11 * fx) * fy
 
 
+def _separable_bilinear(img, y, x):
+    """Bilinear resample on a SEPARABLE coordinate grid (per-axis 1-D
+    coords): two single-axis takes — contiguous row reads XLA handles
+    cheaply — instead of 4 flat 2-D gathers (~15 ms/frame at 1080p). Valid
+    whenever the sample positions are an axis-aligned affine map of the
+    output grid (uniform scale + global jitter shift), which is exactly
+    the current-frame resample's case."""
+    h, w = img.shape[0], img.shape[1]
+    y0 = jnp.floor(y)
+    fy = (y - y0)[:, None, None]
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    rows = img[y0i] * (1.0 - fy) + img[y1i] * fy
+    x0 = jnp.floor(x)
+    fx = (x - x0)[None, :, None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    return rows[:, x0i] * (1.0 - fx) + rows[:, x1i] * fx
+
+
 def upscale(state: TAAState, color, motion, jitter, out_h: int, out_w: int,
-            reset, cfg: TAAConfig = TAAConfig()):
+            reset, cfg: TAAConfig = TAAConfig(), confidence=None):
     """One TAA-upscale step.
 
     color: (RH, RW, 3) jittered render-res frame; motion: (RH, RW, 2)
     render-res pixel motion (prev = cur + motion); jitter: (2,) the pixel
-    jitter used this frame; reset: scalar bool.
+    jitter (x, y) in render-pixel fractions (Math::CalculateUV convention);
+    reset: scalar bool. ``confidence`` (RH, RW) in [0, 1], optional: the
+    joint denoise+upscale coupling (DLSS-RR analogue, App.cpp:1654-1671) —
+    low confidence (young denoiser history / disocclusion) raises the blend
+    toward the current frame so the upscaler doesn't ghost stale shading.
     Returns (new_state, output (OH, OW, 3)).
     """
     rh, rw = color.shape[0], color.shape[1]
     scale_y = out_h / rh
     scale_x = out_w / rw
 
-    # Un-jittered upsample of the current frame to output res.
-    up = post.resize_bilinear(color, out_h, out_w)
+    if cfg.jitter_aware:
+        # Resample the jittered sample grid at output-pixel centers: render
+        # sample i sits at index i + jitter, so interpolating that grid at
+        # render-space position q reads the source at q - jitter.
+        qy = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / scale_y - 0.5
+        qx = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / scale_x - 0.5
+        sy = qy - jitter[1]                    # (OH,)
+        sx = qx - jitter[0]                    # (OW,)
+        up = _separable_bilinear(color, sy, sx)
+        # Distance from each output pixel to the nearest true sample, per
+        # axis, in render pixels -> reconstruction confidence.
+        dy = sy - jnp.round(sy)
+        dx = sx - jnp.round(sx)
+        d2 = (dy * dy)[:, None] + (dx * dx)[None, :]
+        sample_w = jnp.exp(-d2 / (2.0 * cfg.jitter_sigma ** 2))
+    else:
+        # Jitter-blind upsample (the pre-reconstruction fallback).
+        up = post.resize_bilinear(color, out_h, out_w)
+        sample_w = jnp.ones((out_h, out_w), jnp.float32)
 
     # Motion at output res, in output pixels.
     motion_up = post.resize_bilinear(motion, out_h, out_w) \
@@ -157,6 +205,11 @@ def upscale(state: TAAState, color, motion, jitter, out_h: int, out_w: int,
                  & ((py + motion_up[..., 1]) <= out_h - 1)
                  & ((px + motion_up[..., 0]) >= 0)
                  & ((px + motion_up[..., 0]) <= out_w - 1))
-    alpha = jnp.where(in_bounds & ~reset, cfg.blend_alpha, 1.0)[..., None]
+    alpha = cfg.blend_alpha * (0.25 + 0.75 * sample_w)
+    if confidence is not None:
+        conf_up = post.resize_bilinear(confidence[..., None], out_h,
+                                       out_w)[..., 0]
+        alpha = jnp.clip(alpha * (1.0 + 3.0 * (1.0 - conf_up)), 0.0, 1.0)
+    alpha = jnp.where(in_bounds & ~reset, alpha, 1.0)[..., None]
     out = m.lerp(hist_clipped, up, alpha)
     return TAAState(history=out), out

