@@ -110,6 +110,9 @@ class ReSTIRDISettings:
     boiling_filter_strength: float = 0.2
     spatial_samples: int = 1
     spatial_radius: float = 30.0
+    # "basic" | "pairwise" | "raytraced" (RTXDI spatial bias correction,
+    # Source/RTXDI.ixx:73-139).
+    spatial_bias_correction: str = "basic"
 
     def check(self) -> "ReSTIRDISettings":
         return dataclasses.replace(
@@ -122,7 +125,12 @@ class ReSTIRDISettings:
             boiling_filter_strength=_clamp(self.boiling_filter_strength,
                                            0.0, 1.0),
             spatial_samples=_clamp(self.spatial_samples, 0, 8),
-            spatial_radius=_clamp(self.spatial_radius, 1.0, 64.0))
+            spatial_radius=_clamp(self.spatial_radius, 1.0, 64.0),
+            spatial_bias_correction=(
+                self.spatial_bias_correction
+                if self.spatial_bias_correction in ("basic", "pairwise",
+                                                    "raytraced")
+                else "basic"))
 
 
 @dataclass(frozen=True)

@@ -35,6 +35,7 @@ class MortonAccel:
     passes through jit boundaries as an ordinary pytree."""
     bounds_tbl: jnp.ndarray   # (4, C_pad) chunk bounding spheres (SMEM)
     table: jnp.ndarray        # (5, C*M) planar [cx cy cz r obj]
+    mxu_a: jnp.ndarray = None  # (C*2M, 8) chunk A-matrices (MXU kernel)
     n_chunks: int = struct.field(pytree_node=False, default=0)
     chunk: int = struct.field(pytree_node=False, default=0)
 
@@ -220,12 +221,19 @@ def make_morton_accel(plan: ClusterPlan, centers, radii):
     mpos = centers[safe]
     mrad = jnp.where(valid, radii[safe], 0.0)
     flat = c * mm
+    cx = mpos[..., 0].reshape(flat)
+    cy = mpos[..., 1].reshape(flat)
+    cz = mpos[..., 2].reshape(flat)
+    r = mrad.reshape(flat)
+    # Rows 5-8 precompute the quadratic's sphere-side constants (-2c and
+    # |c|^2 - r^2) so the kernel's per-pair c0 needs no scaling/sub, and
+    # padded entries (r = 0) carry +1e30, forcing disc < 0 — the kernel
+    # then needs no radius-validity test.
+    ccrr = jnp.where(r > 0.0, cx * cx + cy * cy + cz * cz - r * r, 1e30)
     table = jnp.stack([
-        mpos[..., 0].reshape(flat),
-        mpos[..., 1].reshape(flat),
-        mpos[..., 2].reshape(flat),
-        mrad.reshape(flat),
+        cx, cy, cz, r,
         jnp.where(valid, member, 0).reshape(flat).astype(jnp.float32),
+        -2.0 * cx, -2.0 * cy, -2.0 * cz, ccrr,
     ])
     bounds = refit(plan, centers, radii)
     c_pad = -(-c // 8) * 8
@@ -238,4 +246,27 @@ def make_morton_accel(plan: ClusterPlan, centers, radii):
                             pad_to(bounds.center[:, 2]),
                             pad_to(bounds.radius)])
     return MortonAccel(bounds_tbl=bounds_tbl, table=table, n_chunks=c,
-                       chunk=mm)
+                       chunk=mm, mxu_a=make_mxu_tables(table, c, mm))
+
+
+def make_mxu_tables(table, n_chunks: int, chunk: int):
+    """Chunk A-matrices for the MXU intersection kernel
+    (ops/intersect_pallas._morton_mxu_kernel): per chunk a (2*chunk, 8)
+    block so that A @ [dx dy dz ox oy oz od 1] yields the quadratic b
+    coefficient (rows [0, chunk)) and c0 - oo (rows [chunk, 2*chunk)).
+    Empty slots (radius 0) get |c|^2 - r^2 = +1e30, which forces a negative
+    discriminant — the kernel then needs no radius test."""
+    cx, cy, cz, r = table[0], table[1], table[2], table[3]
+    ccrr = cx * cx + cy * cy + cz * cz - r * r
+    ccrr = jnp.where(r > 0.0, ccrr, 1e30)
+    k = table.shape[1]
+    zeros = jnp.zeros((k,), jnp.float32)
+    ones = jnp.ones((k,), jnp.float32)
+    top = jnp.stack([-cx, -cy, -cz, zeros, zeros, zeros, ones, zeros],
+                    axis=-1)                        # (K, 8): b rows
+    bot = jnp.stack([zeros, zeros, zeros, -2.0 * cx, -2.0 * cy, -2.0 * cz,
+                     zeros, ccrr], axis=-1)         # (K, 8): c0 rows
+    # Interleave per chunk: [top_c; bot_c] for each chunk c.
+    a = jnp.concatenate([top.reshape(n_chunks, chunk, 8),
+                         bot.reshape(n_chunks, chunk, 8)], axis=1)
+    return a.reshape(n_chunks * 2 * chunk, 8)

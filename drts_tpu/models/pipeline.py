@@ -108,7 +108,8 @@ class PipelineConfig:
                 max_history=r.max_history_length,
                 boiling_filter_strength=r.boiling_filter_strength,
                 spatial_samples=r.spatial_samples,
-                spatial_radius=r.spatial_radius),
+                spatial_radius=r.spatial_radius,
+                spatial_bias_correction=r.spatial_bias_correction),
             sharc_enabled=s.rtxgi == config_mod.RTXGITechnique.SHARC,
             sharc=sharc_mod.SHARCConfig(
                 capacity_log2=s.sharc.capacity_log2,
@@ -320,9 +321,12 @@ class RenderPipeline:
             state.prev_depth, state.prev_normal, self.cfg.restir,
             frame_index)
 
-    def _restir_spatial(self, cur, surface, lights, frame_index):
+    def _restir_spatial(self, cur, surface, lights, frame_index,
+                        scene=None, accel=None):
         return restir.spatial_resampling(cur, surface, lights,
-                                         self.cfg.restir, frame_index)
+                                         self.cfg.restir, frame_index,
+                                         scene=scene, accel=accel,
+                                         block_size=self.cfg.block_size)
 
     def _restir_final(self, cur, surface, scene, lights, accel):
         return restir.final_shading(cur, surface, scene, lights,
@@ -457,7 +461,7 @@ class RenderPipeline:
                                             gbuf, reset, state.frame_index)
             if c.restir.spatial_enabled:
                 cur = self._restir_spatial(cur, surface, lights,
-                                           state.frame_index)
+                                           state.frame_index, scene, accel)
             di_diffuse, di_specular = self._restir_final(cur, surface, scene,
                                                          lights, accel)
             di_total = di_diffuse + di_specular
@@ -574,9 +578,9 @@ class RenderPipeline:
             if c.restir.spatial_enabled:
                 cur = timed(
                     "restir_spatial",
-                    jax.jit(lambda cu, su, li:
-                            self._restir_spatial(cu, su, li, fi)),
-                    cur, surface, lights)
+                    jax.jit(lambda cu, su, li, s, a:
+                            self._restir_spatial(cu, su, li, fi, s, a)),
+                    cur, surface, lights, scene, accel)
             di_diffuse, di_specular = timed(
                 "restir_final",
                 jax.jit(lambda cu, su, s, li, a:

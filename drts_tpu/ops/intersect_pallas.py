@@ -23,7 +23,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RAY_BLOCK = 2048      # lanes per grid program (multiple of 128)
+RAY_BLOCK = 2048      # lanes per grid program (multiple of 128). Measured
+                      # best at 1080p: 4096 halves the ~5 us/program fixed
+                      # cost but the (chunk, 4096) sweep temps pressure
+                      # VMEM and cost more than the floor saved.
 SPHERE_CHUNK = 128    # sphere sublanes per inner step (multiple of 8)
 INF = float("inf")    # python literal — jnp constants can't be captured
                       # by a pallas kernel body
@@ -158,8 +161,15 @@ def _morton_kernel(rays_ref, bounds_ref, table_ref, t_ref, idx_ref,
             # cone surface: positive and > er means no ray can reach it.
             outside_cone = perp * cmin - along * sin_c > er
             behind = along < -er
+            # Closest-hit early-out (block-granular front-to-back BVH
+            # analogue): once EVERY live lane holds a hit closer than this
+            # chunk's nearest possible intersection, skip it. Fires for
+            # direction-incoherent but origin-clustered bounce blocks,
+            # where the cone test is void.
+            t_done = jnp.max(jnp.where(live, best_t_s[:, :], 0.0))
+            too_far = jnp.sqrt(d2) - er > t_done
             chunk_possible = jnp.logical_not(
-                coherent & (outside_cone | behind))
+                (coherent & (outside_cone | behind)) | too_far)
 
             @pl.when(chunk_possible)
             def _():
@@ -176,19 +186,23 @@ def _morton_kernel(rays_ref, bounds_ref, table_ref, t_ref, idx_ref,
                     cxT = jnp.transpose(table_ref[0:1, s0:s0 + chunk])
                     cyT = jnp.transpose(table_ref[1:2, s0:s0 + chunk])
                     czT = jnp.transpose(table_ref[2:3, s0:s0 + chunk])
-                    rT = jnp.transpose(table_ref[3:4, s0:s0 + chunk])
                     objT = jnp.transpose(table_ref[4:5, s0:s0 + chunk])
+                    m2xT = jnp.transpose(table_ref[5:6, s0:s0 + chunk])
+                    m2yT = jnp.transpose(table_ref[6:7, s0:s0 + chunk])
+                    m2zT = jnp.transpose(table_ref[7:8, s0:s0 + chunk])
+                    ccrrT = jnp.transpose(table_ref[8:9, s0:s0 + chunk])
 
                     b2 = od - (cxT * dx + cyT * dy + czT * dz)
-                    c2 = oo - 2.0 * (cxT * ox + cyT * oy + czT * oz) \
-                        + (cxT * cxT + cyT * cyT + czT * czT - rT * rT)
+                    # -2c and |c|^2 - r^2 precomputed in the table rows;
+                    # padded entries carry ccrr = +1e30 so disc < 0 stands
+                    # in for the radius test.
+                    c2 = oo + (m2xT * ox + m2yT * oy + m2zT * oz) + ccrrT
                     disc2 = b2 * b2 - c2
                     sq2 = jnp.sqrt(jnp.maximum(disc2, 0.0))
                     t_near = -b2 - sq2
                     t_far = -b2 + sq2
                     t = jnp.where(t_near >= tmin, t_near, t_far)
-                    valid = (disc2 > 0.0) & (t >= tmin) & (t <= tmax) \
-                        & (rT > 0.0)
+                    valid = (disc2 > 0.0) & (t >= tmin) & (t <= tmax)
                     t = jnp.where(valid, t, INF)
 
                     chunk_t = jnp.min(t, axis=0, keepdims=True)
@@ -214,8 +228,9 @@ def _morton_kernel(rays_ref, bounds_ref, table_ref, t_ref, idx_ref,
 def intersect_morton_planar(rays_planar, bounds_tbl, table, n_chunks: int,
                             chunk: int, interpret=False):
     """Morton-chunk-culled closest hit. rays_planar: (8, N);
-    bounds_tbl: (4, C_pad) chunk bounds (SMEM); table: (5, n_chunks*chunk)
-    planar Morton-ordered spheres [cx cy cz r obj]."""
+    bounds_tbl: (4, C_pad) chunk bounds (SMEM); table: (9, n_chunks*chunk)
+    planar Morton-ordered spheres [cx cy cz r obj -2cx -2cy -2cz |c|^2-r^2]
+    (models/clusters.make_morton_accel)."""
     n = rays_planar.shape[1]
     assert n % RAY_BLOCK == 0, n
     grid = (n // RAY_BLOCK,)
@@ -249,6 +264,158 @@ def intersect_morton_planar(rays_planar, bounds_tbl, table, n_chunks: int,
             transcendentals=n * n_chunks),
         interpret=interpret,
     )(rays_planar, bounds_tbl, table)
+    return t[0], idx[0]
+
+
+def _morton_mxu_kernel(rays_ref, bounds_ref, table_ref, a_ref, t_ref,
+                       idx_ref, best_t_s, best_i_s, *, n_chunks: int,
+                       chunk: int):
+    """MXU variant of the Morton sweep: the per-(sphere, ray) quadratic
+    coefficients b = od - c·d and the c·o part of c0 are rank-8 matmuls
+    (chunk A-matrix (2*chunk, 8) @ ray matrix (8, R)), so they run on the
+    systolic array instead of the VPU — the VPU keeps only disc/sqrt/
+    select/argmin (~21 ops/pair vs ~33). A rows per chunk (built in
+    models/clusters.make_mxu_tables):
+      rows [0, chunk):        [-cx -cy -cz  0    0    0   1  0]
+      rows [chunk, 2*chunk):  [ 0   0   0  -2cx -2cy -2cz 0  |c|^2-r^2]
+    against X = [dx dy dz ox oy oz od 1], so Y[:chunk] = b and
+    Y[chunk:] + oo = c0. Padded spheres carry |c|^2-r^2 = +1e30, which
+    forces disc < 0 (replaces the rT > 0 test)."""
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+    tmin = rays_ref[6:7, :]
+    tmax = rays_ref[7:8, :]
+
+    best_t_s[:, :] = jnp.full(ox.shape, INF, jnp.float32)
+    best_i_s[:, :] = jnp.zeros(ox.shape, jnp.int32)
+
+    @pl.when(jnp.any(tmax >= tmin))
+    def _():
+        od = ox * dx + oy * dy + oz * dz
+        oo = ox * ox + oy * oy + oz * oz
+        x = jnp.concatenate(
+            [dx, dy, dz, ox, oy, oz, od, jnp.ones(ox.shape, jnp.float32)],
+            axis=0)                                   # (8, R)
+
+        # Block ray-bundle summary for the scalar chunk cull (identical to
+        # _morton_kernel).
+        live = tmax >= tmin
+        livef = live.astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(livef), 1.0)
+        mx = jnp.sum(jnp.where(live, ox, 0.0)) / cnt
+        my = jnp.sum(jnp.where(live, oy, 0.0)) / cnt
+        mz = jnp.sum(jnp.where(live, oz, 0.0)) / cnt
+        orad = jnp.sqrt(jnp.max(jnp.where(
+            live, (ox - mx) ** 2 + (oy - my) ** 2 + (oz - mz) ** 2, 0.0)))
+        ax = jnp.sum(jnp.where(live, dx, 0.0))
+        ay = jnp.sum(jnp.where(live, dy, 0.0))
+        az = jnp.sum(jnp.where(live, dz, 0.0))
+        inv_alen = 1.0 / jnp.maximum(
+            jnp.sqrt(ax * ax + ay * ay + az * az), 1e-12)
+        ax, ay, az = ax * inv_alen, ay * inv_alen, az * inv_alen
+        cmin = jnp.min(jnp.where(live, ax * dx + ay * dy + az * dz, 1.0))
+        coherent = cmin > 0.0
+        cmin = jnp.maximum(cmin, 0.0)
+        sin_c = jnp.sqrt(jnp.maximum(1.0 - cmin * cmin, 0.0))
+
+        for c in range(n_chunks):
+            bx = bounds_ref[0, c]
+            by = bounds_ref[1, c]
+            bz = bounds_ref[2, c]
+            br = bounds_ref[3, c]
+            vx, vy, vz = bx - mx, by - my, bz - mz
+            er = br + orad
+            along = vx * ax + vy * ay + vz * az
+            d2 = vx * vx + vy * vy + vz * vz
+            perp = jnp.sqrt(jnp.maximum(d2 - along * along, 0.0))
+            outside_cone = perp * cmin - along * sin_c > er
+            behind = along < -er
+            chunk_possible = jnp.logical_not(
+                coherent & (outside_cone | behind))
+
+            @pl.when(chunk_possible)
+            def _():
+                y = jax.lax.dot_general(
+                    a_ref[2 * chunk * c:2 * chunk * (c + 1), :], x,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)   # (2*chunk, R)
+                b2 = y[:chunk]
+                c2 = y[chunk:] + oo
+                disc2 = b2 * b2 - c2
+                sq2 = jnp.sqrt(jnp.maximum(disc2, 0.0))
+                t_near = -b2 - sq2
+                t_far = -b2 + sq2
+                t = jnp.where(t_near >= tmin, t_near, t_far)
+                valid = (disc2 > 0.0) & (t >= tmin) & (t <= tmax)
+                t = jnp.where(valid, t, INF)
+
+                s0 = c * chunk
+                objT = jnp.transpose(table_ref[4:5, s0:s0 + chunk])
+                chunk_t = jnp.min(t, axis=0, keepdims=True)
+                arg = jnp.argmin(t, axis=0)
+                lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+                onehot = lane == arg[None, :]
+                chunk_obj = jnp.sum(jnp.where(onehot, objT, 0.0), axis=0,
+                                    keepdims=True).astype(jnp.int32)
+
+                cur_t = best_t_s[:, :]
+                closer = chunk_t < cur_t
+                best_t_s[:, :] = jnp.where(closer, chunk_t, cur_t)
+                best_i_s[:, :] = jnp.where(closer, chunk_obj,
+                                           best_i_s[:, :])
+
+    t_ref[:, :] = best_t_s[:, :]
+    idx_ref[:, :] = best_i_s[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("n_chunks", "chunk",
+                                             "interpret"))
+def intersect_morton_mxu(rays_planar, bounds_tbl, table, a_tbl,
+                         n_chunks: int, chunk: int, interpret=False):
+    """MXU-offloaded Morton closest hit. a_tbl: (n_chunks*2*chunk, 8) chunk
+    A-matrices (models/clusters.make_mxu_tables). Other args as
+    intersect_morton_planar."""
+    n = rays_planar.shape[1]
+    assert n % RAY_BLOCK == 0, n
+    grid = (n // RAY_BLOCK,)
+
+    t, idx = pl.pallas_call(
+        functools.partial(_morton_mxu_kernel, n_chunks=n_chunks,
+                          chunk=chunk),
+        out_shape=(jax.ShapeDtypeStruct((1, n), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n), jnp.int32)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, bounds_tbl.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(table.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(a_tbl.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, RAY_BLOCK), jnp.float32),
+            pltpu.VMEM((1, RAY_BLOCK), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=25 * n * (n_chunks + table.shape[1]),
+            bytes_accessed=(8 + 2) * n * 4,
+            transcendentals=n * n_chunks),
+        interpret=interpret,
+    )(rays_planar, bounds_tbl, table, a_tbl)
     return t[0], idx[0]
 
 
@@ -322,19 +489,21 @@ def _anyhit_kernel(rays_ref, bounds_ref, table_ref, occ_ref, occ_s, *,
                 cxT = jnp.transpose(table_ref[0:1, s0:s0 + chunk])
                 cyT = jnp.transpose(table_ref[1:2, s0:s0 + chunk])
                 czT = jnp.transpose(table_ref[2:3, s0:s0 + chunk])
-                rT = jnp.transpose(table_ref[3:4, s0:s0 + chunk])
                 objT = jnp.transpose(table_ref[4:5, s0:s0 + chunk])
+                m2xT = jnp.transpose(table_ref[5:6, s0:s0 + chunk])
+                m2yT = jnp.transpose(table_ref[6:7, s0:s0 + chunk])
+                m2zT = jnp.transpose(table_ref[7:8, s0:s0 + chunk])
+                ccrrT = jnp.transpose(table_ref[8:9, s0:s0 + chunk])
 
                 b2 = od - (cxT * dx + cyT * dy + czT * dz)
-                c2 = oo - 2.0 * (cxT * ox + cyT * oy + czT * oz) \
-                    + (cxT * cxT + cyT * cyT + czT * czT - rT * rT)
+                c2 = oo + (m2xT * ox + m2yT * oy + m2zT * oz) + ccrrT
                 disc2 = b2 * b2 - c2
                 sq2 = jnp.sqrt(jnp.maximum(disc2, 0.0))
                 t_near = -b2 - sq2
                 t_far = -b2 + sq2
                 t = jnp.where(t_near >= tmin, t_near, t_far)
                 blocked = (disc2 > 0.0) & (t >= tmin) & (t <= tmax) \
-                    & (rT > 0.0) & (objT != exclude)
+                    & (objT != exclude)
                 any_hit = jnp.sum(blocked.astype(jnp.int32), axis=0,
                                   keepdims=True)
                 occ_s[:, :] = occ_s[:, :] | (any_hit > 0).astype(jnp.int32)

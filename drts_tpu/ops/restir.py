@@ -51,6 +51,17 @@ class ReSTIRConfig:
     spatial_radius: float = 30.0
     depth_threshold: float = 0.1
     normal_threshold: float = 0.5
+    # Spatial-reuse MIS mode (the RTXDI bias-correction switch,
+    # /root/reference/Source/RTXDI.ixx:73-139 spatialBiasCorrection):
+    #   "basic"     — 1/M normalization (cheapest; slight darkening bias at
+    #                 geometric edges where neighbor target pdfs disagree),
+    #   "pairwise"  — pairwise balance heuristic between each neighbor and
+    #                 the canonical reservoir (unbiased; re-evaluates each
+    #                 sample at BOTH surfaces),
+    #   "raytraced" — pairwise with a visibility ray folded into the
+    #                 cross-surface target pdfs (also corrects shadow-edge
+    #                 bias; costs one any-hit batch per cross term).
+    spatial_bias_correction: str = "basic"
 
 
 @struct.dataclass
@@ -61,6 +72,12 @@ class Reservoirs:
     w_sum: jnp.ndarray        # (H, W)
     m_count: jnp.ndarray      # (H, W)
     w_out: jnp.ndarray        # (H, W) unbiased contribution weight W
+    # Target pdf of the selected sample AT THE SURFACE THAT OWNS THIS
+    # RESERVOIR — carried so the next resampling stage (same pixel, same
+    # frame) skips a full light-row gather + BSDF re-evaluation. Stale for
+    # *reprojected/neighbor* fetches, which must re-evaluate (the
+    # RAB_GetLightSampleTargetPdfForSurface contract).
+    phat: jnp.ndarray         # (H, W)
 
 
 def init_reservoirs(height: int, width: int) -> Reservoirs:
@@ -69,7 +86,8 @@ def init_reservoirs(height: int, width: int) -> Reservoirs:
         uv=jnp.zeros((height, width, 2), jnp.float32),
         w_sum=jnp.zeros((height, width), jnp.float32),
         m_count=jnp.zeros((height, width), jnp.float32),
-        w_out=jnp.zeros((height, width), jnp.float32))
+        w_out=jnp.zeros((height, width), jnp.float32),
+        phat=jnp.zeros((height, width), jnp.float32))
 
 
 @struct.dataclass
@@ -366,7 +384,7 @@ def initial_sampling(surface: Surface, scene: SphereScene,
     w_out = jnp.where(occluded | ~surface.valid, 0.0, w_out)
 
     return Reservoirs(light_index=res_idx, uv=res_uv, w_sum=w_sum,
-                      m_count=m_count, w_out=w_out)
+                      m_count=m_count, w_out=w_out, phat=res_phat)
 
 
 def _occluded(origin, direction, light_dist, scene, light_idx,
@@ -403,7 +421,7 @@ def _finalize(idx, uv, phat, w_sum, m_count):
                       w_sum / (jnp.maximum(m_count, 1.0)
                                * jnp.maximum(phat, 1e-20)), 0.0)
     return Reservoirs(light_index=idx, uv=uv, w_sum=w_sum, m_count=m_count,
-                      w_out=w_out)
+                      w_out=w_out, phat=phat)
 
 
 # ----------------------------------------------------------------------------
@@ -464,7 +482,7 @@ def temporal_resampling(cur: Reservoirs, prev: Reservoirs, surface: Surface,
                        jnp.arange(h)[:, None] + 5, frame_index * 3 + 2)
     u_keep, rng = rng_mod.next_float(rng)
 
-    cur_phat = _target_pdf(surface, lights, cur.light_index, cur.uv)[0]
+    cur_phat = cur.phat  # evaluated at this surface by initial sampling
     idx, uv, phat, w_sum, m_count = _merge(
         cur.light_index, cur.uv, cur_phat,
         cur_phat * cur.w_out * cur.m_count, cur.m_count,
@@ -497,24 +515,56 @@ def _avg_pool(x, size: int):
 # spatial resampling (DISpatialResampling.hlsl)
 
 
-def spatial_resampling(cur: Reservoirs, surface: Surface,
-                       lights: light_mod.Lights, cfg: ReSTIRConfig,
-                       frame_index) -> Reservoirs:
+def _pack_surface_rows(surface: Surface):
+    """(H, W, 30) rows carrying everything needed to re-evaluate a target
+    pdf AT a gathered neighbor surface (the RAB_GetGBufferSurface fetch,
+    RTXDIAppBridge.hlsli:293-348, packed for ONE wide row gather)."""
+    bs = surface.bsdf
+    return jnp.concatenate([
+        surface.position, surface.normal, surface.view,
+        surface.sv.front_geometric_normal,
+        bs.albedo, bs.f0,
+        bs.roughness[..., None], bs.ior_i[..., None], bs.ior_o[..., None],
+        bs.transmission[..., None], bs.metallic[..., None],
+        bs.base_color, surface.lobe_weights,
+        surface.valid.astype(jnp.float32)[..., None],
+    ], axis=-1)
+
+
+def _surface_from_rows(rows):
+    """Rebuild a Surface view from _pack_surface_rows output (tangent basis
+    re-derived deterministically from the shading normal)."""
+    nrm = rows[..., 3:6]
+    t, b = m.orthonormal_basis(nrm)
+    sv = bxdf.SurfaceVectors(front_geometric_normal=rows[..., 9:12],
+                             shading_normal=nrm, tangent=t, bitangent=b)
+    bs = bxdf.BSDF(base_color=rows[..., 23:26], metallic=rows[..., 22],
+                   albedo=rows[..., 12:15], roughness=rows[..., 18],
+                   ior_i=rows[..., 19], ior_o=rows[..., 20],
+                   f0=rows[..., 15:18], transmission=rows[..., 21])
+    return Surface(valid=rows[..., 29] > 0.5, position=rows[..., 0:3],
+                   view=rows[..., 6:9], bsdf=bs, sv=sv,
+                   lobe_weights=rows[..., 26:29],
+                   depth=jnp.zeros_like(rows[..., 18]), normal=nrm)
+
+
+def _spatial_neighbors(cur, surface, cfg, frame_index, with_surface: bool):
+    """Draw cfg.spatial_samples disc neighbors; gather their reservoir (and
+    optionally full surface) rows; apply the similarity tests. Yields a list
+    of dicts."""
     h, w = surface.depth.shape
     rng = rng_mod.init(jnp.arange(w)[None, :] + jnp.zeros((h, 1), jnp.int32),
                        jnp.arange(h)[:, None] + jnp.zeros((1, w), jnp.int32),
                        frame_index * 3 + 3)
-
-    phat = _target_pdf(surface, lights, cur.light_index, cur.uv)[0]
-    idx, uv = cur.light_index, cur.uv
-    w_sum = phat * cur.w_out * cur.m_count
-    m_count = cur.m_count
-
     py = jnp.arange(h)[:, None] + jnp.zeros((1, w), jnp.int32)
     px = jnp.arange(w)[None, :] + jnp.zeros((h, 1), jnp.int32)
     sdepth = jnp.where(jnp.isfinite(surface.depth), surface.depth, 1e8)
-    packed = _pack_reservoirs(cur, (sdepth, surface.normal))
+    extra = (sdepth, surface.normal)
+    if with_surface:
+        extra = extra + (_pack_surface_rows(surface),)
+    packed = _pack_reservoirs(cur, extra)
 
+    out = []
     for _ in range(cfg.spatial_samples):
         u3, rng = rng_mod.next_floats(rng, 3)
         u_r, u_a, u_keep = u3[..., 0], u3[..., 1], u3[..., 2]
@@ -524,21 +574,119 @@ def spatial_resampling(cur: Reservoirs, surface: Surface,
             jnp.int32), 0, w - 1)
         ny = jnp.clip(py + jnp.round(radius * jnp.sin(angle)).astype(
             jnp.int32), 0, h - 1)
-
         n_idx, n_uv, n_m, n_w, rest = _fetch_packed(packed, ny, nx)
-        # Material/geometry similarity (DISpatialResampling.hlsl:6-41).
         depth_ok = jnp.abs(rest[..., 0] - sdepth) \
             <= cfg.depth_threshold * jnp.maximum(jnp.abs(sdepth), 1e-3)
         normal_ok = m.dot(rest[..., 1:4],
                           surface.normal) >= cfg.normal_threshold
         ok = depth_ok & normal_ok & surface.valid
-        n_m = jnp.where(ok, n_m, 0.0)
+        n = {"idx": n_idx, "uv": n_uv, "m": jnp.where(ok, n_m, 0.0),
+             "w": n_w, "u_keep": u_keep}
+        if with_surface:
+            n["surface"] = _surface_from_rows(rest[..., 4:])
+        out.append(n)
+    return out
 
-        n_phat = _target_pdf(surface, lights, n_idx, n_uv)[0]
-        b_w = jnp.where(ok, n_phat * n_w * n_m, 0.0)
+
+def _spatial_pairwise(cur: Reservoirs, surface: Surface,
+                      lights: light_mod.Lights, cfg: ReSTIRConfig,
+                      frame_index, scene=None, accel=None,
+                      block_size: int = 16384) -> Reservoirs:
+    """Pairwise-MIS spatial reuse: each neighbor is MIS-balanced against
+    the canonical reservoir with confidence (M) weights,
+
+        m_i(x) = M_i p̂_i(x) / (k M_i p̂_i(x) + M_c p̂_c(x))
+        m_c(x_c) = (1/k) Σ_i M_c p̂_c(x_c) / (k M_i p̂_i(x_c) + M_c p̂_c(x_c))
+
+    (Σ_j m_j(x) ≡ 1, so resampling stays unbiased — the generalized balance
+    heuristic of the RTXDI pairwise bias-correction mode, RTXDI.ixx:73-139).
+    Because the m's normalize the stream, the finalize divides by p̂ only
+    (no 1/M). "raytraced" mode multiplies the cross-surface target pdfs by
+    a traced visibility term, correcting shadow-edge bias as well."""
+    raytraced = cfg.spatial_bias_correction == "raytraced" \
+        and scene is not None
+    k = float(cfg.spatial_samples)
+    neighbors = _spatial_neighbors(cur, surface, cfg, frame_index,
+                                   with_surface=True)
+
+    phat_c = cur.phat  # evaluated at this surface by the prior stage
+    m_c = cur.m_count
+
+    def vis(from_surface, idx, uv):
+        """Visibility factor at a surface toward sample (idx, uv)."""
+        _, direction, dist, _, _, _, _ = _target_pdf(from_surface, lights,
+                                                     idx, uv)
+        origin = intersect.safe_spawn_point(
+            from_surface.position, from_surface.sv.front_geometric_normal,
+            direction)
+        occ = _occluded(origin, direction, dist, scene, idx, block_size,
+                        accel)
+        return (~occ).astype(jnp.float32)
+
+    # Pass 1: cross-evaluations + the canonical MIS weight.
+    mc_weight = jnp.zeros_like(phat_c)
+    evals = []
+    for n in neighbors:
+        nsurf = n["surface"]
+        phat_i_xi = _target_pdf(nsurf, lights, n["idx"], n["uv"])[0]
+        phat_c_xi = _target_pdf(surface, lights, n["idx"], n["uv"])[0]
+        phat_i_xc = _target_pdf(nsurf, lights, cur.light_index, cur.uv)[0]
+        if raytraced:
+            phat_c_xi = phat_c_xi * vis(surface, n["idx"], n["uv"])
+            phat_i_xc = phat_i_xc * vis(nsurf, cur.light_index, cur.uv)
+        a_xc = k * n["m"] * phat_i_xc
+        f_xc = m_c * phat_c
+        mc_weight = mc_weight + jnp.where(
+            f_xc > 0, f_xc / jnp.maximum(a_xc + f_xc, 1e-20), 0.0) / k
+        evals.append((phat_i_xi, phat_c_xi))
+
+    # Pass 2: streaming reservoir merge with the MIS-weighted stream.
+    idx, uv = cur.light_index, cur.uv
+    phat = phat_c
+    w_sum = mc_weight * phat_c * cur.w_out
+    m_count = m_c
+    for n, (phat_i_xi, phat_c_xi) in zip(neighbors, evals):
+        a_xi = k * n["m"] * phat_i_xi
+        m_i = jnp.where(n["m"] > 0, n["m"] * phat_i_xi
+                        / jnp.maximum(a_xi + m_c * phat_c_xi, 1e-20), 0.0)
+        b_w = m_i * phat_c_xi * n["w"]
+        w_sum_new = w_sum + b_w
+        take = (n["u_keep"] * w_sum_new) < b_w
+        idx = jnp.where(take, n["idx"], idx)
+        uv = jnp.where(take[..., None], n["uv"], uv)
+        phat = jnp.where(take, phat_c_xi, phat)
+        w_sum = w_sum_new
+        m_count = m_count + n["m"]
+
+    w_out = jnp.where(phat > 0,
+                      w_sum / jnp.maximum(phat, 1e-20), 0.0)
+    return Reservoirs(light_index=idx, uv=uv, w_sum=w_sum, m_count=m_count,
+                      w_out=w_out, phat=phat)
+
+
+def spatial_resampling(cur: Reservoirs, surface: Surface,
+                       lights: light_mod.Lights, cfg: ReSTIRConfig,
+                       frame_index, scene=None, accel=None,
+                       block_size: int = 16384) -> Reservoirs:
+    if cfg.spatial_bias_correction in ("pairwise", "raytraced"):
+        return _spatial_pairwise(cur, surface, lights, cfg, frame_index,
+                                 scene=scene, accel=accel,
+                                 block_size=block_size)
+    # "basic" 1/M mode (material/geometry similarity tests per
+    # DISpatialResampling.hlsl:6-41; neighbor target pdfs re-evaluated at
+    # the canonical surface only).
+    phat = cur.phat  # evaluated at this surface by the prior stage
+    idx, uv = cur.light_index, cur.uv
+    w_sum = phat * cur.w_out * cur.m_count
+    m_count = cur.m_count
+
+    for n in _spatial_neighbors(cur, surface, cfg, frame_index,
+                                with_surface=False):
+        n_phat = _target_pdf(surface, lights, n["idx"], n["uv"])[0]
+        b_w = jnp.where(n["m"] > 0, n_phat * n["w"] * n["m"], 0.0)
         idx, uv, phat, w_sum, m_count = _merge(
-            idx, uv, phat, w_sum, m_count, n_idx, n_uv, b_w, n_m, n_phat,
-            u_keep)
+            idx, uv, phat, w_sum, m_count, n["idx"], n["uv"], b_w, n["m"],
+            n_phat, n["u_keep"])
 
     return _finalize(idx, uv, phat, w_sum, m_count)
 

@@ -7,7 +7,10 @@ Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force (not setdefault): the environment ships JAX_PLATFORMS=axon, and a
+# test process that initializes the axon relay holds the single TPU tunnel,
+# blocking concurrent benchmark runs.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

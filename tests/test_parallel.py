@@ -62,3 +62,52 @@ def test_dryrun_multichip_small():
         os.path.abspath(__file__))))
     import __graft_entry__ as g
     g.dryrun_multichip(2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_full_pipeline_sharded_matches_single_device():
+    """The FULL frame graph (ReSTIR + SHARC + denoise + TAA + bloom) under
+    8-way row sharding is numerically equal to the unsharded run — the
+    à-trous/TAA/bloom halos cross shard boundaries at 8 rows per device, so
+    any GSPMD halo-exchange bug shows up as a value difference (VERDICT r1
+    item 8: equality, not just finiteness)."""
+    from drts_tpu.models import myscene, pipeline
+    from drts_tpu.ops import restir, sharc
+
+    h = w = 64
+    cfg = pipeline.PipelineConfig(
+        output_width=w, output_height=h, render_width=w, render_height=h,
+        bounces=2, samples_per_pixel=1, block_size=1024,
+        sharc=sharc.SHARCConfig(capacity_log2=14),
+        restir=restir.ReSTIRConfig(regir_cells_per_axis=8,
+                                   regir_build_samples=4,
+                                   local_light_samples=4))
+    pipe = pipeline.RenderPipeline(cfg)
+    host = myscene.build(oscillator_grid=3)
+    state = pipe.init_state(host)
+    pose = pipe.default_camera_pose(host)
+
+    step = jax.jit(lambda s, p: pipe.render_frame(s, p, 1.0 / 60.0))
+    s1, img1 = step(state, pose)
+    s1, img1 = step(s1, pose)  # second frame exercises temporal history
+
+    mesh = mesh_mod.make_mesh(8)
+    state_sharding = mesh_mod.frame_state_sharding(
+        state, mesh, image_heights=(h, pipe.cfg.output_height))
+    pose_sharding = jax.tree.map(lambda _: mesh_mod.replicated(mesh), pose)
+    sharded_step = jax.jit(
+        lambda s, p: pipe.render_frame(s, p, 1.0 / 60.0),
+        in_shardings=(state_sharding, pose_sharding),
+        out_shardings=(state_sharding, mesh_mod.image_sharding(mesh)))
+    s8 = jax.device_put(state, state_sharding)
+    p8 = jax.device_put(pose, pose_sharding)
+    s8, img8 = sharded_step(s8, p8)
+    s8, img8 = sharded_step(s8, p8)
+
+    assert len(img8.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img8),
+                               atol=2e-4, rtol=2e-4)
+    # Temporal state (denoiser/TAA history) must agree too.
+    np.testing.assert_allclose(np.asarray(s1.taa.history),
+                               np.asarray(s8.taa.history),
+                               atol=2e-4, rtol=2e-4)

@@ -236,11 +236,14 @@ def test_pallas_interpret_morton_and_clustered_match_xla():
     t_c, i_c = ip.intersect_clustered_planar(
         rays, acc2.bounds_tbl, acc2.members_tbl, acc2.n_clusters,
         acc2.max_members, interpret=True)
+    t_x, i_x = ip.intersect_morton_mxu(rays, acc.bounds_tbl, acc.table,
+                                       acc.mxu_a, acc.n_chunks, acc.chunk,
+                                       interpret=True)
 
     fin = np.isfinite(np.asarray(ref.t))
     ref_t = np.asarray(ref.t)
     ref_i = np.asarray(ref.index)
-    for t_pal, i_pal in ((t_m, i_m), (t_c, i_c)):
+    for t_pal, i_pal in ((t_m, i_m), (t_c, i_c), (t_x, i_x)):
         t_pal = np.asarray(t_pal)[:n]
         i_pal = np.asarray(i_pal)[:n]
         np.testing.assert_array_equal(np.isfinite(t_pal), fin)
