@@ -62,14 +62,19 @@ def _clamp(v, lo, hi):
 
 @dataclass(frozen=True)
 class CameraSettings:
-    """MyAppData.h:173-179."""
+    """MyAppData.h:173-179 + thin-lens depth of field (Camera.ixx:25,
+    Camera.hlsli:43-54: ApertureRadius/focus-distance camera constants)."""
     is_jitter_enabled: bool = True
     horizontal_field_of_view: float = 90.0  # degrees, clamp [30, 120]
+    aperture_radius: float = 0.0            # world units; 0 = pinhole
+    focus_distance: float = 1.0             # |forward| scale (focus plane)
 
     def check(self) -> "CameraSettings":
         return dataclasses.replace(
             self, horizontal_field_of_view=_clamp(
-                self.horizontal_field_of_view, 30.0, 120.0))
+                self.horizontal_field_of_view, 30.0, 120.0),
+            aperture_radius=_clamp(self.aperture_radius, 0.0, 1.0),
+            focus_distance=_clamp(self.focus_distance, 0.1, 1e4))
 
 
 @dataclass(frozen=True)
@@ -169,13 +174,18 @@ class PostProcessingSettings:
     bloom_strength: float = 0.05
     tone_map_operator: ToneMapOperator = ToneMapOperator.ACES_FILMIC
     exposure: float = 1.0
+    # HDR10 output (App.cpp:1737-1744): ST.2084 + Rec.2020 rotation +
+    # paper-white scaling instead of the SDR operator + sRGB encode.
+    is_hdr_enabled: bool = False
+    paper_white_nits: float = 200.0
 
     def check(self) -> "PostProcessingSettings":
         return dataclasses.replace(
             self,
             sharpness=_clamp(self.sharpness, 0.0, 1.0),
             bloom_strength=_clamp(self.bloom_strength, 0.0, 1.0),
-            exposure=_clamp(self.exposure, 1e-3, 1e3))
+            exposure=_clamp(self.exposure, 1e-3, 1e3),
+            paper_white_nits=_clamp(self.paper_white_nits, 80.0, 1000.0))
 
 
 @dataclass(frozen=True)

@@ -52,6 +52,7 @@ class Materials:
     metallic_map: jnp.ndarray      # (K,) int32
     roughness_map: jnp.ndarray     # (K,) int32
     normal_map: jnp.ndarray        # (K,) int32
+    transmission_map: jnp.ndarray  # (K,) int32
 
     def emission(self):
         """Material::GetEmission = strength * color."""
@@ -80,4 +81,5 @@ def pack_materials(descs: list[MaterialDesc]) -> Materials:
         metallic_map=arr(lambda d: d.metallic_map, np.int32),
         roughness_map=arr(lambda d: d.roughness_map, np.int32),
         normal_map=arr(lambda d: d.normal_map, np.int32),
+        transmission_map=arr(lambda d: d.transmission_map, np.int32),
     )

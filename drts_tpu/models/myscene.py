@@ -59,17 +59,25 @@ def _simple_harmonic_velocity(a, omega, t, phi):
 
 
 def build(seed: int = 0, oscillator_grid: int = 10,
-          load_textures: bool = False) -> MySceneHost:
+          load_textures: bool = False,
+          env_map_path: str | None = None) -> MySceneHost:
     """Construct the demo scene (MySceneDesc ctor, MyScene.ixx:52-303).
 
     `oscillator_grid` is the half-extent of the oscillator lattice (the
     reference uses 10 -> 21x21 = 441 candidate cells); shrink for tests.
     `load_textures` wires the reference's texture assets (AlienMetal,
     Moon, Earth maps — MyScene.ixx:161-165,286-294) into a device atlas.
+    `env_map_path` loads a lat-long EXR environment map (the reference's
+    kloppenheim_07_4k.exr, MyScene.ixx:95); absent, the procedural sky
+    gradient stands in (ShadingHelpers.hlsli:29 fallback).
     """
     from . import assets
 
     atlas = assets.load_texture_atlas() if load_textures else None
+    env_texture = None
+    if env_map_path is not None:
+        from ..utils import image as image_mod
+        env_texture = jnp.asarray(image_mod.read_exr(env_map_path))
     rng = np.random.RandomState(seed)  # Source/Random.ixx mt19937 analogue
 
     positions: list = []
@@ -186,7 +194,8 @@ def build(seed: int = 0, oscillator_grid: int = 10,
     kinds_np = np.array(kinds, np.int32)
 
     env = sky.make_environment_light(
-        rotation=m.quat_from_axis_angle((0.0, 1.0, 0.0), np.pi))
+        rotation=m.quat_from_axis_angle((0.0, 1.0, 0.0), np.pi),
+        texture=env_texture)
 
     the_scene = scene_mod.SphereScene(
         center=center, rotation=rotation,

@@ -55,6 +55,12 @@ class PipelineConfig:
     sharpness: float = 0.5
     tone_map_operator: str = "ACESFilmic"
     exposure: float = 1.0
+    # HDR10 output path (App.cpp:1737-1744): ST.2084 + Rec.2020 signal.
+    hdr_enabled: bool = False
+    paper_white_nits: float = 200.0
+    # Thin-lens DoF (Camera.hlsli:43-54); 0 = pinhole.
+    aperture_radius: float = 0.0
+    focus_distance: float = 1.0
     jitter_enabled: bool = True
     physics_enabled: bool = True
     horizontal_fov_deg: float = 90.0
@@ -131,6 +137,10 @@ class PipelineConfig:
             sharpness=s.post.sharpness,
             tone_map_operator=s.post.tone_map_operator.value,
             exposure=s.post.exposure,
+            hdr_enabled=s.post.is_hdr_enabled,
+            paper_white_nits=s.post.paper_white_nits,
+            aperture_radius=s.camera.aperture_radius,
+            focus_distance=s.camera.focus_distance,
             jitter_enabled=s.camera.is_jitter_enabled,
             horizontal_fov_deg=s.camera.horizontal_field_of_view,
         )
@@ -252,15 +262,20 @@ class RenderPipeline:
             self.jitter_table[jnp.mod(state.frame_index,
                                       c.halton_period)],
             jnp.zeros(2, jnp.float32))
+        # |forward| = focus distance (Camera.ixx frame convention); the
+        # aperture radius turns the primary pass thin-lens (DoF).
         cam = camera_mod.make_camera(
             pose.position, pose.forward, pose.up,
             horizontal_fov_deg=c.horizontal_fov_deg,
-            aspect=c.render_width / c.render_height, jitter=jitter)
+            aspect=c.render_width / c.render_height, jitter=jitter,
+            aperture_radius=c.aperture_radius,
+            focus_distance=c.focus_distance)
         if prev_pose is not None:
             prev = camera_mod.make_camera(
                 prev_pose.position, prev_pose.forward, prev_pose.up,
                 horizontal_fov_deg=c.horizontal_fov_deg,
-                aspect=c.render_width / c.render_height)
+                aspect=c.render_width / c.render_height,
+                focus_distance=c.focus_distance)
             cam = cam.replace(prev_position=prev.position,
                               prev_right=prev.right, prev_up=prev.up,
                               prev_forward=prev.forward)
@@ -292,10 +307,12 @@ class RenderPipeline:
             accel = None
         return bodies, scene, cam, accel
 
-    def _stage_gbuffer(self, scene, cam, accel):
+    def _stage_gbuffer(self, scene, cam, accel, frame_index=0):
         c = self.cfg
         return gbuffer.generate(scene, cam, c.render_width, c.render_height,
-                                c.block_size, accel=accel)
+                                c.block_size, accel=accel,
+                                thin_lens=c.aperture_radius > 0.0,
+                                frame_index=frame_index)
 
     def _restir_prepare(self, scene, cam, frame_index):
         """Light prep + ReGIR grid build (RTXDI.ixx:141-241 head)."""
@@ -428,7 +445,9 @@ class RenderPipeline:
             color = post.sharpen(color, dyn.sharpness)
         if c.bloom_enabled:
             color = post.bloom(color, dyn.bloom_strength)
-        image = post.tonemap(color, c.tone_map_operator, dyn.exposure)
+        image = post.tonemap(color, c.tone_map_operator, dyn.exposure,
+                             hdr=c.hdr_enabled,
+                             paper_white_nits=c.paper_white_nits)
         return taa_state, image
 
     def render_frame(self, state: FrameState, pose: CameraPose,
@@ -444,7 +463,7 @@ class RenderPipeline:
                                                        prev_pose)
 
         # --- RenderScene (App.cpp:1111-1283) --------------------------------
-        gbuf = self._stage_gbuffer(scene, cam, accel)
+        gbuf = self._stage_gbuffer(scene, cam, accel, state.frame_index)
 
         # ReSTIR DI chain (RTXDI.ixx:141-241): light prep -> ReGIR build ->
         # initial -> temporal -> spatial -> final shading.
@@ -554,8 +573,9 @@ class RenderPipeline:
         bodies, scene, cam, accel = timed(
             "update", jax.jit(lambda s, p: self._stage_update(s, p, dt)),
             state, pose)
-        gbuf = timed("gbuffer", jax.jit(self._stage_gbuffer), scene, cam,
-                     accel)
+        gbuf = timed("gbuffer",
+                     jax.jit(lambda s, cm, a: self._stage_gbuffer(
+                         s, cm, a, fi)), scene, cam, accel)
 
         di_total = di_diffuse = di_specular = None
         if c.restir_enabled:

@@ -127,6 +127,7 @@ def object_table(scene: SphereScene) -> jnp.ndarray:
         mat.roughness_map[:, None].astype(jnp.float32),
         mat.alpha_cutoff[:, None],
         mat.emissive_color_map[:, None].astype(jnp.float32),
+        mat.transmission_map[:, None].astype(jnp.float32),
     ]
     return jnp.concatenate(cols, axis=-1)
 
@@ -176,6 +177,7 @@ def surface_attributes(scene: SphereScene, hit, ray_direction,
         metallic_map=row[..., 28].astype(jnp.int32),
         roughness_map=row[..., 29].astype(jnp.int32),
         normal_map=row[..., 27].astype(jnp.int32),
+        transmission_map=row[..., 32].astype(jnp.int32),
     )
     return HitSurface(
         valid=hit.hit,

@@ -40,20 +40,24 @@ def make_camera(position, forward=(0.0, 0.0, 1.0), up=(0.0, 1.0, 0.0),
                 horizontal_fov_deg: float = 90.0, aspect: float = 16 / 9,
                 jitter=(0.0, 0.0), aperture_radius: float = 0.0,
                 near_depth: float = 1e-3, far_depth: float = 1e8,
+                focus_distance: float = 1.0,
                 prev: "Camera | None" = None) -> Camera:
     """Build camera constants. ``aspect`` = width / height.
 
     Matches CameraController::SetLens (Camera.ixx:138-153): right/up are
-    scaled by tan(hfov/2) and 1/aspect. If ``prev`` is given its current
-    frame becomes this camera's previous frame (App.cpp:531-554 save).
+    scaled by tan(hfov/2) and 1/aspect. ``focus_distance`` scales the whole
+    frame (|forward| = focus distance, the Camera.ixx convention) — the
+    thin-lens ray generator's focal plane; pinhole rays are unaffected
+    (directions are normalized). If ``prev`` is given its current frame
+    becomes this camera's previous frame (App.cpp:531-554 save).
     """
     position = jnp.asarray(position, jnp.float32)
-    f = m.normalize(jnp.asarray(forward, jnp.float32))
+    f = m.normalize(jnp.asarray(forward, jnp.float32)) * focus_distance
     r = m.normalize(m.cross(jnp.asarray(up, jnp.float32), f))
-    u = m.cross(f, r)
+    u = m.cross(m.normalize(f), r)
     tan_half = np.tan(np.radians(horizontal_fov_deg) / 2).astype(np.float32)
-    r = r * tan_half
-    u = u * (tan_half / aspect)
+    r = r * (tan_half * focus_distance)
+    u = u * (tan_half * focus_distance / aspect)
     if prev is None:
         prev_pos, prev_r, prev_u, prev_f = position, r, u, f
     else:

@@ -15,6 +15,7 @@ Motion vectors reproject the hit through the *previous* object pose and the
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -39,10 +40,26 @@ class GBuffer:
 
 def generate(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
              width: int, height: int, block_size: int = 16384,
-             accel=None) -> GBuffer:
-    """Primary-ray pass. Pure; jit together with the integrator."""
+             accel=None, thin_lens: bool = False,
+             frame_index=0) -> GBuffer:
+    """Primary-ray pass. Pure; jit together with the integrator.
+
+    With ``thin_lens`` the primary rays sample the camera aperture
+    (Camera.hlsli:43-54 GenerateThinLensRay); defocus noise converges
+    through the temporal accumulation like any other per-pixel jitter."""
     ndc = camera_mod.pixel_ndc(width, height, cam.jitter)
-    ray_o, ray_d, t_min, t_max = camera_mod.generate_pinhole_rays(cam, ndc)
+    if thin_lens:
+        from ..utils import rng as rng_mod
+        px = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+        py = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+        rng = rng_mod.init(px + 977, py + 557, frame_index)
+        u2, _ = rng_mod.next_floats(rng, 2)
+        ray_o, ray_d, t_min, t_max = camera_mod.generate_thin_lens_rays(
+            cam, ndc, u2)
+    else:
+        ray_o, ray_d, t_min, t_max = camera_mod.generate_pinhole_rays(
+            cam, ndc)
+        ray_o = jnp.broadcast_to(ray_o, ray_d.shape)
     t_min = jnp.broadcast_to(t_min, (height, width))
     t_max = jnp.broadcast_to(t_max, (height, width))
 

@@ -15,50 +15,105 @@ area sampling + ToSolidAnglePDF (Light.hlsli:25-96, Math.hlsli:48-51).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
 from ..utils import math as m
 from ..models.scene import SphereScene
 
+# Static capacity of the compact light list (top-power emissive objects).
+# The demo scene has ~90 emissive oscillators + hero lights; scenes with
+# more lights keep the brightest MAX_LIGHTS (the RTXDI RIS buffer is
+# likewise a fixed-capacity presampled subset).
+MAX_LIGHTS = 128
+
 
 @struct.dataclass
 class Lights:
-    """LightInfo SoA over all scene objects (emissive or not).
+    """LightInfo SoA: object-indexed fields over all K scene objects plus a
+    COMPACT light-indexed table over the L=MAX_LIGHTS brightest emitters.
 
     Per-frame product of light preparation (LightPreparation::Process).
-    `power` is 0 for non-emissive objects, so the CDF only ever selects
-    true lights. `table` packs [cx cy cz r er eg eb power] so per-ray
-    fetches are ONE wide-row gather — narrow per-field gathers from small
-    tables cost ~17 ms each at 2M lanes on TPU.
+    Reservoirs and candidate streams carry *compact* indices: per-ray
+    attribute fetches then run over a (L, 9) table, small enough for the
+    one-hot-matmul fetch (`_onehot_fetch`) — a 2M-lane row gather from a
+    small table costs ~8 ms on TPU, the equivalent MXU matmul ~1 ms.
     """
     center: jnp.ndarray     # (K, 3) — current frame positions
     radius: jnp.ndarray     # (K,)
     emission: jnp.ndarray   # (K, 3) radiance
     power: jnp.ndarray      # (K,) luminance-weighted emitted power
-    cdf: jnp.ndarray        # (K,) normalized inclusive power CDF
     total_power: jnp.ndarray  # scalar
-    table: jnp.ndarray      # (K, 8) packed row per light
+    table: jnp.ndarray      # (K, 9) object row [c r e power light_id]
+    compact: jnp.ndarray    # (L, 9) light row  [c r e power object_id]
+    cdf: jnp.ndarray        # (L,) normalized inclusive power CDF (compact)
 
 
 @struct.dataclass
 class LightRows:
-    """Per-ray gathered light attributes (one wide gather)."""
+    """Per-ray gathered light attributes (one wide fetch)."""
     center: jnp.ndarray     # (..., 3)
     radius: jnp.ndarray     # (...,)
     emission: jnp.ndarray   # (..., 3)
     power: jnp.ndarray      # (...,)
+    aux: jnp.ndarray        # (...,) int32: object_id for compact rows,
+                            # light_id (-1 = not a light) for object rows
+
+
+# One-hot fetches pay off once the index count dwarfs the table; below the
+# threshold (CPU tests, small frames) the plain gather wins.
+_ONEHOT_MIN = 1 << 16
+
+
+def _onehot_fetch(table, idx):
+    """Exact row fetch table[idx] as an MXU matmul: one-hot(idx) @ table.
+    precision=HIGHEST makes the f32 matmul exact to f32 for a single
+    nonzero coefficient of 1.0 (verified against the gather in tests).
+    On TPU the Pallas kernel (gather_pallas.fetch_rows_small) keeps the
+    one-hot in VMEM (~1 ms at 2M lanes vs ~5.5 ms for this XLA form, which
+    round-trips the (N, K) one-hot through HBM, vs ~8 ms for the gather)."""
+    from . import intersect
+    if intersect.pallas_enabled():
+        from . import gather_pallas
+        return gather_pallas.fetch_rows_small(
+            table, idx, interpret=intersect.BACKEND == "interpret")
+    k, cols = table.shape
+    flat = idx.reshape(-1)
+    oh = (flat[:, None] == jnp.arange(k, dtype=flat.dtype)[None, :])
+    out = jax.lax.dot_general(oh.astype(jnp.float32), table,
+                              (((1,), (0,)), ((), ())),
+                              precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(idx.shape + (cols,))
+
+
+def _fetch(table, idx, force_onehot=False):
+    if force_onehot or idx.size >= _ONEHOT_MIN:
+        return _onehot_fetch(table, idx)
+    return table[idx]
 
 
 def fetch_rows(lights: Lights, idx) -> LightRows:
-    row = lights.table[idx]
+    """COMPACT-indexed light fetch; `aux` is the source object id."""
+    row = _fetch(lights.compact, idx)
     return LightRows(center=row[..., 0:3], radius=row[..., 3],
-                     emission=row[..., 4:7], power=row[..., 7])
+                     emission=row[..., 4:7], power=row[..., 7],
+                     aux=jnp.round(row[..., 8]).astype(jnp.int32))
+
+
+def fetch_rows_object(lights: Lights, obj_idx) -> LightRows:
+    """OBJECT-indexed fetch (for BRDF-ray candidates that hit geometry);
+    `aux` is the compact light id, -1 when the object is not a light."""
+    row = _fetch(lights.table, obj_idx)
+    return LightRows(center=row[..., 0:3], radius=row[..., 3],
+                     emission=row[..., 4:7], power=row[..., 7],
+                     aux=jnp.round(row[..., 8]).astype(jnp.int32))
 
 
 def prepare(scene: SphereScene) -> Lights:
     """CountLights/PrepareResources/Process analogue
-    (LightPreparation.ixx:52-133): emission -> power -> sampling CDF.
+    (LightPreparation.ixx:52-133): emission -> power -> compact light list
+    -> sampling CDF.
 
     Emissive-texture handling (LightPreparation.hlsl:86-128): the
     reference scales each light's radiance by a filtered average of its
@@ -81,12 +136,39 @@ def prepare(scene: SphereScene) -> Lights:
     # in the normalized CDF.
     power = m.luminance(emission) * scene.radius * scene.radius
     total = jnp.sum(power)
-    cdf = jnp.cumsum(power) / jnp.maximum(total, 1e-20)
+
+    # Compact list: top-MAX_LIGHTS objects by power. Powers derive from
+    # static materials, so the ordering — and with it every compact id —
+    # is frame-stable (temporal reservoir reuse stores compact ids).
+    n_l = min(MAX_LIGHTS, k)
+    top_power, top_obj = jax.lax.top_k(power, n_l)
+    pad = MAX_LIGHTS - n_l
+    if pad:
+        top_power = jnp.pad(top_power, (0, pad))
+        top_obj = jnp.pad(top_obj, (0, pad))
+    is_light = top_power > 0
+    top_obj = jnp.where(is_light, top_obj, -1)
+    safe_obj = jnp.maximum(top_obj, 0)
+    compact = jnp.concatenate([
+        scene.center[safe_obj], scene.radius[safe_obj, None],
+        emission[safe_obj], top_power[:, None],
+        top_obj[:, None].astype(jnp.float32)], axis=-1)
+    compact = jnp.where(is_light[:, None], compact,
+                        jnp.zeros_like(compact).at[:, 8].set(-1.0))
+    cdf = jnp.cumsum(top_power) / jnp.maximum(total, 1e-20)
+
+    # Object-indexed reverse map: light_id of each object (-1 = none).
+    # Non-light rows scatter to out-of-range index k and are dropped (a
+    # dump-slot write could clobber a real object's id).
+    light_id = jnp.full((k,), -1, jnp.int32).at[
+        jnp.where(is_light, safe_obj, k)].set(
+        jnp.arange(MAX_LIGHTS, dtype=jnp.int32), mode="drop")
     table = jnp.concatenate([scene.center, scene.radius[:, None], emission,
-                             power[:, None]], axis=-1)
+                             power[:, None],
+                             light_id[:, None].astype(jnp.float32)], axis=-1)
     return Lights(center=scene.center, radius=scene.radius,
-                  emission=emission, power=power, cdf=cdf, total_power=total,
-                  table=table)
+                  emission=emission, power=power, total_power=total,
+                  table=table, compact=compact, cdf=cdf)
 
 
 def _count_leq_chunked(cdf, u, chunk: int = 64):
@@ -112,37 +194,15 @@ def _count_leq_chunked(cdf, u, chunk: int = 64):
 
 
 def sample_light_index(lights: Lights, u):
-    """Power-proportional light pick: index + its selection PDF.
+    """Power-proportional light pick: COMPACT index + its selection PDF.
     The CDF inversion is the TPU analogue of the reference's PDF-texture
-    mip descent. For per-pixel candidate streams use `presample_tiles` —
-    the LocalLightPresampling.hlsl design — which amortizes the inversion
-    into one small pass per frame."""
+    mip descent. Per-pixel candidate streams never call this directly —
+    restir.build_regir_grid amortizes it into per-frame ReGIR cells plus
+    power-RIS fallback rows (the LocalLightPresampling.hlsl role)."""
     idx = _count_leq_chunked(lights.cdf, u)
     idx = jnp.clip(idx, 0, lights.cdf.shape[0] - 1)
-    pdf = lights.power[idx] / jnp.maximum(lights.total_power, 1e-20)
-    return idx, pdf
-
-
-def presample_tiles(lights: Lights, count: int, frame_index):
-    """Power-RIS presampling tiles (LocalLightPresampling.hlsl / RTXDI RIS
-    buffer): draw `count` light indices from the power distribution once
-    per frame; per-pixel candidates then pick uniformly from the tile —
-    marginally power-distributed, O(1) per candidate."""
-    from ..utils import rng as rng_mod
-    lane = jnp.arange(count, dtype=jnp.int32)
-    state = rng_mod.init(lane, jnp.full((count,), 4242, jnp.int32),
-                         frame_index)
-    u, _ = rng_mod.next_float(state)
-    idx, _ = sample_light_index(lights, u)
-    return idx
-
-
-def pick_from_tiles(lights: Lights, tiles, u):
-    """Uniform pick from the presampled tile buffer + its marginal pdf."""
-    count = tiles.shape[0]
-    slot = jnp.minimum((u * count).astype(jnp.int32), count - 1)
-    idx = tiles[slot]
-    pdf = lights.power[idx] / jnp.maximum(lights.total_power, 1e-20)
+    pdf = _fetch(lights.compact, idx)[..., 7] / jnp.maximum(
+        lights.total_power, 1e-20)
     return idx, pdf
 
 

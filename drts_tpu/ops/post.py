@@ -42,9 +42,46 @@ TONEMAP_OPERATORS = {
     "ACESFilmic": tonemap_aces,
 }
 
+# Rec.709 -> Rec.2020 primaries rotation (the ColorRotation the reference's
+# HDR path applies, App.cpp:1737-1744 / ToneMapPostProcess SetColorRotation
+# HDTV_to_UHDTV).
+REC709_TO_REC2020 = (
+    (0.627404, 0.329283, 0.043313),
+    (0.069097, 0.919540, 0.011362),
+    (0.016392, 0.088013, 0.895595),
+)
+
+
+def st2084_encode(nits):
+    """SMPTE ST.2084 (PQ) OETF: absolute luminance in nits -> signal.
+    The transfer DirectXTK's Operator_None+ST2084 path applies for HDR10
+    swap chains (App.cpp:1737-1744)."""
+    m1, m2 = 2610.0 / 16384.0, 2523.0 / 4096.0 * 128.0
+    c1 = 3424.0 / 4096.0
+    c2 = 2413.0 / 4096.0 * 32.0
+    c3 = 2392.0 / 4096.0 * 32.0
+    y = jnp.clip(nits / 10000.0, 0.0, 1.0)
+    yp = jnp.power(y, m1)
+    return jnp.power((c1 + c2 * yp) / (1.0 + c3 * yp), m2)
+
+
+def tonemap_hdr10(x, exposure: float = 1.0, paper_white_nits: float = 200.0):
+    """HDR10 output: scene-linear Rec.709 -> Rec.2020 rotation -> scale by
+    paper-white nits -> ST.2084 encode (App.cpp:1737-1744: ST2084 operator +
+    color rotation + PaperWhiteNits)."""
+    v = jnp.maximum(x * exposure, 0.0)
+    mat = jnp.asarray(REC709_TO_REC2020, v.dtype)
+    v = jnp.einsum("...c,rc->...r", v, mat)
+    return st2084_encode(v * paper_white_nits)
+
 
 def tonemap(x, operator: str = "ACESFilmic", exposure: float = 1.0,
-            output_srgb: bool = True):
+            output_srgb: bool = True, hdr: bool = False,
+            paper_white_nits: float = 200.0):
+    """Display mapping. SDR: operator curve + sRGB encode. HDR
+    (App.cpp:1737-1744): ST.2084/Rec.2020 signal (no sRGB, no SDR curve)."""
+    if hdr:
+        return tonemap_hdr10(x, exposure, paper_white_nits)
     y = TONEMAP_OPERATORS[operator](x, exposure)
     return m.to_srgb(y) if output_srgb else y
 

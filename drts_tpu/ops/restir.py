@@ -67,7 +67,7 @@ class ReSTIRConfig:
 @struct.dataclass
 class Reservoirs:
     """Per-pixel DI reservoirs (RTXDIResources.ixx:76 buffer analogue)."""
-    light_index: jnp.ndarray  # (H, W) int32
+    light_index: jnp.ndarray  # (H, W) int32 COMPACT light id (light.Lights)
     uv: jnp.ndarray           # (H, W, 2) sample randoms (re-traced per site)
     w_sum: jnp.ndarray        # (H, W)
     m_count: jnp.ndarray      # (H, W)
@@ -92,12 +92,13 @@ def init_reservoirs(height: int, width: int) -> Reservoirs:
 
 @struct.dataclass
 class ReGIRGrid:
-    """Camera-centered world-space cell reservoirs (ReGIR onion analogue).
-    `packed` = flat (C*S, 2) [light_index, weight] rows for one-gather
-    candidate fetches."""
-    light_index: jnp.ndarray  # (C, S) int32
-    weight: jnp.ndarray       # (C, S) RIS weight W per slot
-    packed: jnp.ndarray       # (C*S, 2) float32
+    """Camera-centered world-space cell reservoirs (ReGIR onion analogue)
+    with N_FALLBACK_CELLS power-RIS rows appended (outside-grid candidate
+    source). `packed` = flat ((C+F)*S, 2) [compact_light_id, weight] rows
+    for one-gather candidate fetches."""
+    light_index: jnp.ndarray  # (C+F, S) int32 compact light ids
+    weight: jnp.ndarray       # (C+F, S) RIS weight W per slot
+    packed: jnp.ndarray       # ((C+F)*S, 2) float32
     origin: jnp.ndarray       # (3,) grid corner
     cell_size: jnp.ndarray    # scalar
 
@@ -154,17 +155,14 @@ def _uv_from_direction(rows: light_mod.LightRows, surface_pos, direction):
     return jnp.stack([u0, u1], axis=-1), inside_cone
 
 
-def _target_pdf(surface: Surface, lights: light_mod.Lights, idx, uv):
-    """p_hat: the unshadowed contribution integrand of sample (idx, uv) at
-    this surface, in *uv-square measure*: the reservoir domain is
-    (light id, cone-sampling uniforms), so the solid-angle integrand picks
-    up the cone Jacobian dω/duv = 1/cone_pdf. Omitting it scales DI by
-    ~1/solid-angle per light (vastly over-bright for small lights).
-    Also returns the shading pieces (direction, distance, f_diffuse,
-    f_specular, emission, inv_cone_pdf). All per-light attributes come from
-    ONE wide-row gather (narrow per-field gathers cost ~17 ms each at 2M
-    lanes on TPU)."""
-    rows = light_mod.fetch_rows(lights, idx)
+def _target_pdf_rows(surface: Surface, rows: light_mod.LightRows, uv):
+    """p_hat from pre-fetched light rows: the unshadowed contribution
+    integrand of the sample at this surface, in *uv-square measure*: the
+    reservoir domain is (light id, cone-sampling uniforms), so the
+    solid-angle integrand picks up the cone Jacobian dω/duv = 1/cone_pdf.
+    Omitting it scales DI by ~1/solid-angle per light (vastly over-bright
+    for small lights). Also returns the shading pieces (direction,
+    distance, f_diffuse, f_specular, emission, inv_cone_pdf)."""
     direction, dist, cone_pdf, emission = light_mod.sample_sphere_light_rows(
         rows, surface.position, uv)
     diff, spec = bxdf.eval_split(surface.bsdf, surface.sv, direction,
@@ -177,13 +175,23 @@ def _target_pdf(surface: Surface, lights: light_mod.Lights, idx, uv):
     return p_hat, direction, dist, diff, spec, emission, inv_cone
 
 
+def _target_pdf(surface: Surface, lights: light_mod.Lights, idx, uv):
+    """`_target_pdf_rows` plus the compact-row fetch (a one-hot MXU matmul
+    at frame scale — light.fetch_rows; a plain 2M-lane row gather from the
+    small table costs ~8 ms on TPU, the matmul ~1 ms). Returns the 7
+    shading pieces plus the fetched rows (rows.aux = source object id,
+    needed for visibility-ray self-exclusion)."""
+    rows = light_mod.fetch_rows(lights, idx)
+    return _target_pdf_rows(surface, rows, uv) + (rows,)
+
+
 def _target_pdf_with_bsdf(surface: Surface, lights: light_mod.Lights, idx,
                           uv):
     """_target_pdf plus the BSDF mixture pdf of the generated direction in
     uv measure (shares the row fetch and cone sampling — the MIS 'other
     technique' density for light candidates)."""
-    p_hat, direction, dist, diff, spec, emission, inv_cone = _target_pdf(
-        surface, lights, idx, uv)
+    p_hat, direction, dist, diff, spec, emission, inv_cone, _rows = \
+        _target_pdf(surface, lights, idx, uv)
     p_w = bxdf.eval_pdf(surface.bsdf, surface.sv, direction, surface.view,
                         surface.lobe_weights)
     return p_hat, p_w * inv_cone
@@ -191,6 +199,13 @@ def _target_pdf_with_bsdf(surface: Surface, lights: light_mod.Lights, idx,
 
 # ----------------------------------------------------------------------------
 # ReGIR grid build (ReGIRPresampling.hlsl analogue)
+
+
+# Fallback rows appended after the ReGIR cells: pure power-RIS draws (the
+# RTXDI presampled-tile path) serving pixels outside the grid volume. They
+# live in the same packed table so initial sampling needs a single
+# candidate-row fetch regardless of grid coverage.
+N_FALLBACK_CELLS = 64
 
 
 def build_regir_grid(lights: light_mod.Lights, camera_position,
@@ -219,10 +234,10 @@ def build_regir_grid(lights: light_mod.Lights, camera_position,
         u_pick, rng = rng_mod.next_float(rng)
         u_keep, rng = rng_mod.next_float(rng)
         idx, pick_pdf = light_mod.sample_light_index(lights, u_pick)
+        rows = light_mod.fetch_rows(lights, idx)
         # Cell target: power / squared distance (ReGIR cell importance).
-        d2 = jnp.sum((lights.center[idx] - centers[:, None, :]) ** 2,
-                     axis=-1)
-        p_hat = lights.power[idx] / jnp.maximum(d2, cfg.regir_cell_size ** 2)
+        d2 = jnp.sum((rows.center - centers[:, None, :]) ** 2, axis=-1)
+        p_hat = rows.power / jnp.maximum(d2, cfg.regir_cell_size ** 2)
         w = jnp.where(pick_pdf > 0, p_hat / jnp.maximum(pick_pdf, 1e-20), 0.0)
         w_sum = w_sum + w
         take = (u_keep * w_sum) < w
@@ -232,9 +247,23 @@ def build_regir_grid(lights: light_mod.Lights, camera_position,
     w_out = jnp.where(best_phat > 0,
                       w_sum / (cfg.regir_build_samples
                                * jnp.maximum(best_phat, 1e-20)), 0.0)
-    packed = jnp.stack([best_idx.reshape(-1).astype(jnp.float32),
-                        w_out.reshape(-1)], axis=-1)
-    return ReGIRGrid(light_index=best_idx, weight=w_out, packed=packed,
+
+    # Fallback rows: single-sample power RIS per slot, so the candidate
+    # weight W = 1/pdf — the power-sampling density in RIS-weight form.
+    fb = N_FALLBACK_CELLS
+    fb_rng = rng_mod.init(
+        jnp.arange(fb, dtype=jnp.int32)[:, None] * s
+        + jnp.arange(s, dtype=jnp.int32)[None, :],
+        jnp.full((fb, s), 3131, jnp.int32), frame_index)
+    u_fb, _ = rng_mod.next_float(fb_rng)
+    fb_idx, fb_pdf = light_mod.sample_light_index(lights, u_fb)
+    fb_w = jnp.where(fb_pdf > 0, 1.0 / jnp.maximum(fb_pdf, 1e-20), 0.0)
+
+    all_idx = jnp.concatenate([best_idx, fb_idx])
+    all_w = jnp.concatenate([w_out, fb_w])
+    packed = jnp.stack([all_idx.reshape(-1).astype(jnp.float32),
+                        all_w.reshape(-1)], axis=-1)
+    return ReGIRGrid(light_index=all_idx, weight=all_w, packed=packed,
                      origin=origin, cell_size=jnp.float32(cfg.regir_cell_size))
 
 
@@ -263,14 +292,23 @@ def initial_sampling(surface: Surface, scene: SphereScene,
     cell, inside = _cell_of(grid, surface.position,
                             cfg.regir_cells_per_axis)
     s = cfg.regir_slots_per_cell
-    # Power-presampled light tiles (LocalLightPresampling.hlsl): O(1)
-    # candidate picks instead of per-candidate CDF inversion. Packed with
-    # the marginal pdf for a single-gather fetch.
-    tile_idx = light_mod.presample_tiles(lights, 8192, frame_index)
-    tile_pdf = lights.power[tile_idx] / jnp.maximum(lights.total_power,
-                                                    1e-20)
-    tiles_packed = jnp.stack([tile_idx.astype(jnp.float32), tile_pdf],
-                             axis=-1)
+    c_total = cfg.regir_cells_per_axis ** 3
+
+    # Pixels outside the grid volume draw from one of the power-RIS
+    # fallback rows appended to the grid (RTXDI presampled-tile fallback);
+    # the cell pick is per-pixel per-frame, candidate variety within the
+    # frame comes from the slot pick (the RTXDI screen-tile presampling
+    # pattern).
+    u_fb, rng = rng_mod.next_float(rng)
+    fb_cell = c_total + jnp.minimum(
+        (u_fb * N_FALLBACK_CELLS).astype(jnp.int32), N_FALLBACK_CELLS - 1)
+    cell_eff = jnp.where(inside, cell, fb_cell)
+
+    # ONE candidate-row prefetch for ALL rounds: every slot of the pixel's
+    # cell in a single wide gather ((H, W) x s*2). The per-round gathers
+    # this replaces (grid row + tile row, ~8 + 4 ms each at 2M lanes) were
+    # the bulk of this pass's 190 ms.
+    rows_all = grid.packed.reshape(-1, s * 2)[cell_eff]
 
     res_idx = jnp.zeros((h, w), jnp.int32)
     res_uv = jnp.zeros((h, w, 2), jnp.float32)
@@ -283,44 +321,34 @@ def initial_sampling(surface: Surface, scene: SphereScene,
     m_total = float(n_l + n_b)
 
     for _ in range(n_l):
-        u3, rng = rng_mod.next_floats(rng, 3)
+        u2, rng = rng_mod.next_floats(rng, 2)
         uv, rng = rng_mod.next_floats(rng, 2)
-        u_slot, u_pick, u_keep = u3[..., 0], u3[..., 1], u3[..., 2]
+        u_slot, u_keep = u2[..., 0], u2[..., 1]
 
-        # Candidate from the ReGIR cell; fall back to a presampled-tile
-        # pick outside the grid (RTXDI fallback path). One wide-row gather
-        # per source.
+        # Slot select from the prefetched rows (s-way masked sum — cheap
+        # VPU work instead of a gather).
         slot = jnp.minimum((u_slot * s).astype(jnp.int32), s - 1)
-        grow = grid.packed[cell * s + slot]
-        cand_grid = grow[..., 0].astype(jnp.int32)
-        w_grid = grow[..., 1]
-        tslot = jnp.minimum((u_pick * tiles_packed.shape[0]).astype(
-            jnp.int32), tiles_packed.shape[0] - 1)
-        trow = tiles_packed[tslot]
-        cand_pow = trow[..., 0].astype(jnp.int32)
-        pow_pdf = trow[..., 1]
-        # Source "pdf" expressed as inverse weight: grid gives W directly.
-        inv_src_grid = w_grid                      # candidate weight
-        inv_src_pow = jnp.where(pow_pdf > 0, 1.0 / jnp.maximum(pow_pdf,
-                                                               1e-20), 0.0)
-        use_grid = inside & (w_grid > 0)
-        cand = jnp.where(use_grid, cand_grid, cand_pow)
-        inv_src = jnp.where(use_grid, inv_src_grid, inv_src_pow)
+        row = jnp.zeros((h, w, 2), jnp.float32)
+        for i in range(s):
+            row = row + jnp.where((slot == i)[..., None],
+                                  rows_all[..., 2 * i:2 * i + 2], 0.0)
+        cand = row[..., 0].astype(jnp.int32)
+        w_cand = row[..., 1]       # candidate RIS weight W (inverse pdf)
 
         # Balance-heuristic MIS against the BRDF-sampling technique
         # (DIInitialSampling's light/BRDF candidate mix): each candidate's
         # RIS weight is p_hat over the count-weighted mixture density
         # (x M to match the W = w_sum/(M p_hat) storage convention).
-        p_self = 1.0 / jnp.maximum(inv_src, 1e-20)
         if n_b > 0:
+            p_self = 1.0 / jnp.maximum(w_cand, 1e-20)
             p_hat, p_other = _target_pdf_with_bsdf(surface, lights, cand,
                                                    uv)
             wi = m_total * p_hat / jnp.maximum(
                 n_l * p_self + n_b * p_other, 1e-20)
-            wi = jnp.where(inv_src > 0, wi, 0.0)
+            wi = jnp.where(w_cand > 0, wi, 0.0)
         else:
             p_hat = _target_pdf(surface, lights, cand, uv)[0]
-            wi = p_hat * inv_src
+            wi = p_hat * w_cand
         w_sum = w_sum + wi
         m_count = m_count + 1.0
         take = (u_keep * w_sum) < wi
@@ -345,9 +373,10 @@ def initial_sampling(surface: Surface, scene: SphereScene,
         # Mesh-instance hits (index >= K) are occluders, never lights.
         n_spheres = scene.center.shape[0]
         k = jnp.minimum(bhit.index, n_spheres - 1)
-        krows = light_mod.fetch_rows(lights, k)   # one wide gather
+        krows = light_mod.fetch_rows_object(lights, k)  # one object fetch
+        cand_b = krows.aux                              # compact light id
         is_emissive = bhit.hit & (bhit.index < n_spheres) \
-            & (krows.power > 0)
+            & (krows.power > 0) & (cand_b >= 0)
         uv_b, inside_cone = _uv_from_direction(krows, surface.position,
                                                l_dir)
         ok = is_emissive & inside_cone & valid_dir & surface.valid
@@ -358,14 +387,15 @@ def initial_sampling(surface: Surface, scene: SphereScene,
             krows, surface.position, uv_b)
         p_self = p_w / jnp.maximum(cone_pdf_b, 1e-12)
         p_light = krows.power / jnp.maximum(lights.total_power, 1e-20)
-        p_hat_b = _target_pdf(surface, lights, k, uv_b)[0]
+        p_hat_b = _target_pdf_rows(surface, krows, uv_b)[0]
+        p_hat_b = jnp.where(ok, p_hat_b, 0.0)
         wi = jnp.where(ok & (p_self > 0),
                        m_total * p_hat_b / jnp.maximum(
                            n_b * p_self + n_l * p_light, 1e-20), 0.0)
         w_sum = w_sum + wi
         m_count = m_count + 1.0
         take = (u_keep2 * w_sum) < wi
-        res_idx = jnp.where(take, k, res_idx)
+        res_idx = jnp.where(take, jnp.maximum(cand_b, 0), res_idx)
         res_uv = jnp.where(take[..., None], uv_b, res_uv)
         res_phat = jnp.where(take, p_hat_b, res_phat)
 
@@ -374,29 +404,30 @@ def initial_sampling(surface: Surface, scene: SphereScene,
                                * jnp.maximum(res_phat, 1e-20)), 0.0)
 
     # Initial visibility ray (DIInitialSampling final visibility test).
-    _, direction, dist, _, _, _, _ = _target_pdf(surface, lights, res_idx,
-                                                 res_uv)
+    _, direction, dist, _, _, _, _, rows = _target_pdf(surface, lights,
+                                                       res_idx, res_uv)
     origin = intersect.safe_spawn_point(surface.position,
                                         surface.sv.front_geometric_normal,
                                         direction)
-    occluded = _occluded(origin, direction, dist, scene, res_idx, block_size,
-                         accel)
+    occluded = _occluded(origin, direction, dist, scene, rows.aux,
+                         block_size, accel)
     w_out = jnp.where(occluded | ~surface.valid, 0.0, w_out)
 
     return Reservoirs(light_index=res_idx, uv=res_uv, w_sum=w_sum,
                       m_count=m_count, w_out=w_out, phat=res_phat)
 
 
-def _occluded(origin, direction, light_dist, scene, light_idx,
+def _occluded(origin, direction, light_dist, scene, exclude_obj,
               block_size: int, accel=None):
     """Visibility ray toward the selected light (RAB_GetConservativeVisibility,
     RTXDIAppBridge.hlsli:418-459): blocked if anything (sphere or mesh) is
-    hit closer than the light surface (excluding the light itself via
-    distance epsilon). Runs the specialized any-hit kernel on TPU."""
+    hit closer than the light surface. `exclude_obj` is the light's OBJECT
+    id (rows.aux from a compact fetch), excluded from the occluder set.
+    Runs the specialized any-hit kernel on TPU."""
     from . import trace as trace_mod
     return trace_mod.occluded_scene(
         scene, origin, direction, jnp.maximum(light_dist - 1e-3, 0.0),
-        light_idx, block_size, accel=accel)
+        exclude_obj, block_size, accel=accel)
 
 
 # ----------------------------------------------------------------------------
@@ -614,12 +645,12 @@ def _spatial_pairwise(cur: Reservoirs, surface: Surface,
 
     def vis(from_surface, idx, uv):
         """Visibility factor at a surface toward sample (idx, uv)."""
-        _, direction, dist, _, _, _, _ = _target_pdf(from_surface, lights,
-                                                     idx, uv)
+        _, direction, dist, _, _, _, _, rows = _target_pdf(from_surface,
+                                                           lights, idx, uv)
         origin = intersect.safe_spawn_point(
             from_surface.position, from_surface.sv.front_geometric_normal,
             direction)
-        occ = _occluded(origin, direction, dist, scene, idx, block_size,
+        occ = _occluded(origin, direction, dist, scene, rows.aux, block_size,
                         accel)
         return (~occ).astype(jnp.float32)
 
@@ -701,12 +732,12 @@ def final_shading(res: Reservoirs, surface: Surface, scene: SphereScene,
     """Returns (diffuse, specular) direct-illumination images (H, W, 3) —
     the channels the denoiser and Raytracing pass consume
     (Raytracing.hlsl:150-163 `directDiffuse/directSpecular`)."""
-    p_hat, direction, dist, diff, spec, emission, inv_cone = _target_pdf(
-        surface, lights, res.light_index, res.uv)
+    p_hat, direction, dist, diff, spec, emission, inv_cone, rows = \
+        _target_pdf(surface, lights, res.light_index, res.uv)
     origin = intersect.safe_spawn_point(surface.position,
                                         surface.sv.front_geometric_normal,
                                         direction)
-    occluded = _occluded(origin, direction, dist, scene, res.light_index,
+    occluded = _occluded(origin, direction, dist, scene, rows.aux,
                          block_size, accel)
     # uv-measure integrand (f * Le * dω/duv) times the reservoir weight.
     weight = jnp.where(surface.valid & ~occluded & (p_hat > 0),

@@ -92,6 +92,8 @@ def evaluate_material(mat: Materials, uv, shading_normal, tangent,
                                            uv, filter)[..., 0]
         roughness = roughness * sample_atlas(atlas, mat.roughness_map,
                                              uv, filter)[..., 0]
+        transmission = transmission * sample_atlas(
+            atlas, mat.transmission_map, uv, filter)[..., 0]
         # Normal perturbation (ShadingHelpers.hlsli:89-103): 2-channel
         # local normal, z reconstructed.
         nm = sample_atlas(atlas, mat.normal_map, uv, filter)

@@ -37,12 +37,27 @@ def test_light_prepare_power_cdf():
     lights = light_mod.prepare(scene)
     p = np.asarray(lights.power)
     assert p[0] == 0.0 and p[1] > 0 and p[2] > p[1]
-    # CDF sampling proportions match power.
+    # Compact list: brightest first, object ids carried, reverse map right.
+    obj = np.asarray(lights.compact[:, 8]).astype(int)
+    assert obj[0] == 2 and obj[1] == 1 and (obj[2:] == -1).all()
+    lid = np.asarray(lights.table[:, 8]).astype(int)
+    assert lid[2] == 0 and lid[1] == 1 and lid[0] == -1
+    # CDF sampling proportions match power (indices are compact ids).
     u = jnp.linspace(0.001, 0.999, 20000)
     idx, pdf = light_mod.sample_light_index(lights, u)
-    frac2 = float(jnp.mean((idx == 2).astype(jnp.float32)))
-    np.testing.assert_allclose(frac2, p[2] / p.sum(), atol=0.01)
-    assert float(jnp.min(pdf[idx == 2])) > 0
+    frac_bright = float(jnp.mean((idx == 0).astype(jnp.float32)))
+    np.testing.assert_allclose(frac_bright, p[2] / p.sum(), atol=0.01)
+    assert float(jnp.min(pdf[idx == 0])) > 0
+
+
+def test_onehot_fetch_matches_gather():
+    """The MXU one-hot row fetch is exact vs the plain gather (it is the
+    production fetch path at frame scale)."""
+    rng = np.random.RandomState(3)
+    table = jnp.asarray(rng.randn(128, 9).astype(np.float32) * 100.0)
+    idx = jnp.asarray(rng.randint(0, 128, (70000,)), jnp.int32)
+    got = light_mod._onehot_fetch(table, idx)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(table[idx]))
 
 
 def test_sphere_light_cone_sampling_hits_sphere():
@@ -50,7 +65,7 @@ def test_sphere_light_cone_sampling_hits_sphere():
     lights = light_mod.prepare(scene)
     n = 5000
     pos = jnp.tile(jnp.array([[0.0, -0.5, 0.0]]), (n, 1))
-    idx = jnp.full((n,), 2, jnp.int32)
+    idx = jnp.full((n,), 0, jnp.int32)  # compact 0 = brightest = object 2
     u = jnp.stack([jnp.linspace(0.001, 0.999, n)] * 2, axis=-1)
     d, dist, pdf, em = light_mod.sample_sphere_light(lights, idx, pos, u)
     # Every sampled direction must actually hit the light sphere.
@@ -112,12 +127,13 @@ def _brute_force_di(scene, width=48, height=48, samples=400):
         u1, rng = rng_mod.next_floats(rng, 1)
         uv, rng = rng_mod.next_floats(rng, 2)
         idx, pick_pdf = light_mod.sample_light_index(lights, u1[..., 0])
-        p_hat, direction, dist, diff, spec, em, inv_cone = \
+        p_hat, direction, dist, diff, spec, em, inv_cone, rows = \
             restir._target_pdf(surface, lights, idx, uv)
         from drts_tpu.ops import intersect
         origin = intersect.safe_spawn_point(
             surface.position, surface.sv.front_geometric_normal, direction)
-        occ = restir._occluded(origin, direction, dist, scene, idx, 4096)
+        occ = restir._occluded(origin, direction, dist, scene, rows.aux,
+                               4096)
         cone_pdf = light_mod.light_pdf(lights, idx, surface.position)
         contrib = (diff + spec) * em / jnp.maximum(
             pick_pdf * cone_pdf, 1e-12)[..., None]

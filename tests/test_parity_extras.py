@@ -1,0 +1,149 @@
+"""Parity odds-and-ends (VERDICT r1 item 10): EXR env maps, HDR10 output,
+thin-lens DoF wiring, transmission maps."""
+
+import os
+import struct
+import zlib
+
+import jax.numpy as jnp
+import numpy as np
+
+from drts_tpu.models import myscene
+from drts_tpu.models.material import MaterialDesc, pack_materials
+from drts_tpu.ops import camera as camera_mod, post, shading, sky
+from drts_tpu.utils import image as image_mod
+from drts_tpu.utils import math as m
+
+
+def _rand_img(h, w, seed=0):
+    return np.random.RandomState(seed).rand(h, w, 3).astype(np.float32) * 9.0
+
+
+def test_exr_roundtrip_uncompressed(tmp_path):
+    img = _rand_img(7, 13)
+    path = str(tmp_path / "t.exr")
+    image_mod.write_exr(path, img)
+    back = image_mod.read_exr(path)
+    np.testing.assert_array_equal(back, img)
+
+
+def test_exr_zip_block(tmp_path):
+    """ZIP-compressed scanline EXR decodes exactly (forward transform =
+    de-interleave + delta encode + zlib, built here by hand)."""
+    img = _rand_img(4, 5, seed=3)
+    h, w = img.shape[:2]
+    path = str(tmp_path / "z.exr")
+    # Reuse the uncompressed writer's header, then rewrite as one ZIP block.
+    image_mod.write_exr(path, img)
+    raw = open(path, "rb").read()
+    comp_off = raw.index(b"compression\0compression\0")
+    comp_pos = comp_off + len(b"compression\0compression\0") + 4
+    out = bytearray(raw[:comp_pos])
+    out[comp_pos:comp_pos + 1] = b"\x03"  # ZIP
+    out += raw[comp_pos + 1:]
+    # header ends right before the offset table = after the final \0 of
+    # attributes; rebuild body: one block of all rows.
+    hdr_end = len(raw) - (8 * h + sum(8 + w * 4 * 3 for _ in range(h)))
+    body_rows = b""
+    for y in range(h):
+        body_rows += b"".join(img[y, :, c].astype("<f4").tobytes()
+                              for c in (2, 1, 0))
+    # forward: split halves interleaved, then delta-encode, then deflate
+    t = np.frombuffer(body_rows, np.uint8)
+    half = (t.size + 1) // 2
+    inter = np.empty(t.size, np.uint8)
+    inter[:half] = t[0::2]
+    inter[half:] = t[1::2]
+    d = inter.astype(np.int64)
+    enc = np.empty_like(d)
+    enc[0] = d[0]
+    enc[1:] = (d[1:] - d[:-1] + 128) & 0xFF
+    comp = zlib.compress(enc.astype(np.uint8).tobytes())
+    body = struct.pack("<Q", hdr_end + 8) \
+        + struct.pack("<ii", 0, len(comp)) + comp
+    out2 = bytearray(out[:hdr_end]) + body
+    path2 = str(tmp_path / "z2.exr")
+    open(path2, "wb").write(bytes(out2))
+    back = image_mod.read_exr(path2)
+    np.testing.assert_array_equal(back, img)
+
+
+def test_env_map_wiring(tmp_path):
+    """myscene.build(env_map_path=...) feeds the lat-long texture into the
+    sky sampler (MyScene.ixx:95 environment map)."""
+    img = np.zeros((8, 16, 3), np.float32)
+    img[:4] = (0.0, 0.0, 5.0)   # top half blue-ish
+    img[4:] = (5.0, 0.0, 0.0)   # bottom half red-ish
+    path = str(tmp_path / "env.exr")
+    image_mod.write_exr(path, img)
+    host = myscene.build(oscillator_grid=1, env_map_path=path)
+    assert host.scene.env.texture is not None
+    up = sky.environment_color(host.scene.env,
+                               jnp.asarray([[0.0, 1.0, 0.0]]))
+    down = sky.environment_color(host.scene.env,
+                                 jnp.asarray([[0.0, -1.0, 0.0]]))
+    assert float(up[0, 2]) > 1.0 and float(up[0, 0]) < 1e-3
+    assert float(down[0, 0]) > 1.0 and float(down[0, 2]) < 1e-3
+
+
+def test_st2084_tonemap():
+    nits = jnp.asarray([0.0, 100.0, 1000.0, 10000.0])
+    sig = post.st2084_encode(nits)
+    s = np.asarray(sig)
+    assert (np.diff(s) > 0).all() and s[0] < 1e-5  # PQ(0) = c1^m2 ~ 7e-7
+    np.testing.assert_allclose(s[-1], 1.0, atol=1e-5)
+    # 100 nits -> ~0.508 (the well-known PQ anchor).
+    np.testing.assert_allclose(s[1], 0.5081, atol=2e-3)
+    img = jnp.asarray(_rand_img(4, 4))
+    out = post.tonemap(img, hdr=True, paper_white_nits=200.0)
+    o = np.asarray(out)
+    assert o.shape == img.shape and (o >= 0).all() and (o <= 1).all()
+    # Rec.2020 rotation preserves white (rows sum to 1).
+    rows = np.asarray(post.REC709_TO_REC2020)
+    np.testing.assert_allclose(rows.sum(axis=1), 1.0, atol=1e-4)
+
+
+def test_thin_lens_focus_plane():
+    """Thin-lens rays from every aperture point re-converge at the focal
+    plane (Camera.hlsli:43-54); aperture 0 degenerates to the pinhole."""
+    cam = camera_mod.make_camera((0.0, 0.0, -10.0), (0.0, 0.0, 1.0),
+                                 horizontal_fov_deg=60.0, aspect=1.0,
+                                 aperture_radius=0.2, focus_distance=10.0)
+    n = 64
+    ndc = jnp.zeros((n, 2))
+    u2 = jnp.stack([jnp.linspace(0.01, 0.99, n)] * 2, axis=-1)
+    o, d, _, _ = camera_mod.generate_thin_lens_rays(cam, ndc, u2)
+    # Rays differ in origin (aperture) but hit the ndc=0 focus point.
+    assert float(jnp.std(o[:, 0])) > 1e-3
+    t_plane = (0.0 - o[:, 2]) / d[:, 2]   # z=0 is the focus plane
+    hit = o + d * t_plane[:, None]
+    np.testing.assert_allclose(np.asarray(hit[:, :2]), 0.0, atol=1e-5)
+
+    cam0 = camera_mod.make_camera((0.0, 0.0, -10.0), (0.0, 0.0, 1.0),
+                                  horizontal_fov_deg=60.0, aspect=1.0,
+                                  focus_distance=10.0)
+    o0, d0, _, _ = camera_mod.generate_pinhole_rays(cam0, ndc)
+    op, dp, _, _ = camera_mod.generate_thin_lens_rays(
+        cam0, ndc, jnp.full((n, 2), 0.5))
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(
+        jnp.broadcast_to(d0, dp.shape)), atol=1e-6)
+
+
+def test_transmission_map_sampling():
+    """transmission_map scales the material's transmission (EvaluateMaterial
+    Transmission slot, ShadingHelpers.hlsli:161-235)."""
+    atlas = jnp.full((1, 4, 4, 4), 0.25, jnp.float32)
+    mats = pack_materials([
+        MaterialDesc(base_color=(1, 1, 1, 1), transmission=0.8,
+                     transmission_map=0),
+        MaterialDesc(base_color=(1, 1, 1, 1), transmission=0.8),
+    ])
+    idx = jnp.asarray([0, 1])
+    mat = mats.gather(idx)
+    uv = jnp.full((2, 2), 0.5)
+    n = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (2, 1))
+    t = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (2, 1))
+    ev = shading.evaluate_material(mat, uv, n, t, atlas)
+    np.testing.assert_allclose(float(ev.transmission[0]), 0.8 * 0.25,
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(ev.transmission[1]), 0.8, rtol=1e-5)
