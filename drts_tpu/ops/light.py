@@ -70,14 +70,10 @@ def _onehot_fetch(table, idx):
     """Exact row fetch table[idx] as an MXU matmul: one-hot(idx) @ table.
     precision=HIGHEST makes the f32 matmul exact to f32 for a single
     nonzero coefficient of 1.0 (verified against the gather in tests).
-    On TPU the Pallas kernel (gather_pallas.fetch_rows_small) keeps the
-    one-hot in VMEM (~1 ms at 2M lanes vs ~5.5 ms for this XLA form, which
-    round-trips the (N, K) one-hot through HBM, vs ~8 ms for the gather)."""
-    from . import intersect
-    if intersect.pallas_enabled():
-        from . import gather_pallas
-        return gather_pallas.fetch_rows_small(
-            table, idx, interpret=intersect.BACKEND == "interpret")
+    Chained-loop timing at 2M lanes x (128, 9): 2.0 ms vs 5.3 ms for the
+    XLA gather; a VMEM-resident Pallas variant was tried and measured
+    WORSE (9.8 ms — per-grid-program overhead dominates at the small
+    block sizes its one-hot fits in)."""
     k, cols = table.shape
     flat = idx.reshape(-1)
     oh = (flat[:, None] == jnp.arange(k, dtype=flat.dtype)[None, :])

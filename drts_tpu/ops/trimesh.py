@@ -172,12 +172,26 @@ def intersect_instances(origin, direction, t_min, t_max, mesh: TriMesh,
                   barycentrics=jnp.zeros(lead + (2,)))
     k = inst_position.shape[0]
     for i in range(k):  # instance counts on the triangle path are small
+        # Bounding-sphere early-out: rays that cannot reach this instance's
+        # bound closer than their current best hit get a dead t-range, so
+        # the triangle sweep's masked lanes (and its block skips) drop them.
+        oc = origin - inst_position[i]
+        b_q = m.dot(oc, direction)
+        r_w = mesh.bound_radius * inst_scale[i]
+        c_q = m.dot(oc, oc) - r_w * r_w
+        disc = b_q * b_q - c_q
+        t_near = -b_q - jnp.sqrt(jnp.maximum(disc, 0.0))
+        reachable = (disc > 0.0) & (t_near <= jnp.minimum(t_max, best.t)) \
+            & ((-b_q + jnp.sqrt(jnp.maximum(disc, 0.0))) >= t_min)
+        t_max_i = jnp.where(reachable, jnp.minimum(t_max, best.t),
+                            t_min - 1.0)
+
         inv_rot = m.quat_conj(inst_rotation[i])
         o_l = m.quat_rotate(inv_rot, origin - inst_position[i]) \
             / inst_scale[i]
         d_l = m.quat_rotate(inv_rot, direction) / inst_scale[i]
         # Unnormalized d_l keeps t in world units.
-        t, face, u, v = intersect_mesh(o_l, d_l, t_min, t_max, mesh, **kw)
+        t, face, u, v = intersect_mesh(o_l, d_l, t_min, t_max_i, mesh, **kw)
         closer = t < best.t
         best = TriHit(
             hit=best.hit | (closer & jnp.isfinite(t)),

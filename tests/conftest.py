@@ -27,3 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platform_name", "cpu")
+
+# Persistent compilation cache: the suite is dominated by full-frame-graph
+# XLA CPU compiles (30-60 s each on the 1-vCPU box); re-runs hit the cache
+# and the suite drops well under 5 minutes. (The env-var spelling is not
+# honored by this jax version — set via config.)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("DRTS_TEST_CACHE_DIR",
+                                 "/tmp/drts_jax_test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -109,6 +109,18 @@ def _render_di(scene, width=48, height=48, frames=1, spatial=True,
     return np.asarray(total / frames), gbuf
 
 
+_BF_CACHE = {}
+
+
+def _brute_force_di_cached(scene, width=48, height=48, samples=400):
+    """The converged reference is identical across the unbiasedness tests
+    (same deterministic scene) — compute once per (size, samples)."""
+    key = (width, height, samples)
+    if key not in _BF_CACHE:
+        _BF_CACHE[key] = _brute_force_di(scene, width, height, samples)
+    return _BF_CACHE[key]
+
+
 def _brute_force_di(scene, width=48, height=48, samples=400):
     """Monte-Carlo ground truth: uniform-cone light sampling, no RIS."""
     cam = camera_mod.make_camera((0.0, 1.0, -6.0), (0.0, -0.15, 1.0),
@@ -152,7 +164,7 @@ def test_restir_matches_brute_force_pairwise():
     (VERDICT r1 item 6 — the tight statistical-parity bound)."""
     scene = _two_light_scene()
     di, gbuf = _render_di(scene, frames=96, bias_correction="pairwise")
-    ref = _brute_force_di(scene, samples=600)
+    ref = _brute_force_di_cached(scene, samples=400)
     valid = np.asarray(gbuf.surf.valid)
     lit = valid & (ref.sum(-1) > 1e-3)
     rel = np.abs(di[lit].mean(0) - ref[lit].mean(0)) / (ref[lit].mean(0)
@@ -165,7 +177,7 @@ def test_restir_matches_brute_force_basic():
     (slight darkening bias at geometric edges is expected)."""
     scene = _two_light_scene()
     di, gbuf = _render_di(scene, frames=24, bias_correction="basic")
-    ref = _brute_force_di(scene, samples=300)
+    ref = _brute_force_di_cached(scene, samples=400)
     valid = np.asarray(gbuf.surf.valid)
     lit = valid & (ref.sum(-1) > 1e-3)
     rel = np.abs(di[lit].mean(0) - ref[lit].mean(0)) / (ref[lit].mean(0)
@@ -180,7 +192,7 @@ def test_restir_raytraced_bias_correction_runs():
     di, gbuf = _render_di(scene, width=32, height=32, frames=16,
                           bias_correction="raytraced")
     assert np.isfinite(di).all()
-    ref = _brute_force_di(scene, width=32, height=32, samples=200)
+    ref = _brute_force_di_cached(scene, width=32, height=32, samples=200)
     valid = np.asarray(gbuf.surf.valid)
     lit = valid & (ref.sum(-1) > 1e-3)
     rel = np.abs(di[lit].mean(0) - ref[lit].mean(0)) / (ref[lit].mean(0)

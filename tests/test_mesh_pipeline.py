@@ -67,17 +67,19 @@ def test_mesh_full_pipeline_renders():
     graph (G-buffer, ReSTIR, SHARC, denoise, TAA, post)."""
     host = _mesh_host()
     cfg = pipeline.PipelineConfig(
-        output_width=64, output_height=64, render_width=64,
-        render_height=64, bounces=3, block_size=4096,
-        sharc=sharc_mod.SHARCConfig(capacity_log2=14),
+        output_width=48, output_height=48, render_width=48,
+        render_height=48, bounces=2, block_size=2048,
+        sharc=sharc_mod.SHARCConfig(capacity_log2=12),
         restir=restir_mod.ReSTIRConfig(regir_cells_per_axis=8,
                                        regir_build_samples=2,
                                        local_light_samples=2))
     pipe = pipeline.RenderPipeline(cfg)
     state = pipe.init_state(host)
     pose = pipe.default_camera_pose(host)
+    import jax
+    step = jax.jit(lambda s, p: pipe.render_frame(s, p))
     for i in range(2):
-        state, img = pipe.render_frame(state, pose)
+        state, img = step(state, pose)
     img = np.asarray(img)
     assert np.isfinite(img).all()
     assert img.std() > 1e-3

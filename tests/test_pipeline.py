@@ -28,13 +28,26 @@ def _tiny_pipeline(denoiser="NRDReBLUR", restir=True, sharc_on=True,
     return pipe, host
 
 
+_DEFAULT = None
+
+
+def _tiny_default():
+    """Default tiny pipeline + ONE jitted step, shared across tests —
+    the full-graph CPU compile dominates suite time on the 1-vCPU box."""
+    global _DEFAULT
+    if _DEFAULT is None:
+        pipe, host = _tiny_pipeline()
+        step = jax.jit(lambda s, p: pipe.render_frame(s, p, 1.0 / 60.0))
+        _DEFAULT = (pipe, host, step)
+    return _DEFAULT
+
+
 def test_full_pipeline_frames():
     """Full frame graph (physics + ReSTIR + SHARC + trace + denoise +
     post) produces finite images and advances state."""
-    pipe, host = _tiny_pipeline()
+    pipe, host, step = _tiny_default()
     state = pipe.init_state(host)
     pose = pipe.default_camera_pose(host)
-    step = jax.jit(lambda s, p: pipe.render_frame(s, p, 1.0 / 60.0))
     for i in range(3):
         state, img = step(state, pose)
         arr = np.asarray(img)
@@ -60,10 +73,10 @@ def test_pipeline_no_denoise_upscale():
 
 
 def test_reset_history():
-    pipe, host = _tiny_pipeline()
+    pipe, host, step = _tiny_default()
     state = pipe.init_state(host)
     pose = pipe.default_camera_pose(host)
-    state, _ = pipe.render_frame(state, pose, 1.0 / 60.0)
+    state, _ = step(state, pose)
     state2 = pipe.reset_history(state)
     assert float(state2.denoiser.history_length.max()) == 0.0
     assert float(state2.sharc.sample_count.max()) == 0.0
@@ -142,11 +155,11 @@ def test_debug_views_render():
     from drts_tpu.models import myscene, pipeline
     from drts_tpu.ops import restir as restir_mod, sharc as sharc_mod
 
-    host = myscene.build(oscillator_grid=3)
+    host = myscene.build(oscillator_grid=2)
     base = pipeline.PipelineConfig(
-        output_width=64, output_height=64, render_width=64,
-        render_height=64, bounces=2, block_size=4096,
-        sharc=sharc_mod.SHARCConfig(capacity_log2=14),
+        output_width=48, output_height=48, render_width=48,
+        render_height=48, bounces=2, block_size=2048,
+        sharc=sharc_mod.SHARCConfig(capacity_log2=12),
         restir=restir_mod.ReSTIRConfig(regir_cells_per_axis=8,
                                        regir_build_samples=2,
                                        local_light_samples=2))

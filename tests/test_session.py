@@ -6,15 +6,27 @@ import numpy as np
 from drts_tpu import config as config_mod
 from drts_tpu import session as session_mod
 
+_HOST = None
+
+
+def _host():
+    """One tiny shared scene — Session otherwise builds the full 448-sphere
+    demo per test, and on the 1-vCPU CI box scene+compile dominates."""
+    global _HOST
+    if _HOST is None:
+        from drts_tpu.models import myscene
+        _HOST = myscene.build(oscillator_grid=2)
+    return _HOST
+
 
 def _make_session(**overrides):
     settings = config_mod.GraphicsSettings(
-        render_width=64, render_height=64).check()
+        render_width=32, render_height=32).check()
     base = dict(restir_enabled=False, sharc_enabled=False, bounces=2,
-                block_size=4096, physics_enabled=False)
+                block_size=1024, physics_enabled=False)
     base.update(overrides)
-    return session_mod.Session(settings, output_width=64, output_height=64,
-                               config_overrides=base)
+    return session_mod.Session(settings, output_width=32, output_height=32,
+                               config_overrides=base, host=_host())
 
 
 def test_dynamic_setting_applies_without_recompile():
@@ -59,7 +71,7 @@ def test_upscaler_change_reallocates_state():
     how = sess.set("post.upscaler", "None")
     assert how == "realloc"
     img = np.asarray(sess.step())
-    assert img.shape == (64, 64, 3)
+    assert img.shape == (32, 32, 3)
     assert np.isfinite(img).all()
 
 

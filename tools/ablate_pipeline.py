@@ -16,10 +16,12 @@ def run(tag, iters=6, **overrides):
         output_width=W, output_height=H, render_width=W, render_height=H,
         bounces=8, samples_per_pixel=1, block_size=32768)
     if overrides:
+        rs_fields = {f.name for f in dataclasses.fields(
+            restir_mod.ReSTIRConfig)}
         restir_over = {k[7:]: v for k, v in overrides.items()
-                       if k.startswith("restir_")}
+                       if k.startswith("restir_") and k[7:] in rs_fields}
         other = {k: v for k, v in overrides.items()
-                 if not k.startswith("restir_")}
+                 if not (k.startswith("restir_") and k[7:] in rs_fields)}
         if restir_over:
             other["restir"] = dataclasses.replace(cfg.restir, **restir_over)
         cfg = dataclasses.replace(cfg, **other)
