@@ -68,17 +68,57 @@ class DenoiserState:
     normal: jnp.ndarray         # (H, W, 3) previous shading normal
     depth: jnp.ndarray          # (H, W) previous linear depth
     moments: jnp.ndarray        # (H, W, 4) ReLAX luminance moments
+    # (H, W, 9) f16-pair-packed fetch mirror (the RGBA16F history-texture
+    # layout NRD itself uses): [diff.rg, diff.b|hd, spec.rg, spec.b|hd,
+    # hist(f32), oct normal, depth(f32), mom d1|d2, mom s1|s2]. The
+    # nearest-mode reprojection gathers this (36 B/row) instead of the
+    # 17-column f32 concat (68 B/row) — the history fetch is
+    # bandwidth-bound.
+    packed: jnp.ndarray
+
+
+def _pack_history(diffuse, specular, hist, normal, depth, moments):
+    return jnp.stack([
+        m.pack2f16(diffuse[..., 0], diffuse[..., 1]),
+        m.pack2f16(diffuse[..., 2], diffuse[..., 3]),
+        m.pack2f16(specular[..., 0], specular[..., 1]),
+        m.pack2f16(specular[..., 2], specular[..., 3]),
+        hist,
+        m.pack_oct16(normal),
+        depth,
+        m.pack2f16(moments[..., 0], moments[..., 1]),
+        m.pack2f16(moments[..., 2], moments[..., 3]),
+    ], axis=-1)
+
+
+def _unpack_history(prev):
+    d0, d1 = m.unpack2f16(prev[..., 0])
+    d2, d3 = m.unpack2f16(prev[..., 1])
+    s0, s1 = m.unpack2f16(prev[..., 2])
+    s2, s3 = m.unpack2f16(prev[..., 3])
+    m0, m1_ = m.unpack2f16(prev[..., 7])
+    m2, m3 = m.unpack2f16(prev[..., 8])
+    return (jnp.stack([d0, d1, d2, d3], axis=-1),
+            jnp.stack([s0, s1, s2, s3], axis=-1),
+            prev[..., 4],
+            m.unpack_oct16(prev[..., 5]),
+            prev[..., 6],
+            jnp.stack([m0, m1_, m2, m3], axis=-1))
 
 
 def init_state(height: int, width: int) -> DenoiserState:
     """Fresh history (the m_resetHistory path, App.cpp:667-679)."""
+    zero4 = jnp.zeros((height, width, 4), jnp.float32)
+    zero1 = jnp.zeros((height, width), jnp.float32)
+    far = jnp.full((height, width), _FAR_DEPTH, jnp.float32)
+    up = jnp.zeros((height, width, 3), jnp.float32).at[..., 2].set(1.0)
     return DenoiserState(
-        diffuse=jnp.zeros((height, width, 4), jnp.float32),
-        specular=jnp.zeros((height, width, 4), jnp.float32),
-        history_length=jnp.zeros((height, width), jnp.float32),
+        diffuse=zero4, specular=zero4,
+        history_length=zero1,
         normal=jnp.zeros((height, width, 3), jnp.float32),
-        depth=jnp.full((height, width), _FAR_DEPTH, jnp.float32),
-        moments=jnp.zeros((height, width, 4), jnp.float32))
+        depth=far,
+        moments=zero4,
+        packed=_pack_history(zero4, zero4, zero1, up, far, zero4))
 
 
 def _bilinear_sample(img, y, x):
@@ -194,17 +234,24 @@ def denoise(state: DenoiserState, diffuse, specular, motion, normal, depth,
     diffuse = jnp.nan_to_num(diffuse, nan=0.0, posinf=0.0, neginf=0.0)
     specular = jnp.nan_to_num(specular, nan=0.0, posinf=0.0, neginf=0.0)
 
-    # One packed history fetch: 4 taps over a 13-channel buffer instead of
-    # 5 separate bilinear samples (20 gathers -> 4).
-    packed = jnp.concatenate(
-        [state.diffuse, state.specular, state.history_length[..., None],
-         state.normal, state.depth[..., None]], axis=-1)
-    prev, in_bounds = _reproject(packed, motion, cfg.history_filter)
-    prev_diffuse = prev[..., 0:4]
-    prev_specular = prev[..., 4:8]
-    prev_hist = prev[..., 8]
-    prev_normal = prev[..., 9:12]
-    prev_depth = prev[..., 12]
+    # One packed history fetch. Nearest mode reads the f16-packed mirror
+    # (36 B/row); bilinear interpolation cannot run on packed bits, so
+    # that mode falls back to the full-f32 concat.
+    if cfg.history_filter == "nearest":
+        prev, in_bounds = _reproject(state.packed, motion, "nearest")
+        (prev_diffuse, prev_specular, prev_hist, prev_normal, prev_depth,
+         _prev_moments) = _unpack_history(prev)
+    else:
+        packed = jnp.concatenate(
+            [state.diffuse, state.specular,
+             state.history_length[..., None],
+             state.normal, state.depth[..., None]], axis=-1)
+        prev, in_bounds = _reproject(packed, motion, cfg.history_filter)
+        prev_diffuse = prev[..., 0:4]
+        prev_specular = prev[..., 4:8]
+        prev_hist = prev[..., 8]
+        prev_normal = prev[..., 9:12]
+        prev_depth = prev[..., 12]
 
     # Disocclusion tests (NRD common settings: depth + normal consistency).
     depth_ok = jnp.abs(prev_depth - depth) \
@@ -251,7 +298,11 @@ def denoise(state: DenoiserState, diffuse, specular, motion, normal, depth,
 
     new_state = DenoiserState(diffuse=acc_diffuse, specular=acc_specular,
                               history_length=new_hist, normal=normal,
-                              depth=depth, moments=state.moments)
+                              depth=depth, moments=state.moments,
+                              packed=_pack_history(acc_diffuse,
+                                                   acc_specular, new_hist,
+                                                   normal, depth,
+                                                   state.moments))
     return new_state, f_diffuse, f_specular
 
 
@@ -340,18 +391,24 @@ def denoise_relax(state: DenoiserState, diffuse, specular, motion, normal,
     cur_moments = jnp.stack([lum_d, lum_d * lum_d, lum_s, lum_s * lum_s],
                             axis=-1)
 
-    # Packed 17-channel history fetch (diffuse, specular, hist, normal,
-    # depth, moments).
-    packed = jnp.concatenate(
-        [state.diffuse, state.specular, state.history_length[..., None],
-         state.normal, state.depth[..., None], state.moments], axis=-1)
-    prev, in_bounds = _reproject(packed, motion, cfg.history_filter)
-    prev_diffuse = prev[..., 0:4]
-    prev_specular = prev[..., 4:8]
-    prev_hist = prev[..., 8]
-    prev_normal = prev[..., 9:12]
-    prev_depth = prev[..., 12]
-    prev_moments = prev[..., 13:17]
+    # Packed history fetch (diffuse, specular, hist, normal, depth,
+    # moments) — f16-packed mirror in nearest mode (see DenoiserState).
+    if cfg.history_filter == "nearest":
+        prev, in_bounds = _reproject(state.packed, motion, "nearest")
+        (prev_diffuse, prev_specular, prev_hist, prev_normal, prev_depth,
+         prev_moments) = _unpack_history(prev)
+    else:
+        packed = jnp.concatenate(
+            [state.diffuse, state.specular,
+             state.history_length[..., None],
+             state.normal, state.depth[..., None], state.moments], axis=-1)
+        prev, in_bounds = _reproject(packed, motion, cfg.history_filter)
+        prev_diffuse = prev[..., 0:4]
+        prev_specular = prev[..., 4:8]
+        prev_hist = prev[..., 8]
+        prev_normal = prev[..., 9:12]
+        prev_depth = prev[..., 12]
+        prev_moments = prev[..., 13:17]
 
     depth_ok = jnp.abs(prev_depth - depth) \
         <= cfg.depth_threshold * jnp.maximum(jnp.abs(depth), 1e-3)
@@ -408,7 +465,11 @@ def denoise_relax(state: DenoiserState, diffuse, specular, motion, normal,
 
     new_state = DenoiserState(diffuse=acc_diffuse, specular=acc_specular,
                               history_length=new_hist, normal=normal,
-                              depth=depth, moments=acc_moments)
+                              depth=depth, moments=acc_moments,
+                              packed=_pack_history(acc_diffuse,
+                                                   acc_specular, new_hist,
+                                                   normal, depth,
+                                                   acc_moments))
     return new_state, f_diffuse, f_specular
 
 

@@ -464,20 +464,36 @@ def _finalize(idx, uv, phat, w_sum, m_count):
 # temporal resampling (DITemporalResampling.hlsl)
 
 
-def _pack_reservoirs(res: Reservoirs, extra=()):
-    """(H, W, 5+) packed reservoir rows for one-gather neighbor fetches."""
-    cols = [res.light_index.astype(jnp.float32)[..., None], res.uv,
-            res.m_count[..., None], res.w_out[..., None]]
-    cols += [e[..., None] if e.ndim == 2 else e for e in extra]
-    return jnp.concatenate(cols, axis=-1)
+def _pack_reservoirs(res: Reservoirs, depth, normal, extra=None):
+    """(H, W, 5[+E]) packed reservoir + guide rows for one-gather neighbor
+    fetches, f16-pair packed where precision allows (the fetch is
+    bandwidth-bound): [idx|m, uv, w_out, depth, oct normal]. idx <= 2048
+    and M counts are exact/near-exact in f16; uv quantization (~1e-3)
+    perturbs the re-evaluated target pdf identically in numerator and
+    stream weight, preserving unbiasedness (validated by the 2% test)."""
+    cols = [
+        m.pack2f16(res.light_index.astype(jnp.float32), res.m_count),
+        m.pack2f16(res.uv[..., 0], res.uv[..., 1]),
+        res.w_out,
+        depth,
+        m.pack_oct16(normal),
+    ]
+    packed = jnp.stack(cols, axis=-1)
+    if extra is not None:
+        packed = jnp.concatenate([packed, extra], axis=-1)
+    return packed
 
 
 def _fetch_packed(packed, iy, ix):
+    """-> (idx, uv, m_count, w_out, depth, normal, extra)."""
     h, w = packed.shape[:2]
     flat = packed.reshape(-1, packed.shape[-1])
     row = flat[iy * w + ix]
-    return (row[..., 0].astype(jnp.int32), row[..., 1:3], row[..., 3],
-            row[..., 4], row[..., 5:])
+    idx_f, m_count = m.unpack2f16(row[..., 0])
+    u0, u1 = m.unpack2f16(row[..., 1])
+    return (jnp.round(idx_f).astype(jnp.int32),
+            jnp.stack([u0, u1], axis=-1), m_count, row[..., 2],
+            row[..., 3], m.unpack_oct16(row[..., 4]), row[..., 5:])
 
 
 def temporal_resampling(cur: Reservoirs, prev: Reservoirs, surface: Surface,
@@ -492,10 +508,8 @@ def temporal_resampling(cur: Reservoirs, prev: Reservoirs, surface: Surface,
     prev_y = jnp.clip(jnp.round(py + motion[..., 1]).astype(jnp.int32),
                       0, h - 1)
 
-    packed = _pack_reservoirs(prev, (prev_depth, prev_normal))
-    p_idx, p_uv, p_m, p_w, rest = _fetch_packed(packed, prev_y, prev_x)
-    pd = rest[..., 0]
-    pn = rest[..., 1:4]
+    packed = _pack_reservoirs(prev, prev_depth, prev_normal)
+    p_idx, p_uv, p_m, p_w, pd, pn, _ = _fetch_packed(packed, prev_y, prev_x)
 
     # History validity (depth/normal similarity like the denoiser's test).
     in_bounds = ((px + motion[..., 0] >= 0) & (px + motion[..., 0] <= w - 1)
@@ -595,10 +609,8 @@ def _spatial_neighbors(cur, surface, cfg, frame_index, with_surface: bool):
     py = jnp.arange(h)[:, None] + jnp.zeros((1, w), jnp.int32)
     px = jnp.arange(w)[None, :] + jnp.zeros((h, 1), jnp.int32)
     sdepth = jnp.where(jnp.isfinite(surface.depth), surface.depth, 1e8)
-    extra = (sdepth, surface.normal)
-    if with_surface:
-        extra = extra + (_pack_surface_rows(surface),)
-    packed = _pack_reservoirs(cur, extra)
+    extra = _pack_surface_rows(surface) if with_surface else None
+    packed = _pack_reservoirs(cur, sdepth, surface.normal, extra)
 
     out = []
     for _ in range(cfg.spatial_samples):
@@ -610,16 +622,15 @@ def _spatial_neighbors(cur, surface, cfg, frame_index, with_surface: bool):
             jnp.int32), 0, w - 1)
         ny = jnp.clip(py + jnp.round(radius * jnp.sin(angle)).astype(
             jnp.int32), 0, h - 1)
-        n_idx, n_uv, n_m, n_w, rest = _fetch_packed(packed, ny, nx)
-        depth_ok = jnp.abs(rest[..., 0] - sdepth) \
+        n_idx, n_uv, n_m, n_w, nd, nn, rest = _fetch_packed(packed, ny, nx)
+        depth_ok = jnp.abs(nd - sdepth) \
             <= cfg.depth_threshold * jnp.maximum(jnp.abs(sdepth), 1e-3)
-        normal_ok = m.dot(rest[..., 1:4],
-                          surface.normal) >= cfg.normal_threshold
+        normal_ok = m.dot(nn, surface.normal) >= cfg.normal_threshold
         ok = depth_ok & normal_ok & surface.valid
         n = {"idx": n_idx, "uv": n_uv, "m": jnp.where(ok, n_m, 0.0),
              "w": n_w, "u_keep": u_keep}
         if with_surface:
-            n["surface"] = _surface_from_rows(rest[..., 4:])
+            n["surface"] = _surface_from_rows(rest)
         out.append(n)
     return out
 

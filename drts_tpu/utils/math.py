@@ -254,3 +254,40 @@ def oct_decode(e):
     x = x - sign_not_zero(x) * t
     y = y - sign_not_zero(y) * t
     return normalize(jnp.stack([x, y, z], axis=-1))
+
+
+def pack2f16(a, b):
+    """Two f32 -> one f32 carrying their f16 bit patterns (the RGBA16F
+    history-texture layout NRD uses, halving gathered row bytes). Values
+    are clamped to the f16 range; precision loss ~2^-10 relative."""
+    import jax
+    lim = 60000.0
+    ah = jnp.clip(a, -lim, lim).astype(jnp.float16)
+    bh = jnp.clip(b, -lim, lim).astype(jnp.float16)
+    au = jax.lax.bitcast_convert_type(ah, jnp.uint16).astype(jnp.uint32)
+    bu = jax.lax.bitcast_convert_type(bh, jnp.uint16).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(au | (bu << jnp.uint32(16)),
+                                        jnp.float32)
+
+
+def unpack2f16(x):
+    """Inverse of pack2f16: one bit-packed f32 -> (a, b) f32."""
+    import jax
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    a = jax.lax.bitcast_convert_type((u & jnp.uint32(0xFFFF)).astype(
+        jnp.uint16), jnp.float16)
+    b = jax.lax.bitcast_convert_type((u >> jnp.uint32(16)).astype(
+        jnp.uint16), jnp.float16)
+    return a.astype(jnp.float32), b.astype(jnp.float32)
+
+
+def pack_oct16(n):
+    """Unit vector -> one f32 (octahedral xy as an f16 pair)."""
+    e = oct_encode(n)
+    return pack2f16(e[..., 0], e[..., 1])
+
+
+def unpack_oct16(x):
+    """Inverse of pack_oct16."""
+    a, b = unpack2f16(x)
+    return oct_decode(jnp.stack([a, b], axis=-1))

@@ -129,6 +129,21 @@ def test_thin_lens_focus_plane():
         jnp.broadcast_to(d0, dp.shape)), atol=1e-6)
 
 
+def test_pack2f16_roundtrip():
+    rng = np.random.RandomState(7)
+    a = jnp.asarray(rng.randn(1000).astype(np.float32) * 50)
+    b = jnp.asarray(np.abs(rng.randn(1000).astype(np.float32)) * 1e3)
+    x = m.pack2f16(a, b)
+    a2, b2 = m.unpack2f16(x)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a), rtol=1e-3,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b), rtol=1e-3)
+    n = m.normalize(jnp.asarray(rng.randn(500, 3), jnp.float32))
+    n2 = m.unpack_oct16(m.pack_oct16(n))
+    dots = np.asarray(m.dot(n, n2))
+    assert dots.min() > 0.9999
+
+
 def test_transmission_map_sampling():
     """transmission_map scales the material's transmission (EvaluateMaterial
     Transmission slot, ShadingHelpers.hlsli:161-235)."""
