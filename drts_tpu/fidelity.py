@@ -32,25 +32,35 @@ def reference_render(host, width: int, height: int, spp_total: int = 1024,
     plan = clusters.build_plan_morton(np.asarray(scene.center),
                                       np.asarray(scene.radius),
                                       max_members=64)
-    jitter_table = rng_mod.halton_jitter(64)
+    jitter_table = jnp.asarray(rng_mod.halton_jitter(64))
     cfg = pathtrace.PathTraceConfig(width=width, height=height,
                                     bounces=bounces, samples_per_pixel=1,
                                     block_size=block_size)
+    use_accel = jax.default_backend() == "tpu"
+
+    # Accumulate on-device in chunks (a per-frame host pull is ~24 MB x spp
+    # over the TPU tunnel).
+    chunk = 32
 
     @jax.jit
-    def one(scene, jitter, frame_index):
-        cam = camera_mod.make_camera(pos, fwd, aspect=width / height,
-                                     jitter=jitter)
-        use_accel = jax.default_backend() == "tpu"
+    def render_chunk(scene, start, acc):
         accel = (clusters.make_morton_accel(plan, scene.center, scene.radius)
                  if use_accel else None)
-        return pathtrace.trace_image(scene, cam, cfg, frame_index,
-                                     accel=accel).radiance
 
-    acc = np.zeros((height, width, 3), np.float64)
-    for i in range(spp_total):
-        acc += np.asarray(one(scene, jnp.asarray(jitter_table[i % 64]), i))
-    return (acc / spp_total).astype(np.float32)
+        def body(i, acc):
+            fi = start + i
+            cam = camera_mod.make_camera(
+                pos, fwd, aspect=width / height,
+                jitter=jitter_table[jnp.mod(fi, 64)])
+            return acc + pathtrace.trace_image(scene, cam, cfg, fi,
+                                               accel=accel).radiance
+        return jax.lax.fori_loop(0, chunk, body, acc)
+
+    acc = jnp.zeros((height, width, 3), jnp.float32)
+    for c in range(-(-spp_total // chunk)):
+        acc = render_chunk(scene, c * chunk, acc)
+    return (np.asarray(acc, np.float64)
+            / (-(-spp_total // chunk) * chunk)).astype(np.float32)
 
 
 def realtime_render(host, width: int, height: int, frames: int = 64,

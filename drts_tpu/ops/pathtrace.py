@@ -54,8 +54,12 @@ class PathTraceConfig:
     # per bounce. The SER/ray-compaction analogue of
     # /root/reference/Shaders/RaytracingHelpers.hlsli:46-53. Set
     # compact_from > bounces to disable (pure dense).
+    # fraction sweep at 1080p/8 bounces (tools/prof_cfrom.py): dense 146 ms,
+    # /8 98 ms, /16 80 ms. /12 balances machinery cost against survivor
+    # overflow headroom (~130k bounce-2 survivors vs the 174k cap; overflow
+    # silently drops path radiance).
     compact_from: int = 2
-    compact_fraction: int = 8
+    compact_fraction: int = 12
 
 
 @struct.dataclass
