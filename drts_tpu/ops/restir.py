@@ -94,11 +94,11 @@ def init_reservoirs(height: int, width: int) -> Reservoirs:
 class ReGIRGrid:
     """Camera-centered world-space cell reservoirs (ReGIR onion analogue)
     with N_FALLBACK_CELLS power-RIS rows appended (outside-grid candidate
-    source). `packed` = flat ((C+F)*S, 2) [compact_light_id, weight] rows
-    for one-gather candidate fetches."""
+    source). `packed` = (C+F, S) f32, each an f16 pair
+    [compact_light_id | weight], for one-gather candidate fetches."""
     light_index: jnp.ndarray  # (C+F, S) int32 compact light ids
     weight: jnp.ndarray       # (C+F, S) RIS weight W per slot
-    packed: jnp.ndarray       # ((C+F)*S, 2) float32
+    packed: jnp.ndarray       # (C+F, S) f32 (f16 pairs)
     origin: jnp.ndarray       # (3,) grid corner
     cell_size: jnp.ndarray    # scalar
 
@@ -261,8 +261,12 @@ def build_regir_grid(lights: light_mod.Lights, camera_position,
 
     all_idx = jnp.concatenate([best_idx, fb_idx])
     all_w = jnp.concatenate([w_out, fb_w])
-    packed = jnp.stack([all_idx.reshape(-1).astype(jnp.float32),
-                        all_w.reshape(-1)], axis=-1)
+    # One f32 per slot (f16 pair [compact_id | W]): the per-pixel slot
+    # prefetch in initial sampling is random-access-bandwidth-bound, so
+    # the row shrinks from s*8 to s*4 bytes. Compact ids (< 2048) are
+    # f16-exact; W carries ~1e-3 relative error, which cancels between
+    # the RIS weight and the MIS density built from it.
+    packed = m.pack2f16(all_idx.astype(jnp.float32), all_w)
     return ReGIRGrid(light_index=all_idx, weight=all_w, packed=packed,
                      origin=origin, cell_size=jnp.float32(cfg.regir_cell_size))
 
@@ -305,10 +309,10 @@ def initial_sampling(surface: Surface, scene: SphereScene,
     cell_eff = jnp.where(inside, cell, fb_cell)
 
     # ONE candidate-row prefetch for ALL rounds: every slot of the pixel's
-    # cell in a single wide gather ((H, W) x s*2). The per-round gathers
-    # this replaces (grid row + tile row, ~8 + 4 ms each at 2M lanes) were
-    # the bulk of this pass's 190 ms.
-    rows_all = grid.packed.reshape(-1, s * 2)[cell_eff]
+    # cell in a single wide gather ((H, W) x s packed f32). The per-round
+    # gathers this replaces (grid row + tile row) were the bulk of this
+    # pass's 190 ms at round 1.
+    rows_all = grid.packed[cell_eff]
 
     res_idx = jnp.zeros((h, w), jnp.int32)
     res_uv = jnp.zeros((h, w, 2), jnp.float32)
@@ -325,15 +329,15 @@ def initial_sampling(surface: Surface, scene: SphereScene,
         uv, rng = rng_mod.next_floats(rng, 2)
         u_slot, u_keep = u2[..., 0], u2[..., 1]
 
-        # Slot select from the prefetched rows (s-way masked sum — cheap
-        # VPU work instead of a gather).
+        # Slot select from the prefetched rows (s-way select chain — cheap
+        # VPU work instead of a gather; selects, not masked adds, because
+        # arithmetic on packed bit patterns can canonicalize NaN payloads).
         slot = jnp.minimum((u_slot * s).astype(jnp.int32), s - 1)
-        row = jnp.zeros((h, w, 2), jnp.float32)
-        for i in range(s):
-            row = row + jnp.where((slot == i)[..., None],
-                                  rows_all[..., 2 * i:2 * i + 2], 0.0)
-        cand = row[..., 0].astype(jnp.int32)
-        w_cand = row[..., 1]       # candidate RIS weight W (inverse pdf)
+        row = rows_all[..., 0]
+        for i in range(1, s):
+            row = jnp.where(slot == i, rows_all[..., i], row)
+        cand_f, w_cand = m.unpack2f16(row)
+        cand = jnp.round(cand_f).astype(jnp.int32)
 
         # Balance-heuristic MIS against the BRDF-sampling technique
         # (DIInitialSampling's light/BRDF candidate mix): each candidate's
@@ -357,7 +361,9 @@ def initial_sampling(surface: Surface, scene: SphereScene,
         res_phat = jnp.where(take, p_hat, res_phat)
 
     # BRDF-ray candidates (DIInitialSampling.hlsl BRDF samples): sample the
-    # BSDF, trace, and fold emissive hits into the reservoir domain.
+    # BSDF, find the nearest LIGHT along the ray (a 128-light sweep — 3.5x
+    # cheaper than the full-scene closest hit), verify nothing occludes it
+    # with the any-hit kernel, and fold the hit into the reservoir domain.
     for _ in range(n_b):
         rand4, rng = rng_mod.next_floats(rng, 4)
         u_keep2, rng = rng_mod.next_float(rng)
@@ -365,21 +371,22 @@ def initial_sampling(surface: Surface, scene: SphereScene,
                                              surface.view, rand4)
         origin = intersect.safe_spawn_point(
             surface.position, surface.sv.front_geometric_normal, l_dir)
-        from . import trace as trace_mod
-        bhit, _btri = trace_mod._closest_hit(
-            scene, origin, l_dir, jnp.zeros((h, w)),
-            jnp.where(surface.valid & valid_dir, jnp.inf, -1.0),
-            block_size, accel)
-        # Mesh-instance hits (index >= K) are occluders, never lights.
-        n_spheres = scene.center.shape[0]
-        k = jnp.minimum(bhit.index, n_spheres - 1)
-        krows = light_mod.fetch_rows_object(lights, k)  # one object fetch
-        cand_b = krows.aux                              # compact light id
-        is_emissive = bhit.hit & (bhit.index < n_spheres) \
-            & (krows.power > 0) & (cand_b >= 0)
+        ray_live = surface.valid & valid_dir
+        lhit = intersect.intersect_spheres(
+            origin, l_dir, jnp.zeros((h, w)),
+            jnp.where(ray_live, jnp.inf, -1.0),
+            lights.compact[:, 0:3], lights.compact[:, 3], block_size,
+            attributes=False)
+        cand_b = lhit.index                           # compact light id
+        krows = light_mod.fetch_rows(lights, cand_b)
+        # Occluder test: anything (sphere or mesh, alpha-aware) closer
+        # than the light surface, excluding the light itself.
+        occ_b = _occluded(origin, l_dir, lhit.t, scene, krows.aux,
+                          block_size, accel)
+        is_emissive = lhit.hit & (krows.power > 0) & ~occ_b
         uv_b, inside_cone = _uv_from_direction(krows, surface.position,
                                                l_dir)
-        ok = is_emissive & inside_cone & valid_dir & surface.valid
+        ok = is_emissive & inside_cone & ray_live
 
         p_w = bxdf.eval_pdf(surface.bsdf, surface.sv, l_dir, surface.view,
                             surface.lobe_weights)

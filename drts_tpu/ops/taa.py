@@ -56,11 +56,28 @@ class TAAConfig:
 @struct.dataclass
 class TAAState:
     history: jnp.ndarray         # (OH, OW, 3) output-res accumulated color
+    # (OH, OW, 2) f16-pair mirror [r|g, b|-]: the bilinear history fetch is
+    # random-access-bandwidth-bound (~2.8 GB/s effective on TPU), so the
+    # default path gathers 8-byte rows instead of 12 — NRD/DLSS likewise
+    # keep history in fp16.
+    packed: jnp.ndarray
+
+
+def _pack_rgb16(img):
+    return jnp.stack(
+        [m.pack2f16(img[..., 0], img[..., 1]),
+         m.pack2f16(img[..., 2], jnp.zeros_like(img[..., 2]))], axis=-1)
+
+
+def _unpack_rgb16(p):
+    r, g = m.unpack2f16(p[..., 0])
+    b, _ = m.unpack2f16(p[..., 1])
+    return jnp.stack([r, g, b], axis=-1)
 
 
 def init_state(out_height: int, out_width: int) -> TAAState:
-    return TAAState(history=jnp.zeros((out_height, out_width, 3),
-                                      jnp.float32))
+    zero = jnp.zeros((out_height, out_width, 3), jnp.float32)
+    return TAAState(history=zero, packed=_pack_rgb16(zero))
 
 
 def _catmull_rom_sample(img, y, x):
@@ -95,21 +112,29 @@ def _catmull_rom_sample(img, y, x):
     return jnp.maximum(acc, 0.0)
 
 
-def _bilinear_history(img, y, x):
-    h, w = img.shape[0], img.shape[1]
+def _bilinear_history(packed, y, x):
+    """Bilinear history resample from the f16-packed mirror, as ONE
+    row-gather: the 2x2 footprint is pre-packed per pixel (edge-replicated
+    shifted copies), so each output pixel fetches one 32-byte row — the
+    fetch is random-access-bandwidth-bound, so fewer bytes = faster (the
+    4-tap f32 form reads 48 B/pixel)."""
+    h, w = packed.shape[0], packed.shape[1]
+    right = jnp.concatenate([packed[:, 1:], packed[:, -1:]], axis=1)
+    down = jnp.concatenate([packed[1:], packed[-1:]], axis=0)
+    downright = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    quad = jnp.concatenate([packed, right, down, downright], axis=-1)
+
     y0 = jnp.floor(y)
     x0 = jnp.floor(x)
     fy = (y - y0)[..., None]
     fx = (x - x0)[..., None]
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
     x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    x1i = jnp.clip(x0i + 1, 0, w - 1)
-    flat = img.reshape(-1, img.shape[-1])
-    c00 = flat[y0i * w + x0i]
-    c01 = flat[y0i * w + x1i]
-    c10 = flat[y1i * w + x0i]
-    c11 = flat[y1i * w + x1i]
+    row = quad.reshape(-1, 8)[y0i * w + x0i]
+    c00 = _unpack_rgb16(row[..., 0:2])
+    c01 = _unpack_rgb16(row[..., 2:4])
+    c10 = _unpack_rgb16(row[..., 4:6])
+    c11 = _unpack_rgb16(row[..., 6:8])
     return (c00 * (1 - fx) + c01 * fx) * (1 - fy) \
         + (c10 * (1 - fx) + c11 * fx) * fy
 
@@ -182,7 +207,7 @@ def upscale(state: TAAState, color, motion, jitter, out_h: int, out_w: int,
         hist = _catmull_rom_sample(state.history, py + motion_up[..., 1],
                                    px + motion_up[..., 0])
     else:
-        hist = _bilinear_history(state.history, py + motion_up[..., 1],
+        hist = _bilinear_history(state.packed, py + motion_up[..., 1],
                                  px + motion_up[..., 0])
 
     # Neighborhood variance clipping in the current frame (render res
@@ -212,4 +237,4 @@ def upscale(state: TAAState, color, motion, jitter, out_h: int, out_w: int,
         alpha = jnp.clip(alpha * (1.0 + 3.0 * (1.0 - conf_up)), 0.0, 1.0)
     alpha = jnp.where(in_bounds & ~reset, alpha, 1.0)[..., None]
     out = m.lerp(hist_clipped, up, alpha)
-    return TAAState(history=out), out
+    return TAAState(history=out, packed=_pack_rgb16(out)), out

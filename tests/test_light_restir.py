@@ -256,3 +256,35 @@ def test_sharc_roundtrip():
         state = sharc.resolve(state, *empty, cfg)
     _, valid2 = sharc.query(state, pos, nrm, campos, cfg)
     assert not bool(valid2[0])
+
+
+def test_sharc_splat_dedup_matches_naive():
+    """The group-local dedup before the splat scatter is value-equal to a
+    naive per-row scatter-add (heavy duplicate slots, dead lanes, multi
+    levels)."""
+    from drts_tpu.ops import sharc
+    rng = np.random.RandomState(5)
+    cap = 1 << 10
+    n = 1000  # not a multiple of the dedup group (ragged tail)
+    levels = 3
+    slots = [jnp.asarray(rng.randint(0, 32, (n,)), jnp.int32)
+             for _ in range(levels)]  # heavy collisions
+    fps = [jnp.asarray(rng.randint(1, 2**31, (n,)).astype(np.uint32))
+           for _ in range(levels)]
+    rads = [jnp.asarray(rng.rand(n, 3), jnp.float32)
+            for _ in range(levels)]
+    acts = [jnp.asarray(rng.rand(n) < 0.7) for _ in range(levels)]
+
+    acc = (jnp.zeros((cap, 3)), jnp.zeros((cap,)),
+           jnp.zeros((cap,), jnp.uint32))
+    ssum, cnt, _fp = sharc.splat_levels(acc, slots, fps, rads, acts)
+
+    ref_sum = np.zeros((cap, 3))
+    ref_cnt = np.zeros((cap,))
+    for s, r, a in zip(slots, rads, acts):
+        for i in range(n):
+            if bool(a[i]):
+                ref_sum[int(s[i])] += np.asarray(r[i])
+                ref_cnt[int(s[i])] += 1.0
+    np.testing.assert_allclose(np.asarray(ssum), ref_sum, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cnt), ref_cnt, atol=1e-5)
