@@ -472,18 +472,19 @@ def _finalize(idx, uv, phat, w_sum, m_count):
 
 
 def _pack_reservoirs(res: Reservoirs, depth, normal, extra=None):
-    """(H, W, 5[+E]) packed reservoir + guide rows for one-gather neighbor
-    fetches, f16-pair packed where precision allows (the fetch is
-    bandwidth-bound): [idx|m, uv, w_out, depth, oct normal]. idx <= 2048
-    and M counts are exact/near-exact in f16; uv quantization (~1e-3)
-    perturbs the re-evaluated target pdf identically in numerator and
-    stream weight, preserving unbiasedness (validated by the 2% test)."""
+    """(H, W, 4[+E]) packed reservoir + guide rows for one-gather neighbor
+    fetches, bit-packed where precision allows (the fetch is bandwidth-
+    bound AND small sources stay in XLA's fast scoped gather memory):
+    [idx|m, uv, w_out, depth|oct8 normal]. idx <= 2048 and M counts are
+    exact/near-exact in f16; uv quantization (~1e-3) perturbs the
+    re-evaluated target pdf identically in numerator and stream weight,
+    preserving unbiasedness (validated by the 2% test); the 8-bit normal
+    only guides the >= 0.5-dot similarity test."""
     cols = [
         m.pack2f16(res.light_index.astype(jnp.float32), res.m_count),
         m.pack2f16(res.uv[..., 0], res.uv[..., 1]),
         res.w_out,
-        depth,
-        m.pack_oct16(normal),
+        m.pack_depth_oct8(depth, normal),
     ]
     packed = jnp.stack(cols, axis=-1)
     if extra is not None:
@@ -498,9 +499,10 @@ def _fetch_packed(packed, iy, ix):
     row = flat[iy * w + ix]
     idx_f, m_count = m.unpack2f16(row[..., 0])
     u0, u1 = m.unpack2f16(row[..., 1])
+    depth, normal = m.unpack_depth_oct8(row[..., 3])
     return (jnp.round(idx_f).astype(jnp.int32),
             jnp.stack([u0, u1], axis=-1), m_count, row[..., 2],
-            row[..., 3], m.unpack_oct16(row[..., 4]), row[..., 5:])
+            depth, normal, row[..., 4:])
 
 
 def temporal_resampling(cur: Reservoirs, prev: Reservoirs, surface: Surface,

@@ -59,29 +59,32 @@ class SHARCState:
     """The cache (the reference's hash-entry + voxel-data buffer pair,
     SHARC.ixx:29-33, held functionally).
 
-    ``packed`` is the query-side mirror: one (C, 4) f32 row
-    [r, g, b, meta] rebuilt densely at resolve so a cache query costs ONE
-    narrow row-gather (three narrow gathers measured ~17 ms each at 2M
-    lanes — the query was the dominant cost of the main trace). ``meta``
-    bit-packs the top 26 fingerprint bits with a 6-bit sample count
-    (capped at 63; the query threshold is 4), halving the gathered row
-    from 32 to 16 bytes."""
+    ``packed`` is the query-side mirror: one (C, 3) f32 row
+    [r|g (f16), b|- (f16), meta] rebuilt densely at resolve so a cache
+    query costs ONE narrow 12-byte row-gather (three narrow f32 gathers
+    measured ~17 ms each at 2M lanes — the query was the dominant cost of
+    the main trace; smaller rows also keep the mirror inside XLA's scoped
+    gather memory). ``meta`` bit-packs the top 26 fingerprint bits with a
+    6-bit sample count (capped at 63; the query threshold is 4). f16
+    radiance matches the reference cache's compressed voxel storage."""
     fingerprint: jnp.ndarray   # (C,) uint32; 0 = empty
     radiance: jnp.ndarray      # (C, 3) accumulated average radiance
     sample_count: jnp.ndarray  # (C,) effective sample count
     stale_frames: jnp.ndarray  # (C,) frames since last touch
-    packed: jnp.ndarray        # (C, 4) f32 query mirror
+    packed: jnp.ndarray        # (C, 3) f32 query mirror
 
 
 _FP_MASK = jnp.uint32(0xFFFFFFC0)
 
 
 def _pack_query_rows(fingerprint, radiance, sample_count):
+    from ..utils import math as _m
     count6 = jnp.minimum(sample_count, 63.0).astype(jnp.uint32)
     meta = (fingerprint & _FP_MASK) | count6
-    return jnp.concatenate(
-        [radiance,
-         jax.lax.bitcast_convert_type(meta, jnp.float32)[:, None]], axis=-1)
+    return jnp.stack(
+        [_m.pack2f16(radiance[:, 0], radiance[:, 1]),
+         _m.pack2f16(radiance[:, 2], jnp.zeros_like(radiance[:, 2])),
+         jax.lax.bitcast_convert_type(meta, jnp.float32)], axis=-1)
 
 
 def init_state(cfg: SHARCConfig) -> SHARCState:
@@ -91,7 +94,7 @@ def init_state(cfg: SHARCConfig) -> SHARCState:
         radiance=jnp.zeros((c, 3), jnp.float32),
         sample_count=jnp.zeros((c,), jnp.float32),
         stale_frames=jnp.zeros((c,), jnp.float32),
-        packed=jnp.zeros((c, 4), jnp.float32))
+        packed=jnp.zeros((c, 3), jnp.float32))
 
 
 # ----------------------------------------------------------------------------
@@ -144,13 +147,17 @@ def query(state: SHARCState, position, normal, camera_position,
           cfg: SHARCConfig):
     """Returns (radiance (..., 3), valid (...,)). One narrow row-gather
     from the packed mirror (see SHARCState.packed)."""
+    from ..utils import math as _m
     slot, fp = cache_key(position, normal, camera_position, cfg)
-    row = state.packed[slot]                       # (..., 4) one gather
-    meta = jax.lax.bitcast_convert_type(row[..., 3], jnp.uint32)
+    row = state.packed[slot]                       # (..., 3) one gather
+    meta = jax.lax.bitcast_convert_type(row[..., 2], jnp.uint32)
     count = (meta & jnp.uint32(63)).astype(jnp.float32)
     valid = ((meta & _FP_MASK) == (fp & _FP_MASK)) \
         & (count >= cfg.min_samples_for_query) & (meta != 0)
-    radiance = jnp.where(valid[..., None], row[..., 0:3], 0.0)
+    r, g = _m.unpack2f16(row[..., 0])
+    b, _ = _m.unpack2f16(row[..., 1])
+    radiance = jnp.where(valid[..., None],
+                         jnp.stack([r, g, b], axis=-1), 0.0)
     return radiance, valid
 
 
@@ -255,18 +262,38 @@ def splat_levels(state_accum, slots_list, fps_list, radiance_list,
 
     # Sort rows by slot: duplicates become adjacent (so the exact
     # tree-merge collapses them — a voxel spans ~10-25 update pixels at
-    # typical distances) and the remaining scatter runs on sorted,
-    # mostly-unique indices.
+    # typical distances).
     slots, p0, p1, p2, p3, fp = jax.lax.sort(
         (slots, payload[:, 0], payload[:, 1], payload[:, 2],
          payload[:, 3], fp), num_keys=1)
     payload = jnp.stack([p0, p1, p2, p3], axis=-1)
     slots, payload, fp = _local_dedup(slots, payload, fp, capacity)
 
+    # Compact surviving rows to the front (stable, so slots stay sorted):
+    # the scatter's cost scales with ROWS PROCESSED, not rows kept —
+    # dead-path lanes + merged duplicates are typically >2/3 of the
+    # stream. Overflow beyond the n/2 capacity is dropped (counted
+    # radiance loss is bounded by the dedup/termination statistics).
+    n = slots.shape[0]
+    cap_rows = -(-n // 2 // 1024) * 1024
+    keep = slots < capacity
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    dest = jnp.where(keep & (pos < cap_rows), pos, cap_rows)
+    src = jnp.full((cap_rows,), n, jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True)
+    live = src < n
+    safe = jnp.minimum(src, n - 1)
+    c_slots = jnp.where(live, slots[safe], capacity)
+    c_payload = jnp.where(live[:, None], payload[safe], 0.0)
+    c_fp = jnp.where(live, fp[safe], jnp.uint32(0))
+
+    # NOT unique: a voxel run can straddle dedup-group boundaries, so a
+    # slot may still appear in a handful of rows.
     acc4 = jnp.concatenate([acc_sum, acc_count[:, None]], axis=-1)
-    acc4 = acc4.at[slots].add(payload, mode="drop",
-                              indices_are_sorted=False)
-    acc_fp = acc_fp.at[slots].max(fp, mode="drop")
+    acc4 = acc4.at[c_slots].add(c_payload, mode="drop",
+                                indices_are_sorted=True)
+    acc_fp = acc_fp.at[c_slots].max(c_fp, mode="drop",
+                                    indices_are_sorted=True)
     return acc4[:, 0:3], acc4[:, 3], acc_fp
 
 

@@ -291,3 +291,27 @@ def unpack_oct16(x):
     """Inverse of pack_oct16."""
     a, b = unpack2f16(x)
     return oct_decode(jnp.stack([a, b], axis=-1))
+
+
+def pack_depth_oct8(depth, n):
+    """Depth (f16, clamped) + unit normal (octahedral 2x8-bit unorm, ~1-2
+    degrees error — fine for >= 0.5-dot similarity guides) in ONE f32."""
+    import jax
+    dh = jnp.clip(depth, -3e4, 3e4).astype(jnp.float16)
+    du = jax.lax.bitcast_convert_type(dh, jnp.uint16).astype(jnp.uint32)
+    e = oct_encode(n)
+    q = jnp.round((e * 0.5 + 0.5) * 255.0).astype(jnp.uint32)
+    u = (du << jnp.uint32(16)) | (q[..., 0] << jnp.uint32(8)) | q[..., 1]
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+
+def unpack_depth_oct8(x):
+    """Inverse of pack_depth_oct8 -> (depth, normal)."""
+    import jax
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    dh = jax.lax.bitcast_convert_type(
+        (u >> jnp.uint32(16)).astype(jnp.uint16), jnp.float16)
+    q0 = ((u >> jnp.uint32(8)) & jnp.uint32(255)).astype(jnp.float32)
+    q1 = (u & jnp.uint32(255)).astype(jnp.float32)
+    e = jnp.stack([q0, q1], axis=-1) / 255.0 * 2.0 - 1.0
+    return dh.astype(jnp.float32), oct_decode(e)
