@@ -86,35 +86,66 @@ def bench_full_pipeline(width=1920, height=1080, iters=4):
     state, image = step(state, pose)
     jax.block_until_ready(image)
 
-    passes = pipe.profile_passes(state, pose, iters=iters)
-
+    # Monolithic frame time FIRST (the headline); per-pass attribution
+    # second, and a profiling failure must not lose the frame time.
     start = time.perf_counter()
     cur = state
     for _ in range(iters):
         cur, image = step(cur, pose)
     jax.block_until_ready(image)
     full_ms = (time.perf_counter() - start) / iters * 1e3
+
+    try:
+        passes = pipe.profile_passes(state, pose, iters=iters)
+    except Exception:
+        passes = {"profile_failed": -1.0}
     return full_ms, {k: round(v, 2) for k, v in passes.items()}
 
 
 def main():
+    import sys
+    import traceback
+
     import jax
 
-    mray_s, frame_ms, rays_per_frame = bench_trace()
+    def note(msg):
+        print(msg, file=sys.stderr, flush=True)
+
     record = {
         "metric": "path_trace_1080p_1spp_8bounce",
-        "value": round(mray_s, 2),
+        "value": 0.0,
         "unit": "Mray/s/chip",
-        "vs_baseline": round(mray_s / 200.0, 4),
-        "frame_ms": round(frame_ms, 2),
-        "rays_per_frame": int(rays_per_frame),
+        "vs_baseline": 0.0,
         "device": str(jax.devices()[0]),
     }
+    errors = []
+
+    # Headline FIRST, so a later failure can't lose it (round-2 lesson).
+    try:
+        note("bench: trace...")
+        mray_s, frame_ms, rays_per_frame = bench_trace()
+        record.update(value=round(mray_s, 2),
+                      vs_baseline=round(mray_s / 200.0, 4),
+                      frame_ms=round(frame_ms, 2),
+                      rays_per_frame=int(rays_per_frame))
+        note(f"bench: trace {mray_s:.1f} Mray/s ({frame_ms:.1f} ms)")
+    except Exception:
+        errors.append("trace: " + traceback.format_exc(limit=2))
+
     if not os.environ.get("DRTS_BENCH_FAST"):
-        full_ms, passes = bench_full_pipeline()
-        record["full_pipeline_ms"] = round(full_ms, 2)
-        record["passes_ms"] = passes
-        record["passes_sum_ms"] = round(sum(passes.values()), 2)
+        try:
+            note("bench: full pipeline...")
+            full_ms, passes = bench_full_pipeline()
+            record["full_pipeline_ms"] = round(full_ms, 2)
+            record["passes_ms"] = passes
+            record["passes_sum_ms"] = round(
+                sum(v for v in passes.values() if v > 0), 2)
+            note(f"bench: full pipeline {full_ms:.1f} ms")
+        except Exception:
+            errors.append("full_pipeline: " + traceback.format_exc(limit=2))
+
+    if errors:
+        record["errors"] = errors
     print(json.dumps(record), flush=True)
 
 

@@ -40,20 +40,36 @@ def _srgb_to_linear(x: np.ndarray) -> np.ndarray:
 
 
 def load_texture_atlas(asset_dir: str = DEFAULT_ASSET_DIR,
-                       size: int = 512) -> np.ndarray | None:
-    """Build the (T, S, S, 4) atlas; None when assets or PIL are missing
-    (materials then fall back to constants, like the reference with a
-    missing file)."""
-    textures = []
+                       size: int = 512):
+    """Build the (T, S, S, 4) atlas with PER-FILE fallback.
+
+    Returns ``(atlas, present)`` where ``present[i]`` says whether slot i
+    actually loaded; a missing or undecodable file fills its slot with
+    neutral white and materials reference it as -1 (constant fallback) —
+    mirroring the reference, where one missing texture map degrades that
+    map only, not all texturing (Source/MyScene.ixx:161-165). Returns
+    ``(None, [False]*T)`` when nothing loads (no PIL / no asset dir).
+
+    Note: ``Alien-Metal_Normal.png`` genuinely does not exist in the
+    reference asset snapshot (7 files under Assets/Textures); round 2's
+    all-or-nothing load therefore never produced an atlas at all.
+    """
+    textures: list = []
+    present: list = []
+    neutral = np.ones((size, size, 4), np.float32)
     for name, is_srgb in TEXTURE_FILES:
         path = os.path.join(asset_dir, name)
-        if not os.path.exists(path):
-            return None
-        img = image_mod.load_image(path, size=size)
+        img = image_mod.load_image(path, size=size) \
+            if os.path.exists(path) else None
         if img is None:
-            return None
+            textures.append(neutral)
+            present.append(False)
+            continue
         if is_srgb:
             img = np.concatenate([_srgb_to_linear(img[..., :3]),
                                   img[..., 3:4]], axis=-1)
         textures.append(img)
-    return np.stack(textures).astype(np.float32)
+        present.append(True)
+    if not any(present):
+        return None, present
+    return np.stack(textures).astype(np.float32), present

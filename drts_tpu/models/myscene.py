@@ -73,7 +73,8 @@ def build(seed: int = 0, oscillator_grid: int = 10,
     """
     from . import assets
 
-    atlas = assets.load_texture_atlas() if load_textures else None
+    atlas, tex_present = (assets.load_texture_atlas() if load_textures
+                          else (None, [False] * len(assets.TEXTURE_FILES)))
     env_texture = None
     if env_map_path is not None:
         from ..utils import image as image_mod
@@ -103,14 +104,18 @@ def build(seed: int = 0, oscillator_grid: int = 10,
     # --- 4 hero spheres (MyScene.ixx:117-169) ------------------------------
     hero_positions = [(-2.0, 0.5, 0.0), (0.0, 0.5, 0.0), (0.0, 2.0, 0.0),
                       (2.0, 0.5, 0.0)]
-    tex = atlas is not None
+
+    def slot(i):
+        """Texture slot index, or -1 when that map didn't load (per-file
+        fallback — see assets.load_texture_atlas)."""
+        return i if (atlas is not None and tex_present[i]) else -1
     hero_materials = [
         # AlienMetal (textured, MyScene.ixx:161-165)
         MaterialDesc(base_color=(1, 1, 1, 1), metallic=1.0, roughness=1.0,
-                     base_color_map=assets.ALIEN_BASE if tex else -1,
-                     metallic_map=assets.ALIEN_METALLIC if tex else -1,
-                     roughness_map=assets.ALIEN_ROUGH if tex else -1,
-                     normal_map=assets.ALIEN_NORMAL if tex else -1),
+                     base_color_map=slot(assets.ALIEN_BASE),
+                     metallic_map=slot(assets.ALIEN_METALLIC),
+                     roughness_map=slot(assets.ALIEN_ROUGH),
+                     normal_map=slot(assets.ALIEN_NORMAL)),
         MaterialDesc(base_color=(1, 1, 1, 1), roughness=0.0,
                      transmission=1.0),
         MaterialDesc(base_color=(1, 1, 1, 1), roughness=0.5,
@@ -173,13 +178,13 @@ def build(seed: int = 0, oscillator_grid: int = 10,
     moon_velocity = speed * np.array([-to_earth[2], 0.0, to_earth[0]])
     add(KIND_MOON, tuple(moon_pos), 0.25,
         MaterialDesc(base_color=(1, 1, 1, 1), roughness=0.8,
-                     base_color_map=assets.MOON_BASE if tex else -1,
-                     normal_map=assets.MOON_NORMAL if tex else -1),
+                     base_color_map=slot(assets.MOON_BASE),
+                     normal_map=slot(assets.MOON_NORMAL)),
         velocity=tuple(moon_velocity), angular=(0.0, speed / dist, 0.0))
     add(KIND_EARTH, tuple(earth_pos), 1.0,
         MaterialDesc(base_color=(1, 1, 1, 1), roughness=0.8,
-                     base_color_map=assets.EARTH_BASE if tex else -1,
-                     normal_map=assets.EARTH_NORMAL if tex else -1),
+                     base_color_map=slot(assets.EARTH_BASE),
+                     normal_map=slot(assets.EARTH_NORMAL)),
         angular=(0.0, 2.0 * np.pi / earth_rotation_period, 0.0),
         mass=earth_mass)
     # Star: mass 0 -> static collider (MyScene.ixx:297 setMass(0)).

@@ -423,13 +423,9 @@ class RenderPipeline:
             confidence = None
         return den_state, color, confidence
 
-    def _stage_post(self, state, color, gbuf, cam, reset, confidence=None,
-                    dyn: DynamicSettings | None = None):
-        """TAA upscale + bloom/sharpen/tonemap
-        (PostProcessGraphics, App.cpp:1460-1525)."""
+    def _stage_taa(self, state, color, gbuf, cam, reset, confidence=None):
+        """TAA upscale (the DLSS-SR/XeSS slot, App.cpp:1644-1708)."""
         c = self.cfg
-        if dyn is None:
-            dyn = default_dynamic(c)
         taa_state = state.taa
         if c.upscaling or c.denoiser != "None":
             taa_state, color = taa.upscale(
@@ -440,30 +436,61 @@ class RenderPipeline:
                                                    c.render_width):
             color = post.resize_bilinear(color, c.output_height,
                                          c.output_width)
+        return taa_state, color
 
+    def _stage_postfx(self, color, dyn: DynamicSettings | None = None):
+        """Sharpen + bloom + tone map (App.cpp:1498-1514)."""
+        c = self.cfg
+        if dyn is None:
+            dyn = default_dynamic(c)
         if c.sharpen_enabled:
             color = post.sharpen(color, dyn.sharpness)
         if c.bloom_enabled:
             color = post.bloom(color, dyn.bloom_strength)
-        image = post.tonemap(color, c.tone_map_operator, dyn.exposure,
-                             hdr=c.hdr_enabled,
-                             paper_white_nits=c.paper_white_nits)
-        return taa_state, image
+        return post.tonemap(color, c.tone_map_operator, dyn.exposure,
+                            hdr=c.hdr_enabled,
+                            paper_white_nits=c.paper_white_nits)
+
+    def _stage_post(self, state, color, gbuf, cam, reset, confidence=None,
+                    dyn: DynamicSettings | None = None):
+        """TAA upscale + bloom/sharpen/tonemap
+        (PostProcessGraphics, App.cpp:1460-1525).
+
+        NOTE: when standalone-jitted at 1080p this fused program hits an
+        XLA:TPU runtime kernel fault (round-2 BENCH failure; each half runs
+        fine alone, and the monolithic render_frame compiles the same ops
+        without faulting). profile_passes therefore times _stage_taa and
+        _stage_postfx as separate dispatches.
+        """
+        taa_state, color = self._stage_taa(state, color, gbuf, cam, reset,
+                                           confidence)
+        return taa_state, self._stage_postfx(color, dyn)
 
     def render_frame(self, state: FrameState, pose: CameraPose,
                      dt=1.0 / 60.0, prev_pose: CameraPose | None = None,
-                     reset=False, dyn: DynamicSettings | None = None):
+                     reset=False, dyn: DynamicSettings | None = None,
+                     _run=None):
         """One full App::Tick (update + render + post). Pure; jittable.
+
+        ``_run(name, fn, *args)`` optionally wraps every frame-graph stage
+        (the PIX-scoped-event seam, App.cpp:598): profile_passes injects a
+        jit-and-time hook here so per-pass timing exercises the EXACT same
+        dataflow as the monolithic frame — no hand-mirrored graph to drift.
 
         Returns (new_state, output image (OH, OW, 3) in display [0,1])."""
         c = self.cfg
         reset = jnp.asarray(reset)
+        run = _run if _run is not None else (lambda name, fn, *args: fn(*args))
+        fi = state.frame_index
 
-        bodies, scene, cam, accel = self._stage_update(state, pose, dt,
-                                                       prev_pose)
+        bodies, scene, cam, accel = run(
+            "update", lambda s, p: self._stage_update(s, p, dt, prev_pose),
+            state, pose)
 
         # --- RenderScene (App.cpp:1111-1283) --------------------------------
-        gbuf = self._stage_gbuffer(scene, cam, accel, state.frame_index)
+        gbuf = run("gbuffer",
+                   lambda s, cm, a: self._stage_gbuffer(s, cm, a, fi),
+                   scene, cam, accel)
 
         # ReSTIR DI chain (RTXDI.ixx:141-241): light prep -> ReGIR build ->
         # initial -> temporal -> spatial -> final shading.
@@ -471,18 +498,31 @@ class RenderPipeline:
         di_diffuse = di_specular = None
         reservoirs = state.reservoirs
         if c.restir_enabled:
-            lights, grid = self._restir_prepare(scene, cam,
-                                                state.frame_index)
-            surface, cur = self._restir_initial(gbuf, scene, lights, grid,
-                                                state.frame_index, accel)
+            lights, grid = run(
+                "restir_prepare",
+                lambda s, cm: self._restir_prepare(s, cm, fi), scene, cam)
+            surface, cur = run(
+                "restir_initial",
+                lambda g, s, li, gr, a: self._restir_initial(g, s, li, gr,
+                                                             fi, a),
+                gbuf, scene, lights, grid, accel)
             if c.restir.temporal_enabled:
-                cur = self._restir_temporal(state, cur, surface, lights,
-                                            gbuf, reset, state.frame_index)
+                cur = run(
+                    "restir_temporal",
+                    lambda st, cu, su, li, g: self._restir_temporal(
+                        st, cu, su, li, g, reset, fi),
+                    state, cur, surface, lights, gbuf)
             if c.restir.spatial_enabled:
-                cur = self._restir_spatial(cur, surface, lights,
-                                           state.frame_index, scene, accel)
-            di_diffuse, di_specular = self._restir_final(cur, surface, scene,
-                                                         lights, accel)
+                cur = run(
+                    "restir_spatial",
+                    lambda cu, su, li, s, a: self._restir_spatial(
+                        cu, su, li, fi, s, a),
+                    cur, surface, lights, scene, accel)
+            di_diffuse, di_specular = run(
+                "restir_final",
+                lambda cu, su, s, li, a: self._restir_final(cu, su, s, li,
+                                                            a),
+                cur, surface, scene, lights, accel)
             di_total = di_diffuse + di_specular
             reservoirs = cur
 
@@ -490,23 +530,67 @@ class RenderPipeline:
         # the main trace queries the fresh cache (Raytracing.ixx:114-148).
         sharc_state = state.sharc
         if c.sharc_enabled:
-            sharc_state = self._stage_sharc(state, scene, cam, di_total,
-                                            accel, state.frame_index)
+            if di_total is not None:
+                sharc_state = run(
+                    "sharc_update",
+                    lambda st, s, cm, di, a: self._stage_sharc(st, s, cm, di,
+                                                               a, fi),
+                    state, scene, cam, di_total, accel)
+            else:
+                sharc_state = run(
+                    "sharc_update",
+                    lambda st, s, cm, a: self._stage_sharc(st, s, cm, None,
+                                                           a, fi),
+                    state, scene, cam, accel)
 
-        out = self._stage_trace(scene, cam, gbuf, sharc_state, di_total,
-                                state.frame_index, accel)
+        if di_total is not None:
+            out = run(
+                "trace",
+                lambda s, cm, g, sh, di, a: self._stage_trace(s, cm, g, sh,
+                                                              di, fi, a),
+                scene, cam, gbuf, sharc_state, di_total, accel)
+        else:
+            out = run(
+                "trace",
+                lambda s, cm, g, sh, a: self._stage_trace(s, cm, g, sh, None,
+                                                          fi, a),
+                scene, cam, gbuf, sharc_state, accel)
 
         # --- PostProcessGraphics (App.cpp:1460-1525) -------------------------
         den_state = state.denoiser
         confidence = None
         if c.denoiser != "None":
-            den_state, color, confidence = self._stage_denoise(
-                state, out, gbuf, di_diffuse, di_specular, reset)
+            if di_diffuse is not None:
+                den_state, color, confidence = run(
+                    "denoise",
+                    lambda st, o, g, dd, ds: self._stage_denoise(
+                        st, o, g, dd, ds, reset),
+                    state, out, gbuf, di_diffuse, di_specular)
+            else:
+                den_state, color, confidence = run(
+                    "denoise",
+                    lambda st, o, g: self._stage_denoise(st, o, g, None,
+                                                         None, reset),
+                    state, out, gbuf)
         else:
             color = out.radiance
 
-        taa_state, image = self._stage_post(state, color, gbuf, cam, reset,
-                                            confidence, dyn)
+        if confidence is not None:
+            taa_state, color = run(
+                "taa",
+                lambda st, cl, g, cm, cf: self._stage_taa(st, cl, g, cm,
+                                                          reset, cf),
+                state, color, gbuf, cam, confidence)
+        else:
+            taa_state, color = run(
+                "taa",
+                lambda st, cl, g, cm: self._stage_taa(st, cl, g, cm, reset),
+                state, color, gbuf, cam)
+        if dyn is not None:
+            image = run("post",
+                        lambda cl, d: self._stage_postfx(cl, d), color, dyn)
+        else:
+            image = run("post", lambda cl: self._stage_postfx(cl), color)
 
         # Diagnostic overlays (DIFinalShading.hlsl:69-75,
         # Raytracing.hlsl:279-284, App.cpp:1522-1524).
@@ -549,121 +633,36 @@ class RenderPipeline:
                        dt=1.0 / 60.0, iters: int = 4) -> dict:
         """Time each frame-graph pass as its own jitted call (device-synced).
 
-        Returns {pass_name: ms}. This is the instrument the reference gets
-        from PIX scoped events (App.cpp:598); the sum slightly exceeds the
+        Returns {pass_name: ms}; a pass that fails on-device records -1.0
+        and profiling continues with an eagerly-computed stand-in, so one
+        bad kernel degrades attribution instead of killing the whole bench
+        record (round-2 failure mode). Stages come straight from
+        render_frame's ``_run`` hook — the same dataflow as the monolithic
+        frame, nothing hand-mirrored. The sum slightly exceeds the
         monolithic jit's frame time because XLA can't overlap across the
         sync boundaries here.
         """
         import time as _time
-        c = self.cfg
-        reset = jnp.asarray(False)
         timings: dict = {}
 
         def timed(name, fn, *args):
-            out = fn(*args)  # compile + warm
-            jax.block_until_ready(out)
-            t0 = _time.perf_counter()
-            for _ in range(iters):
-                out = fn(*args)
-            jax.block_until_ready(out)
-            timings[name] = (_time.perf_counter() - t0) / iters * 1e3
-            return out
+            jfn = jax.jit(fn)
+            try:
+                out = jfn(*args)  # compile + warm
+                jax.block_until_ready(out)
+                t0 = _time.perf_counter()
+                for _ in range(iters):
+                    out = jfn(*args)
+                jax.block_until_ready(out)
+                timings[name] = (_time.perf_counter() - t0) / iters * 1e3
+                return out
+            except Exception:
+                # Kernel fault / compile failure: mark it, keep the chain
+                # alive with an un-jitted (op-by-op dispatched) result.
+                timings[name] = -1.0
+                return fn(*args)
 
-        fi = state.frame_index
-        bodies, scene, cam, accel = timed(
-            "update", jax.jit(lambda s, p: self._stage_update(s, p, dt)),
-            state, pose)
-        gbuf = timed("gbuffer",
-                     jax.jit(lambda s, cm, a: self._stage_gbuffer(
-                         s, cm, a, fi)), scene, cam, accel)
-
-        di_total = di_diffuse = di_specular = None
-        if c.restir_enabled:
-            lights, grid = timed(
-                "restir_prepare",
-                jax.jit(lambda s, cm: self._restir_prepare(s, cm, fi)),
-                scene, cam)
-            surface, cur = timed(
-                "restir_initial",
-                jax.jit(lambda g, s, li, gr, a:
-                        self._restir_initial(g, s, li, gr, fi, a)),
-                gbuf, scene, lights, grid, accel)
-            if c.restir.temporal_enabled:
-                cur = timed(
-                    "restir_temporal",
-                    jax.jit(lambda st, cu, su, li, g:
-                            self._restir_temporal(st, cu, su, li, g, reset,
-                                                  fi)),
-                    state, cur, surface, lights, gbuf)
-            if c.restir.spatial_enabled:
-                cur = timed(
-                    "restir_spatial",
-                    jax.jit(lambda cu, su, li, s, a:
-                            self._restir_spatial(cu, su, li, fi, s, a)),
-                    cur, surface, lights, scene, accel)
-            di_diffuse, di_specular = timed(
-                "restir_final",
-                jax.jit(lambda cu, su, s, li, a:
-                        self._restir_final(cu, su, s, li, a)),
-                cur, surface, scene, lights, accel)
-            di_total = di_diffuse + di_specular
-
-        sharc_state = state.sharc
-        if c.sharc_enabled:
-            if di_total is not None:
-                sharc_state = timed(
-                    "sharc_update",
-                    jax.jit(lambda st, s, cm, di, a:
-                            self._stage_sharc(st, s, cm, di, a, fi)),
-                    state, scene, cam, di_total, accel)
-            else:
-                sharc_state = timed(
-                    "sharc_update",
-                    jax.jit(lambda st, s, cm, a:
-                            self._stage_sharc(st, s, cm, None, a, fi)),
-                    state, scene, cam, accel)
-
-        if di_total is not None:
-            out = timed(
-                "trace",
-                jax.jit(lambda s, cm, g, sh, di, a:
-                        self._stage_trace(s, cm, g, sh, di, fi, a)),
-                scene, cam, gbuf, sharc_state, di_total, accel)
-        else:
-            out = timed(
-                "trace",
-                jax.jit(lambda s, cm, g, sh, a:
-                        self._stage_trace(s, cm, g, sh, None, fi, a)),
-                scene, cam, gbuf, sharc_state, accel)
-
-        confidence = None
-        if c.denoiser != "None":
-            if di_diffuse is not None:
-                _, color, confidence = timed(
-                    "denoise",
-                    jax.jit(lambda st, o, g, dd, ds:
-                            self._stage_denoise(st, o, g, dd, ds, reset)),
-                    state, out, gbuf, di_diffuse, di_specular)
-            else:
-                _, color, confidence = timed(
-                    "denoise",
-                    jax.jit(lambda st, o, g:
-                            self._stage_denoise(st, o, g, None, None,
-                                                reset)),
-                    state, out, gbuf)
-        else:
-            color = out.radiance
-
-        if confidence is not None:
-            timed("taa_post",
-                  jax.jit(lambda st, cl, g, cm, cf:
-                          self._stage_post(st, cl, g, cm, reset, cf)),
-                  state, color, gbuf, cam, confidence)
-        else:
-            timed("taa_post",
-                  jax.jit(lambda st, cl, g, cm:
-                          self._stage_post(st, cl, g, cm, reset)),
-                  state, color, gbuf, cam)
+        self.render_frame(state, pose, dt, _run=timed)
         return timings
 
     def render_frame_jit(self):

@@ -32,7 +32,30 @@ jax.config.update("jax_platform_name", "cpu")
 # XLA CPU compiles (30-60 s each on the 1-vCPU box); re-runs hit the cache
 # and the suite drops well under 5 minutes. (The env-var spelling is not
 # honored by this jax version — set via config.)
+#
+# Key the cache dir by machine: XLA:CPU AOT-compiles for the host's exact
+# ISA, so entries written on another box SIGILL-warn (and silently recompile)
+# here. A per-CPU-model dir makes the cache portable across checkouts without
+# ever replaying foreign code objects.
+import hashlib  # noqa: E402
+import platform  # noqa: E402
+
+
+def _machine_key() -> str:
+    parts = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    parts.append(line.strip())
+                    if len(parts) >= 3:
+                        break
+    except OSError:
+        pass
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
+
+
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("DRTS_TEST_CACHE_DIR",
-                                 "/tmp/drts_jax_test_cache"))
+                                 f"/tmp/drts_jax_test_cache_{_machine_key()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
