@@ -29,7 +29,9 @@ def bench_trace(width=1920, height=1080, bounces=8, spp=1, iters=8):
     from drts_tpu.models import clusters, myscene
     from drts_tpu.ops import camera as camera_mod, gbuffer, pathtrace
 
-    host = myscene.build(oscillator_grid=10)
+    # Textured by default: the reference always pays the texture-gather
+    # cost (MyScene.ixx:161-165), so the published number must too.
+    host = myscene.build(oscillator_grid=10, load_textures=True)
     scene = host.scene
     plan = clusters.build_plan_morton(np.asarray(scene.center),
                                       np.asarray(scene.radius),
@@ -77,7 +79,7 @@ def bench_full_pipeline(width=1920, height=1080, iters=4):
         render_width=width, render_height=height,
         bounces=8, samples_per_pixel=1, block_size=32768)
     pipe = pipeline.RenderPipeline(cfg)
-    host = myscene.build(oscillator_grid=10)
+    host = myscene.build(oscillator_grid=10, load_textures=True)
     state = pipe.init_state(host)
     pose = pipe.default_camera_pose(host)
 

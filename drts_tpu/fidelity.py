@@ -116,7 +116,7 @@ def _orbit_poses(host, n_frames: int, deg_per_frame: float = 0.75,
 def run_motion(width: int = 640, height: int = 360,
                spp_reference: int = 256, n_frames: int = 32,
                warmup: int = 24, seed: int = 0, eval_every: int = 4,
-               load_textures: bool = False) -> dict:
+               load_textures: bool = True) -> dict:
     """Moving-camera fidelity: orbit the camera; SSIM of each evaluated
     frame against a per-pose converged reference. Reports min/mean —
     the static-pose headline lets temporal accumulation do all the work;
@@ -177,7 +177,7 @@ def run_motion(width: int = 640, height: int = 360,
 
 def run(width: int = 640, height: int = 360, spp_reference: int = 1024,
         frames_realtime: int = 64, seed: int = 0,
-        load_textures: bool = False, save_dir: str | None = None) -> dict:
+        load_textures: bool = True, save_dir: str | None = None) -> dict:
     """Full fidelity evaluation; returns the metric dict."""
     from .models import myscene
     from .ops import post

@@ -21,6 +21,7 @@ from ..ops.physics import (RigidBodies, first_cosmic_speed,
                            gravitational_mass)
 from ..utils import math as m
 from . import scene as scene_mod
+from . import texpack
 from .material import MaterialDesc, pack_materials
 
 # Spring constants (MyScene.ixx:48: PositionY = 0.5, Period = 3).
@@ -45,6 +46,13 @@ class MySceneHost:
     kinds: np.ndarray            # (K,) int32 KIND_*
     camera_position: tuple = (0.0, 0.0, -15.0)  # MyScene.ixx:90
     camera_forward: tuple = (0.0, 0.0, 1.0)
+    # Host-side raw float atlas (never device-resident; scene.textures
+    # carries the packed sets) — kept so scene extenders (add_mesh_content)
+    # can append textures and re-bake.
+    atlas: np.ndarray | None = None
+    # Materials with ORIGINAL atlas-slot map indices (scene.materials has
+    # them rewritten to texture-set ids by texpack.build).
+    raw_materials: "object | None" = None
 
 
 def _simple_harmonic_displacement(a, omega, t, phi):
@@ -202,11 +210,15 @@ def build(seed: int = 0, oscillator_grid: int = 10,
         rotation=m.quat_from_axis_angle((0.0, 1.0, 0.0), np.pi),
         texture=env_texture)
 
+    # Bake per-material packed texture sets (models/texpack.py): the raw
+    # atlas never ships to the device — shading gathers one quad row.
+    raw_mats = pack_materials(materials)
+    packed_tex, mats = texpack.build(atlas, raw_mats)
     the_scene = scene_mod.SphereScene(
         center=center, rotation=rotation,
         prev_center=center, prev_rotation=rotation,
-        radius=radius, materials=pack_materials(materials), env=env,
-        textures=jnp.asarray(atlas) if atlas is not None else None)
+        radius=radius, materials=mats, env=env,
+        textures=packed_tex)
 
     mass = np.array(masses, np.float32)
     inv_mass = np.where(mass > 0, 1.0 / np.maximum(mass, 1e-12), 0.0)
@@ -225,7 +237,8 @@ def build(seed: int = 0, oscillator_grid: int = 10,
         earth_index=jnp.int32(int(np.nonzero(kinds_np == KIND_EARTH)[0][0])),
         star_index=jnp.int32(int(np.nonzero(kinds_np == KIND_STAR)[0][0])),
     )
-    return MySceneHost(scene=the_scene, bodies=bodies, kinds=kinds_np)
+    return MySceneHost(scene=the_scene, bodies=bodies, kinds=kinds_np,
+                       atlas=atlas, raw_materials=raw_mats)
 
 
 def add_mesh_content(host: MySceneHost, tessellation: int = 3,
@@ -244,8 +257,7 @@ def add_mesh_content(host: MySceneHost, tessellation: int = 3,
     mesh = trimesh.make_mesh(pos, nrm, uv, faces)
 
     scene = host.scene
-    atlas = (np.asarray(scene.textures) if scene.textures is not None
-             else None)
+    atlas = host.atlas
     s = atlas.shape[1] if atlas is not None else 64
     t0 = atlas.shape[0] if atlas is not None else 0
 
@@ -278,17 +290,21 @@ def add_mesh_content(host: MySceneHost, tessellation: int = 3,
     mcount = len(mesh_mats)
     rot = np.tile(np.asarray(m.QUAT_IDENTITY, np.float32), (mcount, 1))
 
-    all_mats = _concat_materials(scene.materials, pack_materials(mesh_mats))
+    raw_base = (host.raw_materials if host.raw_materials is not None
+                else scene.materials)
+    all_raw = _concat_materials(raw_base, pack_materials(mesh_mats))
+    packed_tex, all_mats = texpack.build(atlas, all_raw)
 
     mi = scene_mod.MeshInstances(
         center=jnp.asarray(centers), rotation=jnp.asarray(rot),
         prev_center=jnp.asarray(centers), prev_rotation=jnp.asarray(rot),
         scale=jnp.asarray(scales))
     new_scene = dataclasses.replace(
-        scene, materials=all_mats, textures=jnp.asarray(atlas),
+        scene, materials=all_mats, textures=packed_tex,
         mesh=mesh, mesh_instances=mi,
         alpha_test_rounds=2 if alpha_test else 0)
-    return dataclasses.replace(host, scene=new_scene)
+    return dataclasses.replace(host, scene=new_scene, atlas=atlas,
+                               raw_materials=all_raw)
 
 
 def _concat_materials(a, b):

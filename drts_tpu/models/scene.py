@@ -47,8 +47,10 @@ class SphereScene:
     radius: jnp.ndarray         # (K,)
     materials: Materials
     env: sky.EnvironmentLight
-    # Texture atlas: (T, S, S, 4) float32 stack or None (added by loaders).
-    textures: jnp.ndarray | None = None
+    # Packed texture sets (models/texpack.PackedTextures) or None. One
+    # quad-duplicated row gather per hit replaces the reference's 6
+    # independent map samples (ShadingHelpers.hlsli:161-235).
+    textures: "object | None" = None
     # Optional triangle-mesh content (ops/trimesh.py path).
     mesh: "object | None" = None            # ops.trimesh.TriMesh
     mesh_instances: MeshInstances | None = None

@@ -124,9 +124,11 @@ def prepare(scene: SphereScene) -> Lights:
 
     emission = head(scene.materials.emission())
     if scene.textures is not None:
-        emap = head(scene.materials.emissive_color_map)
-        tex_mean = jnp.mean(scene.textures[..., :3], axis=(1, 2))  # (T, 3)
-        avg = tex_mean[jnp.maximum(emap, 0)]
+        # Per-SET emissive-map mean, precomputed at texture bake time
+        # (models/texpack.py) — the filtered-average analogue of
+        # LightPreparation.hlsl:86-128 without touching the raw atlas.
+        emap = head(scene.materials.emissive_color_map)  # set ids
+        avg = scene.textures.emissive_mean[jnp.maximum(emap, 0)]
         emission = emission * jnp.where((emap >= 0)[:, None], avg, 1.0)
     # Power ∝ luminance * surface area (4 pi r^2); constant factors cancel
     # in the normalized CDF.

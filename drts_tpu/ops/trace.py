@@ -102,10 +102,10 @@ def trace_scene(scene, origin, direction, t_min, t_max,
     for _ in range(alpha_rounds):
         alpha = surf.material.base_color[..., 3]
         if scene.textures is not None:
-            tex = shading.sample_atlas(scene.textures,
+            ts = shading.sample_packed(scene.textures,
                                        surf.material.base_color_map,
                                        surf.uv, "nearest")
-            alpha = alpha * tex[..., 3]
+            alpha = alpha * ts.alpha
         rejected = surf.valid & (alpha < surf.material.alpha_cutoff)
         t_min2 = jnp.where(rejected,
                            surf.distance * (1.0 + 1e-4) + 1e-4, 0.0)

@@ -42,13 +42,19 @@ import platform  # noqa: E402
 
 
 def _machine_key() -> str:
-    parts = [platform.machine()]
+    # cpuinfo model+flags alone proved insufficient across fleet boxes:
+    # LLVM's host tuning features (e.g. prefer-no-scatter) can differ while
+    # cpuinfo matches, and foreign AOT entries then warn about SIGILL risk.
+    # Fold in the jaxlib build too, which pins the LLVM that wrote the cache.
+    import jaxlib
+    parts = [platform.machine(), platform.version(),
+             getattr(jaxlib, "__version__", "?")]
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
                 if line.startswith(("model name", "flags")):
                     parts.append(line.strip())
-                    if len(parts) >= 3:
+                    if len(parts) >= 5:
                         break
     except OSError:
         pass

@@ -105,9 +105,30 @@ def test_full_pipeline_sharded_matches_single_device():
     s8, img8 = sharded_step(s8, p8)
 
     assert len(img8.sharding.device_set) == 8
-    np.testing.assert_allclose(np.asarray(img1), np.asarray(img8),
-                               atol=2e-4, rtol=2e-4)
+
+    # Numeric model (round-2 VERDICT #3, root-caused by stage bisection,
+    # tools/diag_shard_eq.py): GSPMD does not change the math, but the
+    # sharded and unsharded programs are DIFFERENT XLA compilations, and
+    # at different operand shapes the CPU/TPU backends make different FMA
+    # contraction / vectorization choices — legal 1-ULP f32 differences.
+    # The TAA/denoiser histories are stored f16-packed, so a 1-ULP f32
+    # wobble that lands on a rounding boundary quantizes to a full f16 ULP
+    # (2^-11 relative ≈ 4.9e-4 at 1.0). The bisect confirms this is the
+    # whole story: with ReSTIR and the denoiser disabled the reservoir and
+    # SHARC states match BIT-EXACTLY while the f16 TAA history still shows
+    # isolated one-ULP flips. A real halo-exchange/collective bug would
+    # corrupt whole shard-boundary rows with O(1) error, which the pixel-
+    # fraction bound below still catches.
+    def assert_f16_close(a, b, name):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        scale = np.maximum(np.maximum(np.abs(a), np.abs(b)), 1.0)
+        rel = np.abs(a - b) / scale
+        # every value within ~1.5 f16 ULP; ≥99% of pixels f32-tight
+        assert rel.max() <= 1.5 * 2.0 ** -11, (name, rel.max())
+        frac_loose = (rel > 2e-4).mean()
+        assert frac_loose <= 0.01, (name, frac_loose)
+
+    assert_f16_close(img1, img8, "image")
     # Temporal state (denoiser/TAA history) must agree too.
-    np.testing.assert_allclose(np.asarray(s1.taa.history),
-                               np.asarray(s8.taa.history),
-                               atol=2e-4, rtol=2e-4)
+    assert_f16_close(s1.taa.history, s8.taa.history, "taa_history")

@@ -146,19 +146,65 @@ def test_pack2f16_roundtrip():
 
 def test_transmission_map_sampling():
     """transmission_map scales the material's transmission (EvaluateMaterial
-    Transmission slot, ShadingHelpers.hlsli:161-235)."""
-    atlas = jnp.full((1, 4, 4, 4), 0.25, jnp.float32)
+    Transmission slot, ShadingHelpers.hlsli:161-235) — through the packed
+    texture-set path (models/texpack.py)."""
+    from drts_tpu.models import texpack
+    atlas = np.full((1, 4, 4, 4), 0.25, np.float32)
     mats = pack_materials([
         MaterialDesc(base_color=(1, 1, 1, 1), transmission=0.8,
                      transmission_map=0),
         MaterialDesc(base_color=(1, 1, 1, 1), transmission=0.8),
     ])
+    packed, mats = texpack.build(atlas, mats, size=4)
     idx = jnp.asarray([0, 1])
     mat = mats.gather(idx)
     uv = jnp.full((2, 2), 0.5)
     n = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (2, 1))
     t = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (2, 1))
-    ev = shading.evaluate_material(mat, uv, n, t, atlas)
+    ev = shading.evaluate_material(mat, uv, n, t, packed)
     np.testing.assert_allclose(float(ev.transmission[0]), 0.8 * 0.25,
-                               rtol=1e-5)
+                               atol=1.0 / 255.0)
     np.testing.assert_allclose(float(ev.transmission[1]), 0.8, rtol=1e-5)
+
+
+def test_packed_texture_set_matches_float_atlas():
+    """The quad-duplicated one-gather path reproduces the float-atlas
+    bilinear sample to u8 precision for every channel, including sqrt-coded
+    color and the normal perturbation slot."""
+    from drts_tpu.models import texpack
+    rng = np.random.RandomState(3)
+    s = 16
+    atlas = rng.random_sample((5, s, s, 4)).astype(np.float32)
+    mats = pack_materials([
+        MaterialDesc(base_color=(1, 1, 1, 1), metallic=1.0, roughness=1.0,
+                     transmission=1.0, emissive_strength=1.0,
+                     emissive_color=(1, 1, 1),
+                     base_color_map=0, normal_map=1, metallic_map=2,
+                     roughness_map=3, emissive_color_map=4,
+                     transmission_map=2),
+    ])
+    packed, pmats = texpack.build(atlas, mats, size=s)
+    assert packed.n_words == 3
+
+    n_pts = 257
+    uv = jnp.asarray(rng.random_sample((n_pts, 2)).astype(np.float32))
+    idx = jnp.zeros((n_pts,), jnp.int32)
+    mat = pmats.gather(idx)
+    nrm = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n_pts, 1))
+    tan = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (n_pts, 1))
+    ev = shading.evaluate_material(mat, uv, nrm, tan, packed)
+
+    raw = mats.gather(jnp.zeros((n_pts,), jnp.int32))
+    bc = shading.sample_atlas(jnp.asarray(atlas), raw.base_color_map, uv)
+    mtl = shading.sample_atlas(jnp.asarray(atlas), raw.metallic_map, uv)
+    rgh = shading.sample_atlas(jnp.asarray(atlas), raw.roughness_map, uv)
+    # sqrt-coding quantizes before the lerp; tolerance covers u8 rounding
+    # of each tap (< 1/255 in sqrt space -> < ~2/255 after squaring).
+    np.testing.assert_allclose(np.asarray(ev.base_color),
+                               np.asarray(bc[..., :3]), atol=0.02)
+    np.testing.assert_allclose(np.asarray(ev.alpha),
+                               np.asarray(bc[..., 3]), atol=0.01)
+    np.testing.assert_allclose(np.asarray(ev.metallic),
+                               np.asarray(mtl[..., 0]), atol=0.01)
+    np.testing.assert_allclose(np.asarray(ev.roughness),
+                               np.asarray(rgh[..., 0]), atol=0.01)
