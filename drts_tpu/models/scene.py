@@ -103,6 +103,29 @@ class HitSurface:
 # transform, so the G-buffer's rigid-motion reprojection works unchanged).
 
 
+# One-hot fetches beat the XLA row gather once the index count dwarfs the
+# table (measured at 2M rays x (451, 33): gather 9.5 ms, one-hot MXU matmul
+# 5.4 ms — tools/prof_attr_fetch.py); below the threshold the gather wins.
+_ONEHOT_MIN = 1 << 16
+
+
+def fetch_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table[idx] for a small table: one-hot MXU matmul at frame scale,
+    plain gather below threshold. precision=HIGHEST keeps the f32 matmul
+    exact for a single 1.0 coefficient (same contract as
+    ops/light._onehot_fetch)."""
+    import jax
+    if idx.size < _ONEHOT_MIN:
+        return table[idx]
+    k, cols = table.shape
+    flat = idx.reshape(-1)
+    oh = (flat[:, None] == jnp.arange(k, dtype=flat.dtype)[None, :])
+    out = jax.lax.dot_general(oh.astype(jnp.float32), table,
+                              (((1,), (0,)), ((), ())),
+                              precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(idx.shape + (cols,))
+
+
 def object_table(scene: SphereScene) -> jnp.ndarray:
     mat = scene.materials
     center, radius = scene.center, scene.radius
@@ -146,7 +169,7 @@ def surface_attributes(scene: SphereScene, hit, ray_direction,
     """
     if table is None:
         table = object_table(scene)
-    row = table[hit.index]                       # the single wide gather
+    row = fetch_rows(table, hit.index)           # the single wide fetch
     center = row[..., 0:3]
     rot = row[..., 4:8]
 

@@ -92,7 +92,7 @@ def generate(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
     # Motion vectors: world hit -> object space (current pose) -> world via
     # previous pose -> previous camera NDC -> pixel delta. Pose columns come
     # from the packed object-table row (one gather, see models/scene.py).
-    row = table[surf.object_index]
+    row = scene_mod.fetch_rows(table, surf.object_index)
     obj_local = m.quat_rotate(m.quat_conj(row[..., 4:8]),
                               surf.position - row[..., 0:3])
     prev_world = row[..., 8:11] + m.quat_rotate(row[..., 11:15], obj_local)

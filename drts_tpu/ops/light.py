@@ -31,34 +31,54 @@ MAX_LIGHTS = 128
 
 @struct.dataclass
 class Lights:
-    """LightInfo SoA: object-indexed fields over all K scene objects plus a
+    """LightInfo SoA: object-indexed fields over all K sphere objects plus a
     COMPACT light-indexed table over the L=MAX_LIGHTS brightest emitters.
 
     Per-frame product of light preparation (LightPreparation::Process).
     Reservoirs and candidate streams carry *compact* indices: per-ray
-    attribute fetches then run over a (L, 9) table, small enough for the
+    attribute fetches then run over a (L, 9|16) table, small enough for the
     one-hot-matmul fetch (`_onehot_fetch`) — a 2M-lane row gather from a
     small table costs ~8 ms on TPU, the equivalent MXU matmul ~1 ms.
+
+    Two light kinds share the compact table (the reference's light pipeline
+    is emissive-TRIANGLE based, LightPreparation.hlsl:86-133 + Light.hlsli
+    TriangleLight; ours adds the analytic-sphere kind the demo scene uses):
+      sphere rows:   cols 0:3 center | 3 radius | 4:7 radiance | 7 power |
+                     8 object id
+      triangle rows (only when the scene has mesh instances; table widens
+      to 16): cols 0:3 centroid | 3 = 0 | 4:7 radiance | 7 power |
+                     8 object id (K + instance) | 9:12 edge1 | 12:15 edge2 |
+                     15 kind (1 = triangle)
     """
-    center: jnp.ndarray     # (K, 3) — current frame positions
+    center: jnp.ndarray     # (K, 3) — current frame positions (spheres)
     radius: jnp.ndarray     # (K,)
     emission: jnp.ndarray   # (K, 3) radiance
     power: jnp.ndarray      # (K,) luminance-weighted emitted power
-    total_power: jnp.ndarray  # scalar
+    total_power: jnp.ndarray  # scalar (spheres + triangles)
     table: jnp.ndarray      # (K, 9) object row [c r e power light_id]
-    compact: jnp.ndarray    # (L, 9) light row  [c r e power object_id]
+    compact: jnp.ndarray    # (L, 9|16) light rows (layout above)
     cdf: jnp.ndarray        # (L,) normalized inclusive power CDF (compact)
+    # Triangle extension (None for sphere-only scenes): per-(instance,face)
+    # compact light id, flattened (M*F,), -1 = not a light. Lets the
+    # BRDF-candidate fold map a mesh hit back to its reservoir identity
+    # (LightPreparation.ixx:52-99 per-object light-index maps).
+    tri_light_id: jnp.ndarray | None = None
+    has_triangles: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass
 class LightRows:
     """Per-ray gathered light attributes (one wide fetch)."""
-    center: jnp.ndarray     # (..., 3)
+    center: jnp.ndarray     # (..., 3) sphere center / triangle centroid
     radius: jnp.ndarray     # (...,)
     emission: jnp.ndarray   # (..., 3)
     power: jnp.ndarray      # (...,)
     aux: jnp.ndarray        # (...,) int32: object_id for compact rows,
                             # light_id (-1 = not a light) for object rows
+    # Triangle columns (None when fetched from a sphere-only table).
+    e1: jnp.ndarray | None = None    # (..., 3)
+    e2: jnp.ndarray | None = None    # (..., 3)
+    kind: jnp.ndarray | None = None  # (...,) bool: True = triangle
 
 
 # One-hot fetches pay off once the index count dwarfs the table; below the
@@ -92,9 +112,13 @@ def _fetch(table, idx, force_onehot=False):
 def fetch_rows(lights: Lights, idx) -> LightRows:
     """COMPACT-indexed light fetch; `aux` is the source object id."""
     row = _fetch(lights.compact, idx)
+    tri = {}
+    if lights.has_triangles:
+        tri = dict(e1=row[..., 9:12], e2=row[..., 12:15],
+                   kind=row[..., 15] > 0.5)
     return LightRows(center=row[..., 0:3], radius=row[..., 3],
                      emission=row[..., 4:7], power=row[..., 7],
-                     aux=jnp.round(row[..., 8]).astype(jnp.int32))
+                     aux=jnp.round(row[..., 8]).astype(jnp.int32), **tri)
 
 
 def fetch_rows_object(lights: Lights, obj_idx) -> LightRows:
@@ -113,60 +137,119 @@ def prepare(scene: SphereScene) -> Lights:
 
     Emissive-texture handling (LightPreparation.hlsl:86-128): the
     reference scales each light's radiance by a filtered average of its
-    emissive map; here the per-texture mean is folded into the light
-    record the same way. Mesh instances (material rows >= K) are not
-    light sources — emissive mesh support would need triangle-area
-    sampling (the reference's emissive-triangle path)."""
+    emissive map; here the per-texture-SET mean (models/texpack.py) is
+    folded into the light record the same way (whole-map mean instead of
+    the reference's per-triangle 4-sample filter).
+
+    Emissive MESH instances contribute per-TRIANGLE lights (the
+    reference's whole pipeline is triangle-based: triangle -> LightInfo,
+    LightPreparation.hlsl:86-133 / Light.hlsli TriangleLight): each face of
+    an emissive instance becomes a compact-table row with world-space
+    edges, power = area x luminance (one common pi dropped; sphere rows
+    carry the matching 4*pi*r^2 area factor so mixed scenes sample both
+    kinds in proportion to true emitted power)."""
     k = scene.center.shape[0]
 
     def head(x):
         return x[:k]
 
-    emission = head(scene.materials.emission())
+    all_emission = scene.materials.emission()
     if scene.textures is not None:
-        # Per-SET emissive-map mean, precomputed at texture bake time
-        # (models/texpack.py) — the filtered-average analogue of
-        # LightPreparation.hlsl:86-128 without touching the raw atlas.
-        emap = head(scene.materials.emissive_color_map)  # set ids
-        avg = scene.textures.emissive_mean[jnp.maximum(emap, 0)]
-        emission = emission * jnp.where((emap >= 0)[:, None], avg, 1.0)
-    # Power ∝ luminance * surface area (4 pi r^2); constant factors cancel
-    # in the normalized CDF.
-    power = m.luminance(emission) * scene.radius * scene.radius
-    total = jnp.sum(power)
+        # Per-SET emissive-map mean, precomputed at texture bake time.
+        emap_all = scene.materials.emissive_color_map
+        avg = scene.textures.emissive_mean[jnp.maximum(emap_all, 0)]
+        all_emission = all_emission * jnp.where((emap_all >= 0)[:, None],
+                                                avg, 1.0)
+    emission = head(all_emission)
+    # Sphere emitted power ∝ luminance x area (4 pi r^2); the common
+    # per-unit-area pi cancels against the triangle rows' (below).
+    power = m.luminance(emission) * (4.0 * jnp.pi) \
+        * scene.radius * scene.radius
 
-    # Compact list: top-MAX_LIGHTS objects by power. Powers derive from
-    # static materials, so the ordering — and with it every compact id —
-    # is frame-stable (temporal reservoir reuse stores compact ids).
-    n_l = min(MAX_LIGHTS, k)
-    top_power, top_obj = jax.lax.top_k(power, n_l)
+    has_tri = scene.mesh is not None and scene.mesh_instances is not None
+    if has_tri:
+        mesh = scene.mesh
+        mi = scene.mesh_instances
+        mcount = mi.center.shape[0]
+        f = mesh.v0.shape[0]
+        em_inst = all_emission[k:k + mcount]              # (M, 3)
+        rot = mi.rotation[:, None, :]                     # (M, 1, 4)
+        scl = mi.scale[:, None, None]
+        v0w = mi.center[:, None, :] + m.quat_rotate(rot, mesh.v0[None] * scl)
+        e1w = m.quat_rotate(rot, mesh.e1[None] * scl)     # (M, F, 3)
+        e2w = m.quat_rotate(rot, mesh.e2[None] * scl)
+        area = 0.5 * m.length(jnp.cross(e1w, e2w))        # (M, F)
+        tri_power = (m.luminance(em_inst)[:, None] * area).reshape(-1)
+        tri_em = jnp.broadcast_to(em_inst[:, None, :],
+                                  (mcount, f, 3)).reshape(-1, 3)
+        tri_centroid = (v0w + (e1w + e2w) / 3.0).reshape(-1, 3)
+        tri_e1 = e1w.reshape(-1, 3)
+        tri_e2 = e2w.reshape(-1, 3)
+        tri_obj = k + (jnp.arange(mcount * f, dtype=jnp.int32) // f)
+        cand_power = jnp.concatenate([power, tri_power])
+    else:
+        cand_power = power
+    total = jnp.sum(cand_power)
+
+    # Compact list: top-MAX_LIGHTS candidates by power. Powers derive from
+    # static materials/geometry topology, so the ordering — and with it
+    # every compact id — is frame-stable (temporal reservoir reuse stores
+    # compact ids).
+    n_cand = int(cand_power.shape[0])
+    n_l = min(MAX_LIGHTS, n_cand)
+    top_power, top_cand = jax.lax.top_k(cand_power, n_l)
     pad = MAX_LIGHTS - n_l
     if pad:
         top_power = jnp.pad(top_power, (0, pad))
-        top_obj = jnp.pad(top_obj, (0, pad))
+        top_cand = jnp.pad(top_cand, (0, pad))
     is_light = top_power > 0
-    top_obj = jnp.where(is_light, top_obj, -1)
-    safe_obj = jnp.maximum(top_obj, 0)
-    compact = jnp.concatenate([
-        scene.center[safe_obj], scene.radius[safe_obj, None],
-        emission[safe_obj], top_power[:, None],
-        top_obj[:, None].astype(jnp.float32)], axis=-1)
+    top_cand = jnp.where(is_light, top_cand, -1)
+    safe_cand = jnp.maximum(top_cand, 0)
+
+    if has_tri:
+        is_tri = safe_cand >= k
+        sph_i = jnp.clip(safe_cand, 0, k - 1)
+        tri_i = jnp.clip(safe_cand - k, 0, tri_centroid.shape[0] - 1)
+        c_center = jnp.where(is_tri[:, None], tri_centroid[tri_i],
+                             scene.center[sph_i])
+        c_radius = jnp.where(is_tri, 0.0, scene.radius[sph_i])
+        c_em = jnp.where(is_tri[:, None], tri_em[tri_i], emission[sph_i])
+        c_obj = jnp.where(is_tri, tri_obj[tri_i], sph_i)
+        compact = jnp.concatenate([
+            c_center, c_radius[:, None], c_em, top_power[:, None],
+            c_obj[:, None].astype(jnp.float32),
+            jnp.where(is_tri[:, None], tri_e1[tri_i], 0.0),
+            jnp.where(is_tri[:, None], tri_e2[tri_i], 0.0),
+            is_tri[:, None].astype(jnp.float32)], axis=-1)
+        # Reverse map: flat (instance, face) -> compact light id.
+        tri_slot = jnp.where(is_light & is_tri, tri_i,
+                             tri_centroid.shape[0])
+        tri_light_id = jnp.full((mcount * f,), -1, jnp.int32).at[
+            tri_slot].set(jnp.arange(MAX_LIGHTS, dtype=jnp.int32),
+                          mode="drop")
+    else:
+        compact = jnp.concatenate([
+            scene.center[safe_cand], scene.radius[safe_cand, None],
+            emission[safe_cand], top_power[:, None],
+            top_cand[:, None].astype(jnp.float32)], axis=-1)
+        tri_light_id = None
     compact = jnp.where(is_light[:, None], compact,
                         jnp.zeros_like(compact).at[:, 8].set(-1.0))
     cdf = jnp.cumsum(top_power) / jnp.maximum(total, 1e-20)
 
-    # Object-indexed reverse map: light_id of each object (-1 = none).
-    # Non-light rows scatter to out-of-range index k and are dropped (a
-    # dump-slot write could clobber a real object's id).
-    light_id = jnp.full((k,), -1, jnp.int32).at[
-        jnp.where(is_light, safe_obj, k)].set(
+    # Object-indexed reverse map: light_id of each SPHERE object (-1 =
+    # none). Non-light rows scatter to out-of-range index k and are
+    # dropped (a dump-slot write could clobber a real object's id).
+    sphere_slot = jnp.where(is_light & (safe_cand < k), safe_cand, k)
+    light_id = jnp.full((k,), -1, jnp.int32).at[sphere_slot].set(
         jnp.arange(MAX_LIGHTS, dtype=jnp.int32), mode="drop")
     table = jnp.concatenate([scene.center, scene.radius[:, None], emission,
                              power[:, None],
                              light_id[:, None].astype(jnp.float32)], axis=-1)
     return Lights(center=scene.center, radius=scene.radius,
                   emission=emission, power=power, total_power=total,
-                  table=table, compact=compact, cdf=cdf)
+                  table=table, compact=compact, cdf=cdf,
+                  tri_light_id=tri_light_id, has_triangles=has_tri)
 
 
 def _count_leq_chunked(cdf, u, chunk: int = 64):
@@ -210,6 +293,80 @@ def sample_sphere_light(lights: Lights, idx, surface_pos, rand2):
     `sample_sphere_light_rows`."""
     rows = fetch_rows(lights, idx)
     return sample_sphere_light_rows(rows, surface_pos, rand2)
+
+
+def sample_light_rows(rows: LightRows, surface_pos, rand2):
+    """Kind-dispatched light sampling from pre-gathered rows: sphere rows
+    use exact solid-angle cone sampling, triangle rows uniform-area
+    sampling with the solid-angle PDF (Light.hlsli TriangleLight::
+    CalculateSample / Math::SampleTriangle). Branchless: both forms are
+    evaluated and selected per lane (sphere-only tables skip the triangle
+    math entirely — static `kind is None`).
+
+    Returns (direction, distance, solid_angle_pdf, emission)."""
+    ds, dist_s, pdf_s, em = sample_sphere_light_rows(rows, surface_pos,
+                                                     rand2)
+    if rows.kind is None:
+        return ds, dist_s, pdf_s, em
+    dt, dist_t, pdf_t = _sample_triangle_rows(rows, surface_pos, rand2)
+    tri = rows.kind
+    direction = jnp.where(tri[..., None], dt, ds)
+    return (direction, jnp.where(tri, dist_t, dist_s),
+            jnp.where(tri, pdf_t, pdf_s), em)
+
+
+def _tri_geometry(rows: LightRows):
+    """v0 + unit normal + area from centroid-form triangle rows."""
+    v0 = rows.center - (rows.e1 + rows.e2) / 3.0
+    n_raw = jnp.cross(rows.e1, rows.e2)
+    n_len = m.length(n_raw)
+    area = jnp.maximum(0.5 * n_len, 1e-12)
+    n_unit = n_raw / jnp.maximum(n_len, 1e-12)[..., None]
+    return v0, n_unit, area
+
+
+def _sample_triangle_rows(rows: LightRows, surface_pos, rand2):
+    """Uniform-area triangle sample -> (direction, distance,
+    solid-angle PDF). Two-sided, matching the reference's
+    abs(dot(L, -Normal)) (Light.hlsli:63-68)."""
+    v0, n_unit, area = _tri_geometry(rows)
+    bary = m.sample_triangle(rand2)                      # (..., 2)
+    p = v0 + bary[..., 0:1] * rows.e1 + bary[..., 1:2] * rows.e2
+    to_p = p - surface_pos
+    dist = jnp.maximum(m.length(to_p), 1e-6)
+    direction = to_p / dist[..., None]
+    cos_l = jnp.abs(m.dot(direction, n_unit))
+    pdf = m.to_solid_angle_pdf(1.0 / area, dist, cos_l)
+    return direction, dist, pdf
+
+
+def triangle_uv_from_direction(rows: LightRows, surface_pos, direction):
+    """Invert uniform-area triangle sampling: the (u, v) uniforms whose
+    sample lies where `direction` from `surface_pos` pierces the triangle
+    plane (for folding BRDF-ray candidates into the (light, uv) reservoir
+    domain; inverse of Math::SampleTriangle's sqrt warp). Returns
+    (uv, inside)."""
+    v0, n_unit, _ = _tri_geometry(rows)
+    dn = m.dot(direction, n_unit)
+    t = m.dot(v0 - surface_pos, n_unit) / jnp.where(
+        jnp.abs(dn) > 1e-9, dn, 1e-9)
+    p = surface_pos + direction * t[..., None]
+    # Solve p - v0 = b1*e1 + b2*e2 (2x2 Gram system).
+    d = p - v0
+    a11 = m.dot(rows.e1, rows.e1)
+    a12 = m.dot(rows.e1, rows.e2)
+    a22 = m.dot(rows.e2, rows.e2)
+    det = jnp.maximum(a11 * a22 - a12 * a12, 1e-18)
+    r1 = m.dot(d, rows.e1)
+    r2 = m.dot(d, rows.e2)
+    b1 = (a22 * r1 - a12 * r2) / det
+    b2 = (a11 * r2 - a12 * r1) / det
+    s = b1 + b2
+    inside = (t > 0) & (b1 >= 0) & (b2 >= 0) & (s <= 1.0)
+    # SampleTriangle: b1 = sqrt(u0)*(1-u1), b2 = sqrt(u0)*u1.
+    u0 = jnp.clip(s * s, 0.0, 1.0)
+    u1 = jnp.clip(b2 / jnp.maximum(s, 1e-9), 0.0, 1.0)
+    return jnp.stack([u0, u1], axis=-1), inside
 
 
 def sample_sphere_light_rows(rows: LightRows, surface_pos, rand2):

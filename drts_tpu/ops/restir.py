@@ -135,9 +135,22 @@ def make_surface(gbuf) -> Surface:
 
 
 def _uv_from_direction(rows: light_mod.LightRows, surface_pos, direction):
-    """Invert the cone-sampling map: world direction toward a light (its
+    """Invert the sampling map: world direction toward a light (its
     pre-gathered row) -> the (u, v) uniforms that would generate it (for
-    folding BRDF-ray candidates into the (light, uv) reservoir domain)."""
+    folding BRDF-ray candidates into the (light, uv) reservoir domain).
+    Sphere rows invert cone sampling; triangle rows invert the
+    Math::SampleTriangle area warp (light.triangle_uv_from_direction)."""
+    uv_s, in_s = _uv_from_direction_sphere(rows, surface_pos, direction)
+    if rows.kind is None:
+        return uv_s, in_s
+    uv_t, in_t = light_mod.triangle_uv_from_direction(rows, surface_pos,
+                                                      direction)
+    tri = rows.kind
+    return (jnp.where(tri[..., None], uv_t, uv_s),
+            jnp.where(tri, in_t, in_s))
+
+
+def _uv_from_direction_sphere(rows, surface_pos, direction):
     center = rows.center
     radius = rows.radius
     to_c = center - surface_pos
@@ -163,7 +176,7 @@ def _target_pdf_rows(surface: Surface, rows: light_mod.LightRows, uv):
     Omitting it scales DI by ~1/solid-angle per light (vastly over-bright
     for small lights). Also returns the shading pieces (direction,
     distance, f_diffuse, f_specular, emission, inv_cone_pdf)."""
-    direction, dist, cone_pdf, emission = light_mod.sample_sphere_light_rows(
+    direction, dist, cone_pdf, emission = light_mod.sample_light_rows(
         rows, surface.position, uv)
     diff, spec = bxdf.eval_split(surface.bsdf, surface.sv, direction,
                                  surface.view, surface.lobe_weights)
@@ -377,20 +390,43 @@ def initial_sampling(surface: Surface, scene: SphereScene,
             jnp.where(ray_live, jnp.inf, -1.0),
             lights.compact[:, 0:3], lights.compact[:, 3], block_size,
             attributes=False)
+        light_t = jnp.where(lhit.hit, lhit.t, jnp.inf)
         cand_b = lhit.index                           # compact light id
+        hit_light = lhit.hit
+        if lights.has_triangles:
+            # Triangle-light candidates: Möller-Trumbore against the
+            # compact rows' world edges (sphere rows have degenerate edges
+            # and never hit). Bary (u, v) invert the area warp directly.
+            tri_t, tri_id, tri_u, tri_v = _intersect_tri_lights(
+                lights, origin, l_dir, ray_live)
+            closer = tri_t < light_t
+            cand_b = jnp.where(closer, tri_id, cand_b)
+            light_t = jnp.minimum(light_t, tri_t)
+            hit_light = hit_light | jnp.isfinite(tri_t)
+            tri_s = jnp.clip(tri_u + tri_v, 0.0, 1.0)
+            uv_tri_hit = jnp.stack(
+                [tri_s * tri_s,
+                 jnp.clip(tri_v / jnp.maximum(tri_s, 1e-9), 0.0, 1.0)],
+                axis=-1)
         krows = light_mod.fetch_rows(lights, cand_b)
         # Occluder test: anything (sphere or mesh, alpha-aware) closer
         # than the light surface, excluding the light itself.
-        occ_b = _occluded(origin, l_dir, lhit.t, scene, krows.aux,
+        occ_b = _occluded(origin, l_dir, light_t, scene, krows.aux,
                           block_size, accel)
-        is_emissive = lhit.hit & (krows.power > 0) & ~occ_b
+        is_emissive = hit_light & (krows.power > 0) & ~occ_b
         uv_b, inside_cone = _uv_from_direction(krows, surface.position,
                                                l_dir)
+        if lights.has_triangles:
+            # For triangle hits the exact bary-derived uv beats the plane
+            # reconstruction (same value, fewer ops / no edge cases).
+            took_tri = krows.kind & jnp.isfinite(tri_t)
+            uv_b = jnp.where(took_tri[..., None], uv_tri_hit, uv_b)
+            inside_cone = inside_cone | took_tri
         ok = is_emissive & inside_cone & ray_live
 
         p_w = bxdf.eval_pdf(surface.bsdf, surface.sv, l_dir, surface.view,
                             surface.lobe_weights)
-        _, _, cone_pdf_b, _ = light_mod.sample_sphere_light_rows(
+        _, _, cone_pdf_b, _ = light_mod.sample_light_rows(
             krows, surface.position, uv_b)
         p_self = p_w / jnp.maximum(cone_pdf_b, 1e-12)
         # MIS "light technique" density approximated by the power pdf even
@@ -427,6 +463,28 @@ def initial_sampling(surface: Surface, scene: SphereScene,
 
     return Reservoirs(light_index=res_idx, uv=res_uv, w_sum=w_sum,
                       m_count=m_count, w_out=w_out, phat=res_phat)
+
+
+def _intersect_tri_lights(lights: light_mod.Lights, origin, direction,
+                          live):
+    """Closest hit against the COMPACT table's triangle-light rows (the
+    BRDF-candidate analogue of the sphere-light sweep): Möller-Trumbore
+    over <= MAX_LIGHTS world-space triangles. Sphere rows carry degenerate
+    (zero) edges and can never hit. Returns (t (inf = miss), compact id,
+    bary_u, bary_v)."""
+    import types
+
+    from . import trimesh
+    comp = lights.compact
+    e1 = comp[:, 9:12]
+    e2 = comp[:, 12:15]
+    v0 = comp[:, 0:3] - (e1 + e2) / 3.0
+    mesh = types.SimpleNamespace(v0=v0, e1=e1, e2=e2)
+    t, face, u, v = trimesh.intersect_mesh(
+        origin, direction, jnp.zeros(live.shape),
+        jnp.where(live, jnp.inf, -1.0), mesh)
+    return (jnp.where(jnp.isfinite(t), t, jnp.inf),
+            face.astype(jnp.int32), u, v)
 
 
 def _occluded(origin, direction, light_dist, scene, exclude_obj,

@@ -225,6 +225,133 @@ def test_restir_temporal_accumulates():
     assert m_counts.max() <= cfg.local_light_samples * (cfg.max_history + 1) * 2
 
 
+def _emissive_mesh_scene():
+    """A diffuse floor sphere + an emissive sphere + an emissive QUAD mesh
+    (2 triangles) — the mixed-kind light scene for the triangle-light path
+    (reference: emissive triangles -> LightInfo,
+    LightPreparation.hlsl:86-133)."""
+    from drts_tpu.ops import trimesh
+    pos = np.array([[-0.5, 0.0, -0.5], [0.5, 0.0, -0.5],
+                    [0.5, 0.0, 0.5], [-0.5, 0.0, 0.5]], np.float32)
+    nrm = np.tile(np.array([[0.0, -1.0, 0.0]], np.float32), (4, 1))
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    tan = np.tile(np.array([[1.0, 0.0, 0.0]], np.float32), (4, 1))
+    mesh = trimesh.make_mesh(pos, nrm, uv, faces, tangents=tan)
+
+    mats = pack_materials([
+        MaterialDesc(base_color=(0.8, 0.8, 0.8, 1), roughness=0.6),
+        MaterialDesc(base_color=(0, 0, 0, 1), emissive_strength=5.0,
+                     emissive_color=(1.0, 0.2, 0.2)),
+        # mesh instance material: strong white quad light
+        MaterialDesc(base_color=(0, 0, 0, 1), emissive_strength=15.0,
+                     emissive_color=(0.9, 0.9, 0.7)),
+    ])
+    center = jnp.array([[0.0, -100.0, 0.0], [-2.0, 2.0, 0.0]])
+    rot = jnp.tile(m.QUAT_IDENTITY, (2, 1))
+    mi = scene_mod.MeshInstances(
+        center=jnp.array([[1.5, 2.5, 0.0]]),
+        rotation=jnp.tile(m.QUAT_IDENTITY, (1, 1)),
+        prev_center=jnp.array([[1.5, 2.5, 0.0]]),
+        prev_rotation=jnp.tile(m.QUAT_IDENTITY, (1, 1)),
+        scale=jnp.array([1.2]))
+    return scene_mod.SphereScene(
+        center=center, rotation=rot, prev_center=center, prev_rotation=rot,
+        radius=jnp.array([99.5, 0.3]),
+        materials=mats,
+        env=sky.make_environment_light(color=(0.0, 0.0, 0.0, 1.0)),
+        mesh=mesh, mesh_instances=mi)
+
+
+def test_triangle_light_prepare_and_sampling():
+    """Triangle lights enter the compact table with area x luminance power;
+    area sampling lands on the triangle; uv inversion round-trips."""
+    scene = _emissive_mesh_scene()
+    lights = light_mod.prepare(scene)
+    assert lights.has_triangles
+    comp = np.asarray(lights.compact)
+    kinds = comp[:, 15]
+    powers = comp[:, 7]
+    # 2 triangle lights + 1 sphere light present.
+    assert (powers > 0).sum() == 3
+    assert kinds[powers > 0].sum() == 2
+    # Reverse map: both faces of instance 0 map to compact ids.
+    tid = np.asarray(lights.tri_light_id)
+    assert (tid >= 0).sum() == 2
+
+    # Sample each triangle light from a point below; every sample must lie
+    # in the quad's plane (y = 2.5) inside the instance-scaled quad.
+    tri_ids = np.nonzero((powers > 0) & (kinds > 0.5))[0]
+    n = 2048
+    surface_pos = jnp.tile(jnp.array([[0.0, 0.0, 0.0]]), (n, 1))
+    u = jnp.stack([jnp.linspace(0.01, 0.99, n)] * 2, axis=-1)
+    for t_id in tri_ids:
+        rows = light_mod.fetch_rows(lights, jnp.full((n,), int(t_id),
+                                                     jnp.int32))
+        d, dist, pdf, em = light_mod.sample_light_rows(rows, surface_pos, u)
+        p = surface_pos + d * dist[..., None]
+        np.testing.assert_allclose(np.asarray(p[:, 1]), 2.5, atol=1e-4)
+        assert float(pdf.min()) > 0
+        # uv inversion recovers the generating uniforms.
+        uv2, inside = light_mod.triangle_uv_from_direction(rows, surface_pos,
+                                                           d)
+        assert bool(inside.all())
+        np.testing.assert_allclose(np.asarray(uv2), np.asarray(u),
+                                   atol=1e-3)
+
+
+def _brute_force_di_generic(scene, width=48, height=48, samples=400):
+    """Monte-Carlo DI ground truth for MIXED light kinds: power-CDF light
+    pick + kind-dispatched area/cone sampling, pdf taken from the sample
+    itself (triangle pdfs depend on the sampled point)."""
+    cam = camera_mod.make_camera((0.0, 1.0, -6.0), (0.0, -0.15, 1.0),
+                                 aspect=1.0)
+    gbuf = gbuffer.generate(scene, cam, width, height, 4096)
+    lights = light_mod.prepare(scene)
+    surface = restir.make_surface(gbuf)
+    from drts_tpu.utils import rng as rng_mod
+    h, w = height, width
+    px = jnp.arange(w)[None, :] + jnp.zeros((h, 1), jnp.int32)
+    py = jnp.arange(h)[:, None] + jnp.zeros((1, w), jnp.int32)
+    rng0 = rng_mod.init(px, py, 4242)
+
+    def one_sample(_, carry):
+        acc, rng = carry
+        u1, rng = rng_mod.next_floats(rng, 1)
+        uv, rng = rng_mod.next_floats(rng, 2)
+        idx, pick_pdf = light_mod.sample_light_index(lights, u1[..., 0])
+        p_hat, direction, dist, diff, spec, em, inv_pdf, rows = \
+            restir._target_pdf(surface, lights, idx, uv)
+        from drts_tpu.ops import intersect
+        origin = intersect.safe_spawn_point(
+            surface.position, surface.sv.front_geometric_normal, direction)
+        occ = restir._occluded(origin, direction, dist, scene, rows.aux,
+                               4096)
+        contrib = (diff + spec) * em * inv_pdf[..., None] / jnp.maximum(
+            pick_pdf, 1e-12)[..., None]
+        acc = acc + jnp.where((occ | ~surface.valid)[..., None], 0.0,
+                              contrib)
+        return acc, rng
+
+    acc, _ = jax.jit(lambda: jax.lax.fori_loop(
+        0, samples, one_sample, (jnp.zeros((h, w, 3)), rng0)))()
+    return np.asarray(acc / samples), gbuf
+
+
+def test_restir_emissive_mesh_matches_brute_force():
+    """ReSTIR DI over a scene whose dominant light is an emissive MESH
+    (triangle lights) stays within the 2% unbiasedness bound vs the
+    brute-force estimator (round-2 VERDICT item 4's done criterion)."""
+    scene = _emissive_mesh_scene()
+    di, gbuf = _render_di(scene, frames=96, bias_correction="pairwise")
+    ref, _ = _brute_force_di_generic(scene, samples=400)
+    valid = np.asarray(gbuf.surf.valid)
+    lit = valid & (ref.sum(-1) > 1e-3)
+    rel = np.abs(di[lit].mean(0) - ref[lit].mean(0)) / (ref[lit].mean(0)
+                                                        + 1e-6)
+    assert rel.max() < 0.02, (di[lit].mean(0), ref[lit].mean(0))
+
+
 def test_sharc_roundtrip():
     """SHARC insert -> resolve -> query roundtrip + staleness eviction."""
     from drts_tpu.ops import sharc
