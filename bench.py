@@ -97,11 +97,27 @@ def bench_full_pipeline(width=1920, height=1080, iters=4):
     jax.block_until_ready(image)
     full_ms = (time.perf_counter() - start) / iters * 1e3
 
+    # Loss/cache counters (SURVEY §5.5): wavefront overflow, SHARC splat
+    # drops, and per-bounce cache hit rates from the steady-state frame.
+    counters = {k: float(v) for k, v in cur.counters.items()}
+    hit_rates = {}
+    for k in list(counters):
+        if k.startswith("sharc_hits_b"):
+            b = k[len("sharc_hits_b"):]
+            q = counters.get(f"sharc_queries_b{b}", 0.0)
+            if q > 0:
+                hit_rates[f"b{b}"] = round(counters[k] / q, 3)
+    report = {k: round(v, 1) for k, v in counters.items()
+              if not k.startswith("sharc_hits") and
+              not k.startswith("sharc_queries")}
+    if hit_rates:
+        report["sharc_hit_rate"] = hit_rates
+
     try:
         passes = pipe.profile_passes(state, pose, iters=iters)
     except Exception:
         passes = {"profile_failed": -1.0}
-    return full_ms, {k: round(v, 2) for k, v in passes.items()}
+    return full_ms, {k: round(v, 2) for k, v in passes.items()}, report
 
 
 def main():
@@ -137,9 +153,10 @@ def main():
     if not os.environ.get("DRTS_BENCH_FAST"):
         try:
             note("bench: full pipeline...")
-            full_ms, passes = bench_full_pipeline()
+            full_ms, passes, counters = bench_full_pipeline()
             record["full_pipeline_ms"] = round(full_ms, 2)
             record["passes_ms"] = passes
+            record["counters"] = counters
             record["passes_sum_ms"] = round(
                 sum(v for v in passes.values() if v > 0), 2)
             note(f"bench: full pipeline {full_ms:.1f} ms")

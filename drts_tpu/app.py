@@ -97,16 +97,31 @@ def cmd_render(args):
     mtime_box = [None]
 
     os.makedirs(args.out_dir, exist_ok=True)
+    # Structured per-frame metrics (SURVEY §5.1/§5.5: the PIX/PCL/debug-
+    # overlay stack collapsed into FrameMetrics + pass_scope annotations).
+    from .utils import obs
+    metrics = obs.FrameMetrics()
     for i in range(args.frames):
         for key, value in mutations.get(i, ()):
             how = sess.set(key, value)
             print(f"frame {i}: set {key}={value} ({how})")
         _maybe_reload(sess, args, mtime_box)
-        img = sess.step(pose)
+        with metrics.frame() as rec:
+            with obs.pass_scope("frame"):
+                img = sess.step(pose)
+            rec["frame_index"] = i
         if i >= args.frames - args.save_last:
             path = os.path.join(args.out_dir, f"frame_{i:04d}.png")
             image_mod.write_png(path, np.asarray(img))
             print(f"wrote {path}")
+    counters = getattr(sess.state, "counters", None)
+    summary = metrics.summary()
+    if counters:
+        summary.update({k: float(v) for k, v in counters.items()})
+    if args.metrics_out:
+        metrics.dump(args.metrics_out)
+    print("metrics: " + json.dumps(
+        {k: round(v, 3) for k, v in sorted(summary.items())}))
     if args.resume:
         ckpt_mod.save(sess.state, args.resume)
         print(f"checkpointed frame {int(sess.state.frame_index)}")
@@ -133,6 +148,10 @@ def cmd_bench(args):
         "resolution": f"{cfg.render_width}x{cfg.render_height}"
                       f"->{cfg.output_width}x{cfg.output_height}",
     }
+    counters = getattr(sess.state, "counters", None)
+    if counters:
+        record["counters"] = {k: round(float(v), 1)
+                              for k, v in sorted(counters.items())}
     if args.passes:
         passes = sess.pipe.profile_passes(sess.state, pose)
         record["passes_ms"] = {k: round(v, 2) for k, v in passes.items()}
@@ -218,6 +237,8 @@ def main(argv=None):
     r.add_argument("--frames", type=int, default=8)
     r.add_argument("--save-last", type=int, default=1)
     r.add_argument("--out-dir", default="out")
+    r.add_argument("--metrics-out", default=None, metavar="JSONL",
+                   help="write per-frame metric records (JSON lines)")
     r.add_argument("--resume", default=None, metavar="CKPT_DIR",
                    help="resume temporal state from / checkpoint to DIR")
     add_runtime_flags(r)

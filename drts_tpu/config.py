@@ -49,6 +49,21 @@ class RTXGITechnique(enum.Enum):
     SHARC = "SHARC"
 
 
+class ColorPrimaryRotation(enum.Enum):
+    """DirectXTK ToneMapPostProcess::ColorPrimaryRotation
+    (MyAppData.h:126-128, App.cpp:2216-2225)."""
+    HDTV_TO_UHDTV = "HDTV_to_UHDTV"
+    DCI_P3_D65_TO_UHDTV = "DCI_P3_D65_to_UHDTV"
+    HDTV_TO_DCI_P3_D65 = "HDTV_to_DCI_P3_D65"
+
+
+class LocalLightSamplingMode(enum.Enum):
+    """ReSTIRDI_LocalLightSamplingMode (MyAppData.h:35-39)."""
+    UNIFORM = "Uniform"
+    POWER_RIS = "Power_RIS"
+    REGIR_RIS = "ReGIR_RIS"
+
+
 class ToneMapOperator(enum.Enum):
     """DirectXTK12 ToneMapPostProcess operators (App.cpp:1731-1757)."""
     SATURATE = "Saturate"
@@ -105,7 +120,8 @@ class ReSTIRDISettings:
     regir_cell_size: float = 1.0
     regir_cells_per_axis: int = 16
     regir_build_samples: int = 8
-    # initial sampling
+    # initial sampling (MyAppData.h:212: local-light mode, default ReGIR)
+    local_light_mode: LocalLightSamplingMode = LocalLightSamplingMode.REGIR_RIS
     local_light_samples: int = 8
     brdf_samples: int = 1
     # temporal / spatial resampling
@@ -118,6 +134,8 @@ class ReSTIRDISettings:
     # "basic" | "pairwise" | "raytraced" (RTXDI spatial bias correction,
     # Source/RTXDI.ixx:73-139).
     spatial_bias_correction: str = "basic"
+    # Same 3-way switch for temporal reuse (MyAppData.h:226-239).
+    temporal_bias_correction: str = "basic"
 
     def check(self) -> "ReSTIRDISettings":
         return dataclasses.replace(
@@ -135,6 +153,11 @@ class ReSTIRDISettings:
                 self.spatial_bias_correction
                 if self.spatial_bias_correction in ("basic", "pairwise",
                                                     "raytraced")
+                else "basic"),
+            temporal_bias_correction=(
+                self.temporal_bias_correction
+                if self.temporal_bias_correction in ("basic", "pairwise",
+                                                     "raytraced")
                 else "basic"))
 
 
@@ -178,6 +201,7 @@ class PostProcessingSettings:
     # paper-white scaling instead of the SDR operator + sRGB encode.
     is_hdr_enabled: bool = False
     paper_white_nits: float = 200.0
+    hdr_color_rotation: ColorPrimaryRotation = ColorPrimaryRotation.HDTV_TO_UHDTV
 
     def check(self) -> "PostProcessingSettings":
         return dataclasses.replace(

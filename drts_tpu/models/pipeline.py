@@ -58,6 +58,9 @@ class PipelineConfig:
     # HDR10 output path (App.cpp:1737-1744): ST.2084 + Rec.2020 signal.
     hdr_enabled: bool = False
     paper_white_nits: float = 200.0
+    # "HDTV_to_UHDTV" | "DCI_P3_D65_to_UHDTV" | "HDTV_to_DCI_P3_D65"
+    # (ToneMapPostProcess::ColorPrimaryRotation, App.cpp:2216-2225).
+    hdr_color_rotation: str = "HDTV_to_UHDTV"
     # Thin-lens DoF (Camera.hlsli:43-54); 0 = pinhole.
     aperture_radius: float = 0.0
     focus_distance: float = 1.0
@@ -107,6 +110,7 @@ class PipelineConfig:
                 regir_cells_per_axis=r.regir_cells_per_axis,
                 regir_cell_size=r.regir_cell_size,
                 regir_build_samples=r.regir_build_samples,
+                local_light_mode=r.local_light_mode.value,
                 local_light_samples=r.local_light_samples,
                 brdf_samples=r.brdf_samples,
                 temporal_enabled=r.is_temporal_resampling_enabled,
@@ -115,7 +119,8 @@ class PipelineConfig:
                 boiling_filter_strength=r.boiling_filter_strength,
                 spatial_samples=r.spatial_samples,
                 spatial_radius=r.spatial_radius,
-                spatial_bias_correction=r.spatial_bias_correction),
+                spatial_bias_correction=r.spatial_bias_correction,
+                temporal_bias_correction=r.temporal_bias_correction),
             sharc_enabled=s.rtxgi == config_mod.RTXGITechnique.SHARC,
             sharc=sharc_mod.SHARCConfig(
                 capacity_log2=s.sharc.capacity_log2,
@@ -139,6 +144,7 @@ class PipelineConfig:
             exposure=s.post.exposure,
             hdr_enabled=s.post.is_hdr_enabled,
             paper_white_nits=s.post.paper_white_nits,
+            hdr_color_rotation=s.post.hdr_color_rotation.value,
             aperture_radius=s.camera.aperture_radius,
             focus_distance=s.camera.focus_distance,
             jitter_enabled=s.camera.is_jitter_enabled,
@@ -162,6 +168,10 @@ class FrameState:
     sharc: sharc_mod.SHARCState
     earth_gravity: jnp.ndarray   # scalar bool toggles (MyScene.ixx userData)
     star_gravity: jnp.ndarray
+    # Per-frame loss/cache counters (SURVEY.md §5.5; VERDICT r2 #9): keys
+    # fixed by the static config (see _counter_keys) so the pytree
+    # structure is stable across frames.
+    counters: dict = struct.field(default_factory=dict)
 
 
 @struct.dataclass
@@ -210,6 +220,15 @@ class RenderPipeline:
         else:
             self.cluster_plan = None
 
+    def _counter_keys(self):
+        c = self.cfg
+        keys = ["wavefront_overflow_paths"]
+        if c.sharc_enabled:
+            keys.append("sharc_splat_dropped_rows")
+            for b in range(1, c.bounces + 1):
+                keys += [f"sharc_hits_b{b}", f"sharc_queries_b{b}"]
+        return keys
+
     def init_state(self, host: myscene.MySceneHost | None = None,
                    seed: int = 0) -> FrameState:
         if host is None:
@@ -231,6 +250,7 @@ class RenderPipeline:
             sharc=sharc_mod.init_state(c.sharc),
             earth_gravity=jnp.asarray(False),
             star_gravity=jnp.asarray(False),
+            counters={k: jnp.float32(0.0) for k in self._counter_keys()},
         )
 
     def default_camera_pose(self, host: myscene.MySceneHost | None = None
@@ -315,10 +335,15 @@ class RenderPipeline:
                                 frame_index=frame_index)
 
     def _restir_prepare(self, scene, cam, frame_index):
-        """Light prep + ReGIR grid build (RTXDI.ixx:141-241 head)."""
+        """Light prep + ReGIR grid build (RTXDI.ixx:141-241 head). The
+        grid only exists in ReGIR_RIS local-light mode (RTXDI.ixx:218);
+        Uniform/Power_RIS draw candidates directly."""
         lights = light_mod.prepare(scene)
-        grid = restir.build_regir_grid(lights, cam.position, self.cfg.restir,
-                                       frame_index)
+        if self.cfg.restir.local_light_mode == "ReGIR_RIS":
+            grid = restir.build_regir_grid(lights, cam.position,
+                                           self.cfg.restir, frame_index)
+        else:
+            grid = None
         return lights, grid
 
     def _restir_initial(self, gbuf, scene, lights, grid, frame_index, accel):
@@ -330,13 +355,14 @@ class RenderPipeline:
         return surface, cur
 
     def _restir_temporal(self, state, cur, surface, lights, gbuf, reset,
-                         frame_index):
+                         frame_index, scene=None, accel=None):
         hist = jax.tree.map(lambda x: jnp.where(reset, jnp.zeros_like(x), x),
                             state.reservoirs)
         return restir.temporal_resampling(
             cur, hist, surface, lights, gbuf.motion,
             state.prev_depth, state.prev_normal, self.cfg.restir,
-            frame_index)
+            frame_index, scene=scene, accel=accel,
+            block_size=self.cfg.block_size)
 
     def _restir_spatial(self, cur, surface, lights, frame_index,
                         scene=None, accel=None):
@@ -366,9 +392,10 @@ class RenderPipeline:
             self._pt_cfg(),
             width=max(1, c.render_width // c.sharc_downscale),
             height=max(1, c.render_height // c.sharc_downscale))
-        return pathtrace.sharc_update_trace(
+        new_sharc, counters = pathtrace.sharc_update_trace(
             scene, cam, state.sharc, c.sharc, su_cfg, frame_index,
             di_radiance=di_total, accel=accel)
+        return new_sharc, counters
 
     def _stage_trace(self, scene, cam, gbuf, sharc_state, di_total,
                      frame_index, accel):
@@ -449,7 +476,8 @@ class RenderPipeline:
             color = post.bloom(color, dyn.bloom_strength)
         return post.tonemap(color, c.tone_map_operator, dyn.exposure,
                             hdr=c.hdr_enabled,
-                            paper_white_nits=c.paper_white_nits)
+                            paper_white_nits=c.paper_white_nits,
+                            color_rotation=c.hdr_color_rotation)
 
     def _stage_post(self, state, color, gbuf, cam, reset, confidence=None,
                     dyn: DynamicSettings | None = None):
@@ -509,9 +537,9 @@ class RenderPipeline:
             if c.restir.temporal_enabled:
                 cur = run(
                     "restir_temporal",
-                    lambda st, cu, su, li, g: self._restir_temporal(
-                        st, cu, su, li, g, reset, fi),
-                    state, cur, surface, lights, gbuf)
+                    lambda st, cu, su, li, g, s2, a2: self._restir_temporal(
+                        st, cu, su, li, g, reset, fi, s2, a2),
+                    state, cur, surface, lights, gbuf, scene, accel)
             if c.restir.spatial_enabled:
                 cur = run(
                     "restir_spatial",
@@ -529,19 +557,21 @@ class RenderPipeline:
         # SHARC GI cache: update pass at downscaled res, then resolve, then
         # the main trace queries the fresh cache (Raytracing.ixx:114-148).
         sharc_state = state.sharc
+        frame_counters = {}
         if c.sharc_enabled:
             if di_total is not None:
-                sharc_state = run(
+                sharc_state, sharc_counters = run(
                     "sharc_update",
                     lambda st, s, cm, di, a: self._stage_sharc(st, s, cm, di,
                                                                a, fi),
                     state, scene, cam, di_total, accel)
             else:
-                sharc_state = run(
+                sharc_state, sharc_counters = run(
                     "sharc_update",
                     lambda st, s, cm, a: self._stage_sharc(st, s, cm, None,
                                                            a, fi),
                     state, scene, cam, accel)
+            frame_counters.update(sharc_counters)
 
         if di_total is not None:
             out = run(
@@ -596,7 +626,8 @@ class RenderPipeline:
         # Raytracing.hlsl:279-284, App.cpp:1522-1524).
         if c.debug_view != "None":
             from ..ops import debugviz
-            if c.debug_view == "ReGIRCells" and c.restir_enabled:
+            if (c.debug_view == "ReGIRCells" and c.restir_enabled
+                    and grid is not None):
                 dbg = debugviz.regir_cells(grid, gbuf.surf.position,
                                            gbuf.surf.valid,
                                            c.restir.regir_cells_per_axis)
@@ -615,6 +646,9 @@ class RenderPipeline:
                 image = debugviz.validation_overlay(
                     image, den_state.history_length)
 
+        frame_counters.update(out.counters)
+        counters = {k: jnp.float32(frame_counters.get(k, 0.0))
+                    for k in self._counter_keys()}
         new_state = FrameState(
             frame_index=state.frame_index + 1,
             bodies=bodies, scene=scene, denoiser=den_state, taa=taa_state,
@@ -624,7 +658,8 @@ class RenderPipeline:
             prev_normal=out.primary_normal,
             sharc=sharc_state,
             earth_gravity=state.earth_gravity,
-            star_gravity=state.star_gravity)
+            star_gravity=state.star_gravity,
+            counters=counters)
         return new_state, image
 
     # -- per-pass profiling (SURVEY §5.1/§5.5; the PIX-timing analogue) ------

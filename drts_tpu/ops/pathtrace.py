@@ -75,6 +75,11 @@ class TraceOutput:
     primary_f_env: jnp.ndarray        # (H, W, 3) specular demodulation
     primary_radiance: jnp.ndarray     # (H, W, 3) emission/env at bounce 0
     rays_traced: jnp.ndarray          # scalar: total rays cast (bench metric)
+    # Frame counters (SURVEY.md §5.5; round-2 VERDICT weak #5/#9): path
+    # loss + per-bounce SHARC cache statistics, keys fixed by the static
+    # config: "wavefront_overflow_paths", and per bounce b (sharc only)
+    # "sharc_hits_b{b}" / "sharc_queries_b{b}".
+    counters: dict
 
 
 def _shade_and_scatter(scene, surf, ray_d, rng, atlas=None,
@@ -158,6 +163,7 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
     c_radiance = jnp.zeros((cap, 3), jnp.float32)
     rays_add = jnp.float32(0.0)
     zeros_c = jnp.zeros((cap,), jnp.float32)
+    counters = {}
 
     for bounce in range(start_bounce, cfg.bounces + 1):
         rays_add = rays_add + jnp.sum(c_active.astype(jnp.float32))
@@ -184,6 +190,10 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
                                             front_flat, cam.position,
                                             sharc_cfg)
             use_cache = c_active & fp_ok & cache_hit
+            counters[f"sharc_hits_b{bounce}"] = jnp.sum(
+                use_cache.astype(jnp.float32))
+            counters[f"sharc_queries_b{bounce}"] = jnp.sum(
+                c_active.astype(jnp.float32))
             c_radiance = c_radiance + jnp.where(use_cache[..., None],
                                                 c_thr * cached, 0.0)
             c_active = c_active & ~use_cache
@@ -224,7 +234,7 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
     pix = jnp.where(slot_live, src, n)
     radiance_add = jnp.zeros((n, 3), jnp.float32).at[pix].add(
         contrib, mode="drop", unique_indices=True)
-    return radiance_add.reshape(h, w, 3), rays_add, overflow
+    return radiance_add.reshape(h, w, 3), rays_add, overflow, counters
 
 
 def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
@@ -308,6 +318,7 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
     use_compact = 2 <= cfg.compact_from <= cfg.bounces
     dense_last = cfg.compact_from - 1 if use_compact else cfg.bounces
     cap = _compact_capacity(h * w, cfg)
+    counters = {"wavefront_overflow_paths": jnp.float32(0.0)}
 
     for sample_index in range(cfg.samples_per_pixel):
         rng = rng_mod.init(px, py,
@@ -366,6 +377,12 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
                     sharc_state, surf.position, front_flat, cam.position,
                     sharc_cfg)
                 use_cache = active & fp_ok & cache_hit
+                counters[f"sharc_hits_b{bounce}"] = counters.get(
+                    f"sharc_hits_b{bounce}", 0.0) + jnp.sum(
+                    use_cache.astype(jnp.float32))
+                counters[f"sharc_queries_b{bounce}"] = counters.get(
+                    f"sharc_queries_b{bounce}", 0.0) + jnp.sum(
+                    active.astype(jnp.float32))
                 sample_radiance = sample_radiance + jnp.where(
                     use_cache[..., None], throughput * cached, 0.0)
                 active = active & ~use_cache
@@ -421,12 +438,18 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
         if use_compact:
             origin = intersect.safe_spawn_point(
                 surf.position, surf.geometric_normal, l_dir)
-            radiance_add, rays_add, _overflow = _trace_deep_compact(
-                scene, table, cam, cfg, sharc_state, sharc_cfg,
-                origin, l_dir, throughput, prev_roughness, rng, active,
-                cfg.compact_from, accel, cap)
+            radiance_add, rays_add, overflow, c_counters = \
+                _trace_deep_compact(
+                    scene, table, cam, cfg, sharc_state, sharc_cfg,
+                    origin, l_dir, throughput, prev_roughness, rng, active,
+                    cfg.compact_from, accel, cap)
             sample_radiance = sample_radiance + radiance_add
             rays_traced = rays_traced + rays_add
+            counters["wavefront_overflow_paths"] = \
+                counters["wavefront_overflow_paths"] \
+                + overflow.astype(jnp.float32)
+            for k, v in c_counters.items():
+                counters[k] = counters.get(k, 0.0) + v
 
         # NaN guard (Raytracing.hlsl:377).
         finite = jnp.all(jnp.isfinite(sample_radiance), axis=-1,
@@ -451,6 +474,7 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
         primary_f_env=p_f_env,
         primary_radiance=primary_radiance,
         rays_traced=rays_traced,
+        counters=counters,
     )
 
 
@@ -575,10 +599,12 @@ def sharc_update_trace(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
     acc = (jnp.zeros((capacity, 3), jnp.float32),
            jnp.zeros((capacity,), jnp.float32),
            jnp.zeros((capacity,), jnp.uint32))
-    frame_sum, frame_count, frame_fp = sharc_mod.splat_levels(
+    frame_sum, frame_count, frame_fp, dropped = sharc_mod.splat_levels(
         acc, slots, fps, level_radiance, actives)
-    return sharc_mod.resolve(sharc_state, frame_sum, frame_count, frame_fp,
-                             sharc_cfg)
+    new_state = sharc_mod.resolve(sharc_state, frame_sum, frame_count,
+                                  frame_fp, sharc_cfg)
+    return new_state, {"sharc_splat_dropped_rows":
+                       dropped.astype(jnp.float32)}
 
 
 def post_resize(img, h, w):

@@ -42,14 +42,29 @@ TONEMAP_OPERATORS = {
     "ACESFilmic": tonemap_aces,
 }
 
-# Rec.709 -> Rec.2020 primaries rotation (the ColorRotation the reference's
-# HDR path applies, App.cpp:1737-1744 / ToneMapPostProcess SetColorRotation
-# HDTV_to_UHDTV).
+# Color-primary rotations (ToneMapPostProcess::SetColorRotation,
+# App.cpp:1744 + the 3-way Combo at App.cpp:2216-2225). Standard primaries
+# conversion matrices (Rec.709 / DCI-P3-D65 / Rec.2020, D65 white).
 REC709_TO_REC2020 = (
     (0.627404, 0.329283, 0.043313),
     (0.069097, 0.919540, 0.011362),
     (0.016392, 0.088013, 0.895595),
 )
+P3D65_TO_REC2020 = (
+    (0.753833, 0.198597, 0.047570),
+    (0.045744, 0.941777, 0.012479),
+    (-0.001210, 0.017602, 0.983608),
+)
+REC709_TO_P3D65 = (
+    (0.822462, 0.177538, 0.000000),
+    (0.033194, 0.966806, 0.000000),
+    (0.017083, 0.072397, 0.910520),
+)
+COLOR_ROTATIONS = {
+    "HDTV_to_UHDTV": REC709_TO_REC2020,
+    "DCI_P3_D65_to_UHDTV": P3D65_TO_REC2020,
+    "HDTV_to_DCI_P3_D65": REC709_TO_P3D65,
+}
 
 
 def st2084_encode(nits):
@@ -65,23 +80,26 @@ def st2084_encode(nits):
     return jnp.power((c1 + c2 * yp) / (1.0 + c3 * yp), m2)
 
 
-def tonemap_hdr10(x, exposure: float = 1.0, paper_white_nits: float = 200.0):
-    """HDR10 output: scene-linear Rec.709 -> Rec.2020 rotation -> scale by
+def tonemap_hdr10(x, exposure: float = 1.0, paper_white_nits: float = 200.0,
+                  color_rotation: str = "HDTV_to_UHDTV"):
+    """HDR output: scene-linear -> primaries rotation -> scale by
     paper-white nits -> ST.2084 encode (App.cpp:1737-1744: ST2084 operator +
-    color rotation + PaperWhiteNits)."""
+    color rotation + PaperWhiteNits). `color_rotation` selects among the
+    reference's three ColorPrimaryRotation variants."""
     v = jnp.maximum(x * exposure, 0.0)
-    mat = jnp.asarray(REC709_TO_REC2020, v.dtype)
+    mat = jnp.asarray(COLOR_ROTATIONS[color_rotation], v.dtype)
     v = jnp.einsum("...c,rc->...r", v, mat)
     return st2084_encode(v * paper_white_nits)
 
 
 def tonemap(x, operator: str = "ACESFilmic", exposure: float = 1.0,
             output_srgb: bool = True, hdr: bool = False,
-            paper_white_nits: float = 200.0):
+            paper_white_nits: float = 200.0,
+            color_rotation: str = "HDTV_to_UHDTV"):
     """Display mapping. SDR: operator curve + sRGB encode. HDR
     (App.cpp:1737-1744): ST.2084/Rec.2020 signal (no sRGB, no SDR curve)."""
     if hdr:
-        return tonemap_hdr10(x, exposure, paper_white_nits)
+        return tonemap_hdr10(x, exposure, paper_white_nits, color_rotation)
     y = TONEMAP_OPERATORS[operator](x, exposure)
     return m.to_srgb(y) if output_srgb else y
 

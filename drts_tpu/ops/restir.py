@@ -41,6 +41,13 @@ class ReSTIRConfig:
     regir_cell_size: float = 1.0
     regir_slots_per_cell: int = 8
     regir_build_samples: int = 8
+    # Local-light candidate source (ReSTIRDI_LocalLightSamplingMode,
+    # MyAppData.h:35-39 / RTXDI.ixx:218): "ReGIR_RIS" draws from the
+    # prebuilt grid (default; one packed prefetch per pixel), "Power_RIS"
+    # draws fresh power-CDF samples per candidate (the presampled-tile
+    # mode collapsed to direct inversion — more per-pixel CDF sweeps),
+    # "Uniform" draws uniformly over the valid compact lights.
+    local_light_mode: str = "ReGIR_RIS"
     local_light_samples: int = 8
     brdf_samples: int = 1
     temporal_enabled: bool = True
@@ -62,6 +69,16 @@ class ReSTIRConfig:
     #                 cross-surface target pdfs (also corrects shadow-edge
     #                 bias; costs one any-hit batch per cross term).
     spatial_bias_correction: str = "basic"
+    # Temporal-reuse MIS mode (the reference exposes the same
+    # Basic/Pairwise/Raytraced switch for temporal resampling,
+    # /root/reference/Source/MyAppData.h:226-239). The pairwise cross
+    # terms need the PREVIOUS surface; it is approximated by the current
+    # surface with the reprojected previous shading normal (full
+    # reconstruction would need the previous G-buffer the reference keeps,
+    # RTXDIAppBridge.hlsli:293-348) — the depth/normal history gates bound
+    # the approximation error, and the unbiasedness tests bound the
+    # result.
+    temporal_bias_correction: str = "basic"
 
 
 @struct.dataclass
@@ -298,7 +315,7 @@ def _cell_of(grid: ReGIRGrid, position, n: int):
 
 
 def initial_sampling(surface: Surface, scene: SphereScene,
-                     lights: light_mod.Lights, grid: ReGIRGrid,
+                     lights: light_mod.Lights, grid: ReGIRGrid | None,
                      cfg: ReSTIRConfig, frame_index,
                      block_size: int = 16384, accel=None) -> Reservoirs:
     h, w = surface.depth.shape
@@ -306,26 +323,28 @@ def initial_sampling(surface: Surface, scene: SphereScene,
     py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     rng = rng_mod.init(px + 17, py + 31, frame_index * 3 + 1)
 
-    cell, inside = _cell_of(grid, surface.position,
-                            cfg.regir_cells_per_axis)
     s = cfg.regir_slots_per_cell
-    c_total = cfg.regir_cells_per_axis ** 3
+    if cfg.local_light_mode == "ReGIR_RIS":
+        cell, inside = _cell_of(grid, surface.position,
+                                cfg.regir_cells_per_axis)
+        c_total = cfg.regir_cells_per_axis ** 3
 
-    # Pixels outside the grid volume draw from one of the power-RIS
-    # fallback rows appended to the grid (RTXDI presampled-tile fallback);
-    # the cell pick is per-pixel per-frame, candidate variety within the
-    # frame comes from the slot pick (the RTXDI screen-tile presampling
-    # pattern).
-    u_fb, rng = rng_mod.next_float(rng)
-    fb_cell = c_total + jnp.minimum(
-        (u_fb * N_FALLBACK_CELLS).astype(jnp.int32), N_FALLBACK_CELLS - 1)
-    cell_eff = jnp.where(inside, cell, fb_cell)
+        # Pixels outside the grid volume draw from one of the power-RIS
+        # fallback rows appended to the grid (RTXDI presampled-tile
+        # fallback); the cell pick is per-pixel per-frame, candidate
+        # variety within the frame comes from the slot pick (the RTXDI
+        # screen-tile presampling pattern).
+        u_fb, rng = rng_mod.next_float(rng)
+        fb_cell = c_total + jnp.minimum(
+            (u_fb * N_FALLBACK_CELLS).astype(jnp.int32),
+            N_FALLBACK_CELLS - 1)
+        cell_eff = jnp.where(inside, cell, fb_cell)
 
-    # ONE candidate-row prefetch for ALL rounds: every slot of the pixel's
-    # cell in a single wide gather ((H, W) x s packed f32). The per-round
-    # gathers this replaces (grid row + tile row) were the bulk of this
-    # pass's 190 ms at round 1.
-    rows_all = grid.packed[cell_eff]
+        # ONE candidate-row prefetch for ALL rounds: every slot of the
+        # pixel's cell in a single wide gather ((H, W) x s packed f32).
+        # The per-round gathers this replaces (grid row + tile row) were
+        # the bulk of this pass's 190 ms at round 1.
+        rows_all = grid.packed[cell_eff]
 
     res_idx = jnp.zeros((h, w), jnp.int32)
     res_uv = jnp.zeros((h, w, 2), jnp.float32)
@@ -337,20 +356,34 @@ def initial_sampling(surface: Surface, scene: SphereScene,
     n_b = cfg.brdf_samples
     m_total = float(n_l + n_b)
 
+    n_valid = jnp.sum((lights.compact[:, 7] > 0).astype(jnp.float32))
     for _ in range(n_l):
         u2, rng = rng_mod.next_floats(rng, 2)
         uv, rng = rng_mod.next_floats(rng, 2)
         u_slot, u_keep = u2[..., 0], u2[..., 1]
 
-        # Slot select from the prefetched rows (s-way select chain — cheap
-        # VPU work instead of a gather; selects, not masked adds, because
-        # arithmetic on packed bit patterns can canonicalize NaN payloads).
-        slot = jnp.minimum((u_slot * s).astype(jnp.int32), s - 1)
-        row = rows_all[..., 0]
-        for i in range(1, s):
-            row = jnp.where(slot == i, rows_all[..., i], row)
-        cand_f, w_cand = m.unpack2f16(row)
-        cand = jnp.round(cand_f).astype(jnp.int32)
+        if cfg.local_light_mode == "Power_RIS":
+            # Fresh power-proportional draw per candidate (the reference's
+            # presampled-tile Power RIS collapsed to CDF inversion).
+            cand, pick_pdf = light_mod.sample_light_index(lights, u_slot)
+            w_cand = jnp.where(pick_pdf > 0,
+                               1.0 / jnp.maximum(pick_pdf, 1e-20), 0.0)
+        elif cfg.local_light_mode == "Uniform":
+            # Uniform over the valid compact lights (they sort first).
+            cand = jnp.minimum((u_slot * n_valid).astype(jnp.int32),
+                               jnp.maximum(n_valid - 1, 0).astype(jnp.int32))
+            w_cand = jnp.broadcast_to(n_valid, cand.shape)
+        else:
+            # Slot select from the prefetched ReGIR rows (s-way select
+            # chain — cheap VPU work instead of a gather; selects, not
+            # masked adds, because arithmetic on packed bit patterns can
+            # canonicalize NaN payloads).
+            slot = jnp.minimum((u_slot * s).astype(jnp.int32), s - 1)
+            row = rows_all[..., 0]
+            for i in range(1, s):
+                row = jnp.where(slot == i, rows_all[..., i], row)
+            cand_f, w_cand = m.unpack2f16(row)
+            cand = jnp.round(cand_f).astype(jnp.int32)
 
         # Balance-heuristic MIS against the BRDF-sampling technique
         # (DIInitialSampling's light/BRDF candidate mix): each candidate's
@@ -429,12 +462,17 @@ def initial_sampling(surface: Surface, scene: SphereScene,
         _, _, cone_pdf_b, _ = light_mod.sample_light_rows(
             krows, surface.position, uv_b)
         p_self = p_w / jnp.maximum(cone_pdf_b, 1e-12)
-        # MIS "light technique" density approximated by the power pdf even
-        # where candidates actually came from the ReGIR grid (whose
-        # position-dependent marginal is unavailable per-lane) — the same
-        # approximation RTXDI's BRDF-candidate MIS makes; the residual DI
-        # bias is bounded by the pairwise unbiasedness test (<=2%).
-        p_light = krows.power / jnp.maximum(lights.total_power, 1e-20)
+        if cfg.local_light_mode == "Uniform":
+            p_light = jnp.where(krows.power > 0,
+                                1.0 / jnp.maximum(n_valid, 1.0), 0.0)
+        else:
+            # MIS "light technique" density approximated by the power pdf
+            # even where candidates actually came from the ReGIR grid
+            # (whose position-dependent marginal is unavailable per-lane)
+            # — the same approximation RTXDI's BRDF-candidate MIS makes;
+            # the residual DI bias is bounded by the pairwise unbiasedness
+            # test (<=2%).
+            p_light = krows.power / jnp.maximum(lights.total_power, 1e-20)
         p_hat_b = _target_pdf_rows(surface, krows, uv_b)[0]
         p_hat_b = jnp.where(ok, p_hat_b, 0.0)
         wi = jnp.where(ok & (p_self > 0),
@@ -566,7 +604,8 @@ def _fetch_packed(packed, iy, ix):
 def temporal_resampling(cur: Reservoirs, prev: Reservoirs, surface: Surface,
                         lights: light_mod.Lights, motion, prev_depth,
                         prev_normal, cfg: ReSTIRConfig,
-                        frame_index) -> Reservoirs:
+                        frame_index, scene=None, accel=None,
+                        block_size: int = 16384) -> Reservoirs:
     h, w = surface.depth.shape
     py = jnp.arange(h, dtype=jnp.float32)[:, None] + jnp.zeros((1, w))
     px = jnp.arange(w, dtype=jnp.float32)[None, :] + jnp.zeros((h, 1))
@@ -575,8 +614,11 @@ def temporal_resampling(cur: Reservoirs, prev: Reservoirs, surface: Surface,
     prev_y = jnp.clip(jnp.round(py + motion[..., 1]).astype(jnp.int32),
                       0, h - 1)
 
-    packed = _pack_reservoirs(prev, prev_depth, prev_normal)
-    p_idx, p_uv, p_m, p_w, pd, pn, _ = _fetch_packed(packed, prev_y, prev_x)
+    pairwise = cfg.temporal_bias_correction in ("pairwise", "raytraced")
+    extra = prev.phat[..., None] if pairwise else None
+    packed = _pack_reservoirs(prev, prev_depth, prev_normal, extra)
+    p_idx, p_uv, p_m, p_w, pd, pn, rest = _fetch_packed(packed, prev_y,
+                                                        prev_x)
 
     # History validity (depth/normal similarity like the denoiser's test).
     in_bounds = ((px + motion[..., 0] >= 0) & (px + motion[..., 0] <= w - 1)
@@ -600,11 +642,58 @@ def temporal_resampling(cur: Reservoirs, prev: Reservoirs, surface: Surface,
     u_keep, rng = rng_mod.next_float(rng)
 
     cur_phat = cur.phat  # evaluated at this surface by initial sampling
-    idx, uv, phat, w_sum, m_count = _merge(
-        cur.light_index, cur.uv, cur_phat,
-        cur_phat * cur.w_out * cur.m_count, cur.m_count,
-        p_idx, p_uv, b_w, p_m, p_phat, u_keep)
-    out = _finalize(idx, uv, phat, w_sum, m_count)
+    if pairwise:
+        # Pairwise-MIS temporal reuse (MyAppData.h:226-239, temporal
+        # BiasCorrectionMode Pairwise/Raytraced): the single history
+        # "neighbor" is MIS-balanced against the canonical reservoir with
+        # confidence weights — the k=1 case of _spatial_pairwise's
+        # weights. p̂_i(x_i) rides the packed history row (stored exact);
+        # the previous-surface evaluation of the CURRENT sample uses the
+        # pseudo-previous surface described on temporal_bias_correction.
+        raytraced = (cfg.temporal_bias_correction == "raytraced"
+                     and scene is not None)
+        p_phat_prev = jnp.where(hist_ok, rest[..., 0], 0.0)
+        sv_p = bxdf.make_surface_vectors(jnp.ones_like(hist_ok), pn, pn)
+        psurf = Surface(valid=hist_ok, position=surface.position,
+                        view=surface.view, bsdf=surface.bsdf, sv=sv_p,
+                        lobe_weights=bxdf.lobe_weights(surface.bsdf, sv_p,
+                                                       surface.view),
+                        depth=pd, normal=pn)
+        phat_c_xi = p_phat                     # current surface, history x
+        phat_i_xc = _target_pdf(psurf, lights, cur.light_index, cur.uv)[0]
+        if raytraced:
+            _, direction, dist, _, _, _, _, rows_v = _target_pdf(
+                surface, lights, p_idx, p_uv)
+            origin = intersect.safe_spawn_point(
+                surface.position, surface.sv.front_geometric_normal,
+                direction)
+            occ = _occluded(origin, direction, dist, scene, rows_v.aux,
+                            block_size, accel)
+            phat_c_xi = jnp.where(occ, 0.0, phat_c_xi)
+        m_c = cur.m_count
+        a_xc = p_m * phat_i_xc
+        f_xc = m_c * cur_phat
+        mc_weight = jnp.where(f_xc > 0,
+                              f_xc / jnp.maximum(a_xc + f_xc, 1e-20), 0.0)
+        a_xi = p_m * p_phat_prev
+        m_i = jnp.where(p_m > 0, a_xi / jnp.maximum(
+            a_xi + m_c * phat_c_xi, 1e-20), 0.0)
+        b_w2 = m_i * phat_c_xi * p_w
+        w_sum = mc_weight * cur_phat * cur.w_out + b_w2
+        take = (u_keep * w_sum) < b_w2
+        idx = jnp.where(take, p_idx, cur.light_index)
+        uv = jnp.where(take[..., None], p_uv, cur.uv)
+        phat = jnp.where(take, phat_c_xi, cur_phat)
+        m_count = cur.m_count + p_m
+        w_out = jnp.where(phat > 0, w_sum / jnp.maximum(phat, 1e-20), 0.0)
+        out = Reservoirs(light_index=idx, uv=uv, w_sum=w_sum,
+                         m_count=m_count, w_out=w_out, phat=phat)
+    else:
+        idx, uv, phat, w_sum, m_count = _merge(
+            cur.light_index, cur.uv, cur_phat,
+            cur_phat * cur.w_out * cur.m_count, cur.m_count,
+            p_idx, p_uv, b_w, p_m, p_phat, u_keep)
+        out = _finalize(idx, uv, phat, w_sum, m_count)
 
     # Boiling filter (DITemporalResampling.hlsl boiling filter): kill
     # reservoirs whose weight far exceeds the local neighborhood average.

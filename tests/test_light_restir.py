@@ -352,6 +352,103 @@ def test_restir_emissive_mesh_matches_brute_force():
     assert rel.max() < 0.02, (di[lit].mean(0), ref[lit].mean(0))
 
 
+def test_local_light_modes_match_brute_force():
+    """Uniform and standalone Power-RIS local-light modes
+    (ReSTIRDI_LocalLightSamplingMode, MyAppData.h:35-39) both converge to
+    the brute-force estimate — same estimator, different candidate
+    source."""
+    scene = _two_light_scene()
+    ref = _brute_force_di_cached(scene, samples=400)
+
+    for mode in ("Power_RIS", "Uniform"):
+        cam = camera_mod.make_camera((0.0, 1.0, -6.0), (0.0, -0.15, 1.0),
+                                     aspect=1.0)
+        cfg = restir.ReSTIRConfig(local_light_samples=8,
+                                  local_light_mode=mode,
+                                  boiling_filter_strength=0.0,
+                                  spatial_bias_correction="pairwise")
+        gbuf = gbuffer.generate(scene, cam, 48, 48, 4096)
+        lights = light_mod.prepare(scene)
+        surface = restir.make_surface(gbuf)
+
+        def one_frame(f, total):
+            res = restir.initial_sampling(surface, scene, lights, None,
+                                          cfg, f, 4096)
+            res = restir.spatial_resampling(res, surface, lights, cfg, f,
+                                            scene=scene)
+            d, s = restir.final_shading(res, surface, scene, lights, 4096)
+            return total + d + s
+
+        di = np.asarray(jax.jit(lambda: jax.lax.fori_loop(
+            0, 64, one_frame, jnp.zeros((48, 48, 3))))() / 64)
+        valid = np.asarray(gbuf.surf.valid)
+        lit = valid & (ref.sum(-1) > 1e-3)
+        rel = np.abs(di[lit].mean(0) - ref[lit].mean(0)) / (
+            ref[lit].mean(0) + 1e-6)
+        assert rel.max() < 0.03, (mode, di[lit].mean(0), ref[lit].mean(0))
+
+
+def test_temporal_bias_correction_modes_match_brute_force():
+    """Temporal pairwise / raytraced MIS modes (the reference's temporal
+    BiasCorrectionMode switch, MyAppData.h:226-239): a 48-frame temporal
+    chain's time-averaged DI converges to the brute-force estimate — the
+    pairwise weights must telescope to a normalized MIS partition or the
+    history would systematically brighten/darken."""
+    scene = _two_light_scene()
+    ref = _brute_force_di_cached(scene, samples=400)
+    cam = camera_mod.make_camera((0.0, 1.0, -6.0), (0.0, -0.15, 1.0),
+                                 aspect=1.0)
+    gbuf = gbuffer.generate(scene, cam, 48, 48, 4096)
+    lights = light_mod.prepare(scene)
+    surface = restir.make_surface(gbuf)
+    depth = jnp.where(jnp.isfinite(gbuf.linear_depth), gbuf.linear_depth,
+                      1e8)
+    motion = jnp.zeros((48, 48, 2))
+
+    for mode in ("pairwise", "raytraced"):
+        cfg = restir.ReSTIRConfig(local_light_samples=8,
+                                  boiling_filter_strength=0.0,
+                                  spatial_enabled=False,
+                                  temporal_bias_correction=mode)
+
+        def one_frame(f, carry):
+            total, res = carry
+            grid = restir.build_regir_grid(lights, cam.position, cfg, f)
+            cur = restir.initial_sampling(surface, scene, lights, grid,
+                                          cfg, f, 4096)
+            res = restir.temporal_resampling(
+                cur, res, surface, lights, motion, depth,
+                gbuf.mat.shading_normal, cfg, f, scene=scene,
+                block_size=4096)
+            d, s = restir.final_shading(res, surface, scene, lights, 4096)
+            return total + d + s, res
+
+        total, _ = jax.jit(lambda: jax.lax.fori_loop(
+            0, 48, one_frame,
+            (jnp.zeros((48, 48, 3)), restir.init_reservoirs(48, 48))))()
+        di = np.asarray(total / 48)
+        valid = np.asarray(gbuf.surf.valid)
+        lit = valid & (ref.sum(-1) > 1e-3)
+        rel = np.abs(di[lit].mean(0) - ref[lit].mean(0)) / (
+            ref[lit].mean(0) + 1e-6)
+        assert rel.max() < 0.03, (mode, di[lit].mean(0), ref[lit].mean(0))
+
+
+def test_hdr_color_rotation_variants():
+    """All three ColorPrimaryRotation variants (App.cpp:2216-2225) encode:
+    each matrix preserves the white point (rows sum to 1) and the HDR
+    signal stays in [0, 1]."""
+    from drts_tpu.ops import post
+    for name, mat in post.COLOR_ROTATIONS.items():
+        rows = np.asarray(mat)
+        np.testing.assert_allclose(rows.sum(axis=1), 1.0, atol=2e-3,
+                                   err_msg=name)
+        img = jnp.abs(jnp.sin(jnp.arange(48.0)).reshape(4, 4, 3))
+        out = post.tonemap(img, hdr=True, color_rotation=name)
+        assert np.isfinite(np.asarray(out)).all()
+        assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0
+
+
 def test_sharc_roundtrip():
     """SHARC insert -> resolve -> query roundtrip + staleness eviction."""
     from drts_tpu.ops import sharc
@@ -404,7 +501,8 @@ def test_sharc_splat_dedup_matches_naive():
 
     acc = (jnp.zeros((cap, 3)), jnp.zeros((cap,)),
            jnp.zeros((cap,), jnp.uint32))
-    ssum, cnt, _fp = sharc.splat_levels(acc, slots, fps, rads, acts)
+    ssum, cnt, _fp, _dropped = sharc.splat_levels(acc, slots, fps, rads,
+                                                  acts)
 
     ref_sum = np.zeros((cap, 3))
     ref_cnt = np.zeros((cap,))
