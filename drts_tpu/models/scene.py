@@ -171,9 +171,25 @@ def surface_attributes(scene: SphereScene, hit, ray_direction,
         table = object_table(scene)
     row = fetch_rows(table, hit.index)           # the single wide fetch
     center = row[..., 0:3]
+    radius = row[..., 3]
     rot = row[..., 4:8]
 
-    normal = m.normalize(hit.position - center)
+    # Newton-refine the hit distance: the Pallas Morton kernels return t
+    # with its low mantissa bits truncated (the packed closest-hit
+    # encoding, ops/intersect_pallas._slim_tail). One Newton step on
+    # f(t) = |o + t d - c|^2 - r^2 recovers full f32 precision (the
+    # truncation error is ~6e-5 relative, deep inside Newton's quadratic
+    # basin). No-op (f = 0) for exact-t producers like the XLA path; mesh
+    # rows carry radius 0 and keep their t.
+    p_c = hit.position - center
+    f = m.dot(p_c, p_c) - radius * radius
+    df = 2.0 * m.dot(ray_direction, p_c)
+    refine = hit.hit & (radius > 0.0) & (jnp.abs(df) > 1e-12)
+    delta = jnp.where(refine, -f / jnp.where(refine, df, 1.0), 0.0)
+    t = hit.t + delta
+    position = hit.position + ray_direction * delta[..., None]
+
+    normal = m.normalize(position - center)
     is_front = m.dot(normal, ray_direction) < 0.0
     shading_normal = jnp.where(is_front[..., None], normal, -normal)
 
@@ -206,13 +222,13 @@ def surface_attributes(scene: SphereScene, hit, ray_direction,
     )
     return HitSurface(
         valid=hit.hit,
-        position=hit.position,
+        position=position,
         geometric_normal=normal,
         shading_normal=shading_normal,
         tangent=tangent,
         uv=uv,
         is_front_face=is_front,
-        distance=hit.t,
+        distance=t,
         object_index=hit.index,
         material=material,
     )

@@ -30,7 +30,11 @@ INF = jnp.float32(jnp.inf)
 # backend (CPU test coverage of the TPU path).
 BACKEND = "auto"
 
-# Opt-in MXU intersection kernel (see dispatch note in intersect_spheres).
+# Opt-in MXU intersection kernels: measured SLOWER than the planar sweep
+# with the packed-min slim tail (23.6 vs 19.1 ms / 2M incoherent rays on
+# v5e) — the rank-8 chunk matmuls at f32-HIGHEST precision underutilize
+# the systolic array and their issue cost exceeds the ~12 VPU ops they
+# replace. DRTS_MXU_KERNEL=1 opts in (kept for wider-table scenes).
 import os as _os
 _USE_MXU = _os.environ.get("DRTS_MXU_KERNEL", "") == "1"
 
@@ -152,11 +156,10 @@ def intersect_spheres(origin, direction, t_min, t_max, centers, radii,
             tmax = _tile_order(jnp.broadcast_to(t_max, lead_shape))
         rays, _ = ip.pack_rays(o, d, tmin, tmax)
         if isinstance(accel, clusters_mod.MortonAccel):
-            # The MXU variant measured throughput parity with the VPU sweep
-            # (23.4 vs 23.2 ms / 2M incoherent rays on v5e) — the kernel is
-            # sqrt/select-bound, not multiply-bound — so the planar kernel
-            # (which also carries the closest-hit chunk early-out) stays
-            # the production path; DRTS_MXU_KERNEL=1 opts in.
+            # Both Morton kernels return a mantissa-truncated t (the packed
+            # closest-hit encoding, intersect_pallas._slim_tail); consumers
+            # that shade recover the exact root via the Newton step in
+            # models/scene.surface_attributes.
             if accel.mxu_a is not None and _USE_MXU:
                 t_best, idx = ip.intersect_morton_mxu(
                     rays, accel.bounds_tbl, accel.table, accel.mxu_a,
@@ -275,9 +278,15 @@ def intersect_spheres_any(origin, direction, t_min, t_max, centers, radii,
             excl_row = jnp.full((rays.shape[1],), -1.0, jnp.float32) \
                 .at[:n].set(excl.astype(jnp.float32))[None, :]
         rays9 = jnp.concatenate([rays, excl_row])
-        occ = ip.occlusion_morton_planar(rays9, accel.bounds_tbl,
-                                         accel.table, accel.n_chunks,
-                                         accel.chunk, interpret=interp)
+        if accel.mxu_a is not None and _USE_MXU:
+            occ = ip.occlusion_morton_mxu(rays9, accel.bounds_tbl,
+                                          accel.table, accel.mxu_a,
+                                          accel.n_chunks, accel.chunk,
+                                          interpret=interp)
+        else:
+            occ = ip.occlusion_morton_planar(rays9, accel.bounds_tbl,
+                                             accel.table, accel.n_chunks,
+                                             accel.chunk, interpret=interp)
         if tiled:
             return _tile_unorder(occ[:n], *lead_shape)
         return occ[:n].reshape(lead_shape)

@@ -228,12 +228,13 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
                                               surf.geometric_normal, new_dir)
         c_dir = new_dir
 
-    # Scatter contributions back to their pixels (each path owns one pixel,
-    # so indices are unique; dead slots get index n and are dropped).
+    # Read contributions back by pixel (each path owns one pixel): pixel ->
+    # slot is just the cumsum position, so this is a GATHER with monotone
+    # indices — measured 6.9 ms as a scatter-add (XLA TPU scatter runs
+    # ~0.3 GB/s) vs streaming-rate as a gather.
     contrib = jnp.where(slot_live[..., None], c_radiance, 0.0)
-    pix = jnp.where(slot_live, src, n)
-    radiance_add = jnp.zeros((n, 3), jnp.float32).at[pix].add(
-        contrib, mode="drop", unique_indices=True)
+    contrib = jnp.concatenate([contrib, jnp.zeros((1, 3), jnp.float32)])
+    radiance_add = contrib[jnp.where(keep, pos, cap)]
     return radiance_add.reshape(h, w, 3), rays_add, overflow, counters
 
 

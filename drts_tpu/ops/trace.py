@@ -30,10 +30,19 @@ def _where_nd(mask, a, b):
 def _closest_hit(scene, origin, direction, t_min, t_max, block_size, accel):
     """Spheres + mesh instances, merged by closest t. Returns
     (SphereHit-with-combined-index, TriHit | None)."""
-    hit = intersect.intersect_spheres(origin, direction, t_min, t_max,
-                                      scene.center, scene.radius,
-                                      block_size, attributes=False,
-                                      accel=accel)
+    if scene.center.shape[0] == 0:
+        # All-mesh scene (models/myscene.as_mesh_scene): no sphere sweep.
+        lead = origin.shape[:-1]
+        hit = intersect.SphereHit(
+            hit=jnp.zeros(lead, bool), t=jnp.full(lead, jnp.inf),
+            index=jnp.zeros(lead, jnp.int32), position=origin,
+            normal=jnp.zeros_like(origin),
+            is_front_face=jnp.zeros(lead, bool))
+    else:
+        hit = intersect.intersect_spheres(origin, direction, t_min, t_max,
+                                          scene.center, scene.radius,
+                                          block_size, attributes=False,
+                                          accel=accel)
     if scene.mesh is None:
         return hit, None
     mi = scene.mesh_instances
@@ -128,10 +137,13 @@ def occluded_scene(scene, origin, direction, max_dist, exclude_index,
     """Conservative any-hit visibility against spheres AND mesh instances
     (RAB_GetConservativeVisibility — alpha-tested surfaces count as
     occluders, matching the reference's conservative mode)."""
-    occ = intersect.intersect_spheres_any(
-        origin, direction, jnp.zeros(max_dist.shape), max_dist,
-        scene.center, scene.radius, block_size,
-        exclude_index=exclude_index, accel=accel)
+    if scene.center.shape[0] == 0:
+        occ = jnp.zeros(max_dist.shape, bool)
+    else:
+        occ = intersect.intersect_spheres_any(
+            origin, direction, jnp.zeros(max_dist.shape), max_dist,
+            scene.center, scene.radius, block_size,
+            exclude_index=exclude_index, accel=accel)
     if scene.mesh is not None:
         mi = scene.mesh_instances
         tri = trimesh.intersect_instances(

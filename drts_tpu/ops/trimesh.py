@@ -34,7 +34,9 @@ INF = jnp.float32(jnp.inf)
 @struct.dataclass
 class TriMesh:
     """Shared triangle mesh, SoA (the Mesh vertex/index buffers,
-    Source/Model.ixx:45)."""
+    Source/Model.ixx:45). Faces are stored in Morton (centroid) order —
+    make_mesh permutes them at build — so the Pallas kernel's packed face
+    position IS the face index (ops/trimesh_pallas.py)."""
     positions: jnp.ndarray  # (V, 3)
     normals: jnp.ndarray    # (V, 3)
     uvs: jnp.ndarray        # (V, 2)
@@ -45,9 +47,16 @@ class TriMesh:
     e1: jnp.ndarray         # (F, 3) v1 - v0
     e2: jnp.ndarray         # (F, 3) v2 - v0
     bound_radius: jnp.ndarray  # scalar: mesh-space bounding radius
+    # BLAS tables for the Pallas kernel (built once per mesh): padded
+    # Morton-ordered triangle rows + per-chunk object-space bounds.
+    tri_tbl: jnp.ndarray = None     # (F_pad, 9) [v0 e1 e2]
+    tri_bounds: jnp.ndarray = None  # (4, C_pad)
+    n_chunks: int = struct.field(pytree_node=False, default=0)
 
 
 def make_mesh(positions, normals, uvs, faces, tangents=None) -> TriMesh:
+    from . import trimesh_pallas as tp
+
     positions = jnp.asarray(positions, jnp.float32)
     faces = jnp.asarray(faces, jnp.int32)
     if tangents is None:
@@ -58,14 +67,20 @@ def make_mesh(positions, normals, uvs, faces, tangents=None) -> TriMesh:
     v0 = positions[faces[:, 0]]
     v1 = positions[faces[:, 1]]
     v2 = positions[faces[:, 2]]
+    e1, e2 = v1 - v0, v2 - v0
+    order, tri_tbl, tri_bounds, n_chunks = tp.build_mesh_tables(
+        np.asarray(v0), np.asarray(e1), np.asarray(e2))
+    order_j = jnp.asarray(order)
     return TriMesh(
         positions=positions,
         normals=jnp.asarray(normals, jnp.float32),
         uvs=jnp.asarray(uvs, jnp.float32),
         tangents=jnp.asarray(tangents, jnp.float32),
-        faces=faces,
-        v0=v0, e1=v1 - v0, e2=v2 - v0,
-        bound_radius=jnp.max(m.length(positions)))
+        faces=faces[order_j],
+        v0=v0[order_j], e1=e1[order_j], e2=e2[order_j],
+        bound_radius=jnp.max(m.length(positions)),
+        tri_tbl=jnp.asarray(tri_tbl), tri_bounds=jnp.asarray(tri_bounds),
+        n_chunks=n_chunks)
 
 
 @struct.dataclass
@@ -163,7 +178,15 @@ def intersect_instances(origin, direction, t_min, t_max, mesh: TriMesh,
                         **kw) -> TriHit:
     """Two-level: per instance, cull by bounding sphere, transform the ray
     to object space, test triangles, keep the closest (the TLAS->BLAS
-    dispatch, RaytracingHelpers.hlsli TraceRay analogue)."""
+    dispatch, RaytracingHelpers.hlsli TraceRay analogue). On TPU (or under
+    BACKEND='interpret') this runs the Pallas instanced-mesh kernel
+    (ops/trimesh_pallas.py); the XLA sweep below is the portable
+    reference path."""
+    from . import intersect
+    if intersect.pallas_enabled() and mesh.tri_tbl is not None:
+        return _intersect_instances_pallas(origin, direction, t_min, t_max,
+                                           mesh, inst_position,
+                                           inst_rotation, inst_scale)
     lead = origin.shape[:-1]
     best = TriHit(hit=jnp.zeros(lead, bool),
                   t=jnp.full(lead, INF),
@@ -202,6 +225,67 @@ def intersect_instances(origin, direction, t_min, t_max, mesh: TriMesh,
                                    jnp.stack([u, v], axis=-1),
                                    best.barycentrics))
     return best
+
+
+def _intersect_instances_pallas(origin, direction, t_min, t_max,
+                                mesh: TriMesh, inst_position,
+                                inst_rotation, inst_scale) -> TriHit:
+    """Pallas path: pack rays (screen-tile order when 2D, matching the
+    sphere kernel), run the instanced-mesh kernel, then recover exact
+    t/barycentrics for winners with one per-ray Moller-Trumbore
+    (trimesh_pallas.refine_hit)."""
+    from . import intersect
+    from . import intersect_pallas as ip
+    from . import trimesh_pallas as tp
+    from ..models import scene as scene_mod
+
+    lead = origin.shape[:-1]
+    interp = intersect.BACKEND == "interpret"
+    tiled = intersect._tileable(lead)
+    if tiled:
+        o = intersect._tile_order(origin)
+        d = intersect._tile_order(direction)
+        tmn = intersect._tile_order(jnp.broadcast_to(t_min, lead))
+        tmx = intersect._tile_order(jnp.broadcast_to(t_max, lead))
+    else:
+        n0 = 1
+        for s in lead:
+            n0 *= s
+        o = origin.reshape(n0, 3)
+        d = direction.reshape(n0, 3)
+        tmn = jnp.broadcast_to(t_min, lead).reshape(n0)
+        tmx = jnp.broadcast_to(t_max, lead).reshape(n0)
+    rays, n = ip.pack_rays(o, d, tmn, tmx)
+
+    inst_tbl = tp.make_inst_table(inst_position, inst_rotation, inst_scale,
+                                  mesh.bound_radius)
+    t_p, face_p, inst_p = tp.intersect_mesh_instances(
+        rays, inst_tbl, mesh.tri_bounds, mesh.tri_tbl,
+        int(inst_position.shape[0]), mesh.n_chunks,
+        mesh.tri_tbl.shape[0] // mesh.n_chunks, interpret=interp)
+
+    def unflat(x):
+        if tiled:
+            return intersect._tile_unorder(x[:n], *lead)
+        return x[:n].reshape(lead)
+
+    t_p = unflat(t_p)
+    f = mesh.v0.shape[0]
+    face_p = jnp.minimum(unflat(face_p), f - 1)
+    inst_p = jnp.minimum(unflat(inst_p), inst_position.shape[0] - 1)
+
+    mi = scene_mod.MeshInstances(
+        center=inst_position, rotation=inst_rotation,
+        prev_center=inst_position, prev_rotation=inst_rotation,
+        scale=inst_scale)
+    t_exact, u, v = tp.refine_hit(mesh, mi, origin, direction, t_p,
+                                  face_p, inst_p)
+    hit = jnp.isfinite(t_p) & jnp.isfinite(t_exact)
+    return TriHit(hit=hit,
+                  t=jnp.where(hit, t_exact, INF),
+                  face=face_p,
+                  instance=inst_p,
+                  barycentrics=jnp.stack([u, v], axis=-1))
 
 
 def interpolate_attributes(mesh: TriMesh, hit: TriHit, inst_rotation):

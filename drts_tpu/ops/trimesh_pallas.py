@@ -1,0 +1,347 @@
+"""Pallas TPU kernel for instanced triangle-mesh closest-hit.
+
+The general-geometry analogue of the sphere kernel
+(ops/intersect_pallas.py) and the TPU replacement for hardware BLAS/TLAS
+traversal over instanced meshes
+(/root/reference/Shaders/RaytracingHelpers.hlsli:57-133 CastRay,
+Source/Scene.ixx:225-284 — one geosphere BLAS instanced ~448x). The
+structure mirrors the reference's two-level hierarchy, vectorized the TPU
+way:
+
+- TLAS level: the instance table (pose + uniform scale + world bound) lives
+  in SMEM; each (ray block, instance) pair is culled by the same scalar
+  bounding-cone test as the sphere kernel's Morton chunks. Surviving
+  instances transform the whole ray block into object space (two quaternion
+  rotations per lane — cheap next to a triangle sweep).
+- BLAS level: ONE shared object-space triangle table (v0 | e1 | e2 rows,
+  Morton-ordered over centroids at build time so faces are spatially
+  coherent) resident in VMEM, swept chunk-by-chunk with per-chunk
+  object-space bounding-sphere culls (SMEM) — Moller-Trumbore evaluated as
+  dense (chunk, rays) vector ops.
+- Closest-hit bookkeeping uses the packed (truncated t | face id) i32
+  encoding of intersect_pallas._slim_tail; the winning instance id is
+  carried in a second scratch updated once per instance (compare the
+  packed best before/after the chunk loop).
+
+Callers recover exact t and barycentrics by re-running Moller-Trumbore on
+the single winning (instance, face) per ray (refine_hit) — O(rays), not
+O(rays x faces).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .intersect_pallas import (INF_BITS, RAY_BLOCK, _bundle_summary,
+                               _pos_bits, _t_done)
+
+TRI_CHUNK = 64        # triangle sublanes per inner step (multiple of 8)
+
+
+def _quat_conj_rotate_rows(qx, qy, qz, qw, vx, vy, vz):
+    """Rotate (1, R) vector rows by the CONJUGATE of scalar quaternion q
+    (world -> object). v' = v + 2*qv x (qv x v - w*v) with qv negated."""
+    ax, ay, az = -qx, -qy, -qz
+    # c1 = qv x v + w*v
+    c1x = ay * vz - az * vy + qw * vx
+    c1y = az * vx - ax * vz + qw * vy
+    c1z = ax * vy - ay * vx + qw * vz
+    # v' = v + 2 * (qv x c1)
+    rx = vx + 2.0 * (ay * c1z - az * c1y)
+    ry = vy + 2.0 * (az * c1x - ax * c1z)
+    rz = vz + 2.0 * (ax * c1y - ay * c1x)
+    return rx, ry, rz
+
+
+def _mesh_kernel(rays_ref, inst_ref, tbounds_ref, tri_ref, packed_ref,
+                 inst_out_ref, best_s, prev_s, binst_s, *, n_inst: int,
+                 n_chunks: int, chunk: int, pos_bits: int):
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+    tmin = rays_ref[6:7, :]
+    tmax = rays_ref[7:8, :]
+    trunc_mask = ~((1 << pos_bits) - 1)
+
+    best_s[:, :] = jnp.full(ox.shape, INF_BITS, jnp.int32)
+    binst_s[:, :] = jnp.zeros(ox.shape, jnp.int32)
+
+    @pl.when(jnp.any(tmax >= tmin))
+    def _():
+        live = tmax >= tmin
+        (mx, my, mz, orad, axw, ayw, azw, cmin, sin_c,
+         coherent) = _bundle_summary(ox, oy, oz, dx, dy, dz, live)
+
+        def visit_inst(k, _):
+            px = inst_ref[0, k]
+            py = inst_ref[1, k]
+            pz = inst_ref[2, k]
+            qx = inst_ref[3, k]
+            qy = inst_ref[4, k]
+            qz = inst_ref[5, k]
+            qw = inst_ref[6, k]
+            inv_s = inst_ref[7, k]
+            brw = inst_ref[8, k]
+
+            # World-space instance-bound cull (cone + behind + closest-hit
+            # distance early-out) — the TLAS test.
+            vx, vy, vz = px - mx, py - my, pz - mz
+            er = brw + orad
+            along = vx * axw + vy * ayw + vz * azw
+            d2 = vx * vx + vy * vy + vz * vz
+            perp = jnp.sqrt(jnp.maximum(d2 - along * along, 0.0))
+            outside_cone = perp * cmin - along * sin_c > er
+            behind = along < -er
+            t_done = _t_done(best_s[:, :], live, trunc_mask)
+            too_far = jnp.sqrt(d2) - er > t_done
+            possible = jnp.logical_not(
+                (coherent & (outside_cone | behind)) | too_far)
+
+            @pl.when(possible)
+            def _():
+                prev_s[:, :] = best_s[:, :]
+                # Ray block -> object space (uniform scale keeps t in
+                # world units: o_l = R^T(o-p)/s, d_l = R^T d/s).
+                olx, oly, olz = _quat_conj_rotate_rows(
+                    qx, qy, qz, qw, ox - px, oy - py, oz - pz)
+                olx, oly, olz = olx * inv_s, oly * inv_s, olz * inv_s
+                dlx, dly, dlz = _quat_conj_rotate_rows(
+                    qx, qy, qz, qw, dx, dy, dz)
+                dlx, dly, dlz = dlx * inv_s, dly * inv_s, dlz * inv_s
+
+                # Bundle summary transforms rigidly: rotate centroid/axis,
+                # scale spreads; cone angle is rotation/scale-invariant.
+                def rot_scalar(vx0, vy0, vz0):
+                    ax0, ay0, az0 = -qx, -qy, -qz
+                    c1x = ay0 * vz0 - az0 * vy0 + qw * vx0
+                    c1y = az0 * vx0 - ax0 * vz0 + qw * vy0
+                    c1z = ax0 * vy0 - ay0 * vx0 + qw * vz0
+                    return (vx0 + 2.0 * (ay0 * c1z - az0 * c1y),
+                            vy0 + 2.0 * (az0 * c1x - ax0 * c1z),
+                            vz0 + 2.0 * (ax0 * c1y - ay0 * c1x))
+
+                mlx, mly, mlz = rot_scalar(mx - px, my - py, mz - pz)
+                mlx, mly, mlz = mlx * inv_s, mly * inv_s, mlz * inv_s
+                alx, aly, alz = rot_scalar(axw, ayw, azw)
+                orad_l = orad * inv_s
+                t_done_l = t_done * inv_s
+
+                def visit_chunk(c, _):
+                    bx = tbounds_ref[0, c]
+                    by = tbounds_ref[1, c]
+                    bz = tbounds_ref[2, c]
+                    br = tbounds_ref[3, c]
+                    wx, wy, wz = bx - mlx, by - mly, bz - mlz
+                    er2 = br + orad_l
+                    along2 = wx * alx + wy * aly + wz * alz
+                    dd2 = wx * wx + wy * wy + wz * wz
+                    perp2 = jnp.sqrt(jnp.maximum(
+                        dd2 - along2 * along2, 0.0))
+                    out2 = perp2 * cmin - along2 * sin_c > er2
+                    behind2 = along2 < -er2
+                    far2 = jnp.sqrt(dd2) - er2 > t_done_l
+                    possible2 = jnp.logical_not(
+                        (coherent & (out2 | behind2)) | far2)
+
+                    @pl.when(possible2)
+                    def _():
+                        s0 = pl.multiple_of(c * chunk, chunk)
+                        tri = tri_ref[pl.ds(s0, chunk), :]   # (S, 9)
+                        v0x = tri[:, 0:1]
+                        v0y = tri[:, 1:2]
+                        v0z = tri[:, 2:3]
+                        e1x = tri[:, 3:4]
+                        e1y = tri[:, 4:5]
+                        e1z = tri[:, 5:6]
+                        e2x = tri[:, 6:7]
+                        e2y = tri[:, 7:8]
+                        e2z = tri[:, 8:9]
+
+                        # Two-sided Moller-Trumbore as (S, R) vector ops.
+                        pvx = dly * e2z - dlz * e2y
+                        pvy = dlz * e2x - dlx * e2z
+                        pvz = dlx * e2y - dly * e2x
+                        det = pvx * e1x + pvy * e1y + pvz * e1z
+                        inv = 1.0 / det          # +-inf on degenerate
+                        tvx = olx - v0x
+                        tvy = oly - v0y
+                        tvz = olz - v0z
+                        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+                        qvx = tvy * e1z - tvz * e1y
+                        qvy = tvz * e1x - tvx * e1z
+                        qvz = tvx * e1y - tvy * e1x
+                        v = (dlx * qvx + dly * qvy + dlz * qvz) * inv
+                        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+                        ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                              & (t >= tmin) & (t <= tmax))
+                        pos = jax.lax.broadcasted_iota(
+                            jnp.int32, det.shape, 0) + s0
+                        ti = (jax.lax.bitcast_convert_type(t, jnp.int32)
+                              & trunc_mask) | pos
+                        ti = jnp.where(ok, ti, INF_BITS)
+                        best_s[:, :] = jnp.minimum(
+                            best_s[:, :],
+                            jnp.min(ti, axis=0, keepdims=True))
+                    return 0
+
+                jax.lax.fori_loop(0, n_chunks, visit_chunk, 0)
+                binst_s[:, :] = jnp.where(best_s[:, :] < prev_s[:, :], k,
+                                          binst_s[:, :])
+            return 0
+
+        jax.lax.fori_loop(0, n_inst, visit_inst, 0)
+
+    packed_ref[:, :] = best_s[:, :]
+    inst_out_ref[:, :] = binst_s[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("n_inst", "n_chunks", "chunk",
+                                             "interpret"))
+def intersect_mesh_instances(rays_planar, inst_tbl, tri_bounds, tri_tbl,
+                             n_inst: int, n_chunks: int, chunk: int,
+                             interpret=False):
+    """Instanced-mesh closest hit.
+
+    rays_planar: (8, N) planar rays, tmin >= 0; inst_tbl: (9, M_pad) SMEM
+    instance scalars [px py pz qx qy qz qw inv_scale world_bound_radius];
+    tri_bounds: (4, C_pad) object-space chunk bounds (SMEM); tri_tbl:
+    (F_pad, 9) Morton-ordered object-space [v0 e1 e2] rows.
+    Returns (t (N,) mantissa-truncated, face (N,) i32, instance (N,) i32).
+    """
+    n = rays_planar.shape[1]
+    assert n % RAY_BLOCK == 0, n
+    grid = (n // RAY_BLOCK,)
+    pos_bits = _pos_bits(tri_tbl.shape[0])
+
+    packed, inst = pl.pallas_call(
+        functools.partial(_mesh_kernel, n_inst=n_inst, n_chunks=n_chunks,
+                          chunk=chunk, pos_bits=pos_bits),
+        out_shape=(jax.ShapeDtypeStruct((1, n), jnp.int32),
+                   jax.ShapeDtypeStruct((1, n), jnp.int32)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, inst_tbl.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, tri_bounds.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(tri_tbl.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, RAY_BLOCK), jnp.int32),
+            pltpu.VMEM((1, RAY_BLOCK), jnp.int32),
+            pltpu.VMEM((1, RAY_BLOCK), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=45 * n * (n_inst + tri_tbl.shape[0]),
+            bytes_accessed=(8 + 2) * n * 4,
+            transcendentals=n * n_chunks),
+        interpret=interpret,
+    )(rays_planar, inst_tbl, tri_bounds, tri_tbl)
+
+    pos_mask = (1 << pos_bits) - 1
+    p = packed[0]
+    face = p & pos_mask
+    t = jax.lax.bitcast_convert_type(p & ~pos_mask, jnp.float32)
+    return t, face, inst[0]
+
+
+def build_mesh_tables(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
+                      chunk: int = TRI_CHUNK):
+    """Host-side BLAS build: Morton-order faces by centroid, pad to a chunk
+    multiple with degenerate rows (e1 = e2 = 0 never hit), compute
+    per-chunk bounding spheres. Returns (order (F,), tri_tbl (F_pad, 9),
+    tri_bounds (4, C_pad), n_chunks). Runs once per mesh (numpy)."""
+    from ..models.clusters import _morton3
+
+    f = v0.shape[0]
+    cent = v0 + (e1 + e2) / 3.0
+    lo = cent.min(axis=0)
+    span = np.maximum(cent.max(axis=0) - lo, 1e-9)
+    quant = np.clip((cent - lo) / span * 1023.0, 0, 1023).astype(np.uint64)
+    order = np.argsort(_morton3(quant), kind="stable").astype(np.int32)
+
+    f_pad = -(-f // chunk) * chunk
+    tbl = np.zeros((f_pad, 9), np.float32)
+    tbl[:f, 0:3] = v0[order]
+    tbl[:f, 3:6] = e1[order]
+    tbl[:f, 6:9] = e2[order]
+
+    n_chunks = f_pad // chunk
+    bounds = np.zeros((4, -(-n_chunks // 8) * 8), np.float32)
+    for c in range(n_chunks):
+        rows = tbl[c * chunk:(c + 1) * chunk]
+        pts = np.concatenate([rows[:, 0:3],
+                              rows[:, 0:3] + rows[:, 3:6],
+                              rows[:, 0:3] + rows[:, 6:9]])
+        ctr = pts.mean(axis=0)
+        bounds[0:3, c] = ctr
+        bounds[3, c] = np.sqrt(((pts - ctr) ** 2).sum(-1)).max() + 1e-5
+    return order, tbl, bounds, n_chunks
+
+
+def make_inst_table(center, rotation, scale, bound_radius):
+    """Per-frame (9, M_pad) SMEM instance table from MeshInstances arrays
+    (the TLAS-refit analogue)."""
+    mcount = center.shape[0]
+    m_pad = -(-mcount // 8) * 8
+    inv_s = 1.0 / jnp.maximum(scale, 1e-12)
+
+    def pad(x, fill=0.0):
+        return jnp.pad(x.astype(jnp.float32), (0, m_pad - mcount),
+                       constant_values=fill)
+
+    return jnp.stack([
+        pad(center[:, 0]), pad(center[:, 1]), pad(center[:, 2]),
+        pad(rotation[:, 0]), pad(rotation[:, 1]), pad(rotation[:, 2]),
+        pad(rotation[:, 3], 1.0),
+        pad(inv_s, 1.0),
+        pad(bound_radius * scale),
+    ])
+
+
+def refine_hit(mesh, mi, origin, direction, t_trunc, face, inst):
+    """Exact (t, u, v) for the kernel's winning (instance, face) per ray:
+    one Moller-Trumbore evaluation in object space — O(rays). Replaces the
+    pos_bits of mantissa the packed encoding truncated and yields the
+    barycentrics the kernel doesn't carry."""
+    from ..utils import math as m
+
+    hit = jnp.isfinite(t_trunc)
+    rot = mi.rotation[inst]
+    pos_i = mi.center[inst]
+    inv_s = (1.0 / jnp.maximum(mi.scale, 1e-12))[inst][..., None]
+    inv_rot = m.quat_conj(rot)
+    o_l = m.quat_rotate(inv_rot, origin - pos_i) * inv_s
+    d_l = m.quat_rotate(inv_rot, direction) * inv_s
+
+    v0 = mesh.v0[face]
+    e1 = mesh.e1[face]
+    e2 = mesh.e2[face]
+    pvec = jnp.cross(d_l, e2)
+    det = jnp.sum(pvec * e1, axis=-1)
+    inv = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
+    tvec = o_l - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(qvec * d_l, axis=-1) * inv
+    t = jnp.sum(qvec * e2, axis=-1) * inv
+    t = jnp.where(hit & (jnp.abs(det) > 1e-20), t, jnp.inf)
+    return t, jnp.clip(u, 0.0, 1.0), jnp.clip(v, 0.0, 1.0)

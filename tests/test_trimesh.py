@@ -72,3 +72,51 @@ def test_instanced_meshes_and_attributes():
     np.testing.assert_allclose(np.asarray(normal[0]), [0, 0, -1], atol=0.05)
     assert abs(float(m.dot(normal[0], tangent[0]))) < 0.1
     assert 0.0 <= float(uv[0, 0]) <= 1.0
+
+
+def test_pallas_mesh_kernel_matches_xla():
+    """Interpret-mode equivalence of the Pallas instanced-mesh kernel
+    (ops/trimesh_pallas.py) against the XLA instance sweep — random rays
+    against rotated/scaled geosphere instances (round-3 VERDICT #6)."""
+    rng = np.random.RandomState(3)
+    mesh = _unit_geosphere(3)
+    k = 5
+    pos = jnp.asarray(rng.randn(k, 3) * 4, jnp.float32)
+    rot = m.normalize(jnp.asarray(rng.randn(k, 4), jnp.float32))
+    scale = jnp.asarray(0.5 + rng.rand(k) * 1.5, jnp.float32)
+    n = 4096
+    o = jnp.asarray(rng.randn(n, 3) * 8, jnp.float32)
+    d = m.normalize(jnp.asarray(rng.randn(n, 3), jnp.float32))
+    tmin = jnp.zeros(n)
+    tmax = jnp.full((n,), 1e9)
+
+    ref = trimesh.intersect_instances(o, d, tmin, tmax, mesh, pos, rot,
+                                      scale)
+    old = intersect.BACKEND
+    intersect.BACKEND = "interpret"
+    try:
+        pal = trimesh.intersect_instances(o, d, tmin, tmax, mesh, pos, rot,
+                                          scale)
+    finally:
+        intersect.BACKEND = old
+
+    hit_r = np.asarray(ref.hit)
+    hit_p = np.asarray(pal.hit)
+    # Hit classification must agree except for degenerate grazing lanes.
+    assert (hit_r == hit_p).mean() > 0.999
+    both = hit_r & hit_p
+    t_r = np.asarray(ref.t)[both]
+    t_p = np.asarray(pal.t)[both]
+    # Exact t is Newton/MT-refined; near-tie faces (shared edges) may
+    # resolve to either side, so compare distances, not face ids.
+    np.testing.assert_allclose(t_p, t_r, rtol=1e-3, atol=1e-4)
+    same_face = (np.asarray(ref.face)[both] == np.asarray(pal.face)[both])
+    same_inst = (np.asarray(ref.instance)[both]
+                 == np.asarray(pal.instance)[both])
+    assert (same_face & same_inst).mean() > 0.98
+    # Barycentrics of same-face winners agree.
+    sf = np.zeros_like(hit_r)
+    sf[both] = same_face & same_inst
+    np.testing.assert_allclose(np.asarray(pal.barycentrics)[sf],
+                               np.asarray(ref.barycentrics)[sf],
+                               atol=2e-3)
