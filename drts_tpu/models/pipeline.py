@@ -407,7 +407,7 @@ class RenderPipeline:
             di_radiance=di_total,
             di_in_radiance=(c.denoiser == "None"), accel=accel)
 
-    def _stage_denoise(self, state, out, gbuf, di_diffuse, di_specular,
+    def _stage_denoise(self, state, out, gbuf, cam, di_diffuse, di_specular,
                        reset):
         """Demodulated denoise + compose (Raytracing.hlsl:400-413 +
         NRDComposition)."""
@@ -437,10 +437,24 @@ class RenderPipeline:
             den_cfg = denoise.DenoiseConfig(relax_atrous_iterations=3)
         else:
             den_fn, den_cfg = denoise.denoise, denoise.DenoiseConfig()
+        # Virtual-point specular motion (NRD ReBLUR's specular motion
+        # model): reflections reproject from Xv = X + view * hitDist.
+        rw, rh = c.render_width, c.render_height
+
+        def prev_px_of(xv):
+            prev_ndc, _ = camera_mod.project_to_ndc(cam, xv, previous=True)
+            cur_ndc, _ = camera_mod.project_to_ndc(cam, xv, previous=False)
+            return (camera_mod.ndc_to_pixel(prev_ndc, rw, rh),
+                    camera_mod.ndc_to_pixel(cur_ndc, rw, rh))
+
+        motion_spec = denoise.virtual_specular_motion(
+            gbuf.motion, out.primary_position, gbuf.ray_direction,
+            out.hit_distance, prev_px_of)
         den_state, f_diff, f_spec = den_fn(
             state.denoiser, diff4, spec4, gbuf.motion,
             out.primary_normal, gbuf.linear_depth, out.primary_valid,
-            gbuf.mat.roughness, reset, den_cfg)
+            gbuf.mat.roughness, reset, den_cfg,
+            motion_specular=motion_spec)
         color = denoise.compose(out.primary_radiance, f_diff, f_spec,
                                 out.primary_albedo, out.primary_f_env,
                                 out.primary_valid)
@@ -593,15 +607,15 @@ class RenderPipeline:
             if di_diffuse is not None:
                 den_state, color, confidence = run(
                     "denoise",
-                    lambda st, o, g, dd, ds: self._stage_denoise(
-                        st, o, g, dd, ds, reset),
-                    state, out, gbuf, di_diffuse, di_specular)
+                    lambda st, o, g, cm, dd, ds: self._stage_denoise(
+                        st, o, g, cm, dd, ds, reset),
+                    state, out, gbuf, cam, di_diffuse, di_specular)
             else:
                 den_state, color, confidence = run(
                     "denoise",
-                    lambda st, o, g: self._stage_denoise(st, o, g, None,
-                                                         None, reset),
-                    state, out, gbuf)
+                    lambda st, o, g, cm: self._stage_denoise(
+                        st, o, g, cm, None, None, reset),
+                    state, out, gbuf, cam)
         else:
             color = out.radiance
 

@@ -43,6 +43,19 @@ class DenoiseConfig:
     # pixel, "bilinear" 4 (random HBM reads dominate the temporal pass:
     # ~60 ms vs ~250 ms at 1080p).
     history_filter: str = "nearest"
+    # Variance-guided history clamp (ReLAX anti-lag analogue): reprojected
+    # history is clamped to mean +- gamma*sigma of the CURRENT frame's 3x3
+    # neighborhood, so stale shading that slipped past the geometric
+    # disocclusion tests (same depth plane, slow normals) cannot ghost.
+    # 1-spp neighborhoods are noisy, so sigma is wide and converged
+    # history passes untouched. 0 disables.
+    clamp_gamma: float = 2.5
+    # Specular virtual-point reprojection (NRD ReBLUR's specular motion
+    # model): reflections move with the VIRTUAL image behind the mirror
+    # (surface + view * hitDist), not with the surface. The specular
+    # history is fetched from its own packed mirror at that motion when
+    # the caller provides `motion_specular`.
+    specular_virtual: bool = True
     # ReLAX-mode tuning (NRD RelaxSettings analogues).
     relax_atrous_iterations: int = 4
     relax_sigma_luminance: float = 3.0   # in units of sqrt(variance)
@@ -76,6 +89,10 @@ class DenoiserState:
     # profile). Depth in f16 (5e-4 rel) is far inside the 0.1 relative
     # disocclusion threshold; history length <= 64 is f16-exact.
     packed: jnp.ndarray
+    # (H, W, 2) f16-pair specular-only mirror [s.rg, s.b|hd] — the virtual-
+    # point reprojection fetches specular at a DIFFERENT screen position
+    # than the surface channels, so it needs its own (narrow) source.
+    packed_spec: jnp.ndarray
 
 
 def _pack_history(diffuse, specular, hist, normal, depth, moments):
@@ -89,6 +106,19 @@ def _pack_history(diffuse, specular, hist, normal, depth, moments):
         m.pack2f16(moments[..., 0], moments[..., 1]),
         m.pack2f16(moments[..., 2], moments[..., 3]),
     ], axis=-1)
+
+
+def _pack_spec(specular):
+    return jnp.stack([
+        m.pack2f16(specular[..., 0], specular[..., 1]),
+        m.pack2f16(specular[..., 2], specular[..., 3]),
+    ], axis=-1)
+
+
+def _unpack_spec(p):
+    s0, s1 = m.unpack2f16(p[..., 0])
+    s2, s3 = m.unpack2f16(p[..., 1])
+    return jnp.stack([s0, s1, s2, s3], axis=-1)
 
 
 def _unpack_history(prev):
@@ -119,7 +149,8 @@ def init_state(height: int, width: int) -> DenoiserState:
         normal=jnp.zeros((height, width, 3), jnp.float32),
         depth=far,
         moments=zero4,
-        packed=_pack_history(zero4, zero4, zero1, up, far, zero4))
+        packed=_pack_history(zero4, zero4, zero1, up, far, zero4),
+        packed_spec=_pack_spec(zero4))
 
 
 def _bilinear_sample(img, y, x):
@@ -170,8 +201,18 @@ _LUMA_W = (0.2126, 0.7152, 0.0722)
 
 def _reproject(packed, motion, history_filter: str):
     """Motion-vector history fetch of a packed multi-channel buffer.
-    Returns (prev (H, W, C), in_bounds (H, W)). One wide row-gather per tap
-    (narrow per-buffer gathers measured ~17 ms each at 2M lanes)."""
+    Returns (prev (H, W, C), in_bounds (H, W)). On TPU this runs the
+    tile-windowed Pallas reprojection kernel (ops/reproject_pallas.py —
+    smooth motion makes the resample a windowed stencil instead of a
+    random gather); the gather formulation below is the portable
+    reference. Nearest mode is safe on f16-packed bit payloads (a single
+    weight-1.0 tap copies rows bit-exactly)."""
+    from . import intersect
+    if intersect.pallas_enabled():
+        from . import reproject_pallas as rp
+        return rp.reproject_packed(
+            packed, motion, history_filter,
+            interpret=(intersect.BACKEND == "interpret"))
     h, w = packed.shape[:2]
     py = jnp.arange(h, dtype=jnp.float32)[:, None]
     px = jnp.arange(w, dtype=jnp.float32)[None, :]
@@ -186,6 +227,41 @@ def _reproject(packed, motion, history_filter: str):
     in_bounds = ((prev_x >= 0) & (prev_x <= w - 1)
                  & (prev_y >= 0) & (prev_y <= h - 1))
     return prev, in_bounds
+
+
+def _neighborhood_clamp(prev, cur, gamma: float):
+    """Clamp reprojected history to the current frame's 3x3 per-channel
+    mean +- gamma*sigma (the TAA variance-clip applied to denoiser
+    history — NRD ReLAX's history clamping). gamma <= 0 disables."""
+    if gamma <= 0.0:
+        return prev
+    m1 = jnp.zeros_like(cur)
+    m2 = jnp.zeros_like(cur)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            s = _shift(cur, dy, dx)
+            m1 = m1 + s
+            m2 = m2 + s * s
+    mean = m1 / 9.0
+    sigma = jnp.sqrt(jnp.maximum(m2 / 9.0 - mean * mean, 0.0)) * gamma
+    return jnp.clip(prev, mean - sigma, mean + sigma)
+
+
+def virtual_specular_motion(surface_motion, hit_position, ray_direction,
+                            hit_distance, prev_px_of):
+    """Specular motion vectors from the VIRTUAL reflection point
+    Xv = X + view * hitDist (NRD ReBLUR's specular motion model): mirror
+    reflections translate with the virtual image behind the surface, not
+    with the surface itself. ``prev_px_of`` maps world positions to
+    previous-frame pixel coordinates (the caller closes over its camera);
+    lanes with no secondary hit (env reflections) keep the surface
+    motion."""
+    hd = jnp.where(jnp.isfinite(hit_distance), hit_distance, 0.0)
+    xv = hit_position + ray_direction * jnp.minimum(hd, 3e4)[..., None]
+    prev_px, cur_px = prev_px_of(xv)
+    motion_v = prev_px - cur_px
+    has_hit = jnp.isfinite(hit_distance) & (hit_distance > 0)
+    return jnp.where(has_hit[..., None], motion_v, surface_motion)
 
 
 def _atrous_pass_chw(signal, normal, depth, step: int, cfg: DenoiseConfig):
@@ -222,13 +298,16 @@ def _atrous_pass_chw(signal, normal, depth, step: int, cfg: DenoiseConfig):
 
 
 def denoise(state: DenoiserState, diffuse, specular, motion, normal, depth,
-            valid, roughness, reset, cfg: DenoiseConfig = DenoiseConfig()):
+            valid, roughness, reset, cfg: DenoiseConfig = DenoiseConfig(),
+            motion_specular=None):
     """Temporal accumulation + spatial filtering of the demodulated signals.
 
     diffuse/specular: (H, W, 4) rgb+hitdist (this frame, 1-spp noisy).
     motion: (H, W, 2) prev-pixel = current-pixel + motion (x, y in pixels).
     normal/depth/valid/roughness: current G-buffer attributes.
     reset: scalar bool — drop all history (App.cpp m_resetHistory).
+    motion_specular: optional (H, W, 2) virtual-point motion for the
+    specular channel (see virtual_specular_motion).
     Returns (new_state, filtered_diffuse, filtered_specular), each (H, W, 4).
     """
     depth = jnp.where(jnp.isfinite(depth), depth, _FAR_DEPTH)
@@ -260,6 +339,24 @@ def denoise(state: DenoiserState, diffuse, specular, motion, normal, depth,
     normal_ok = m.dot(prev_normal, normal) >= cfg.normal_threshold
     history_valid = in_bounds & depth_ok & normal_ok & valid & ~reset
 
+    # Specular from the virtual-point mirror when virtual motion is given:
+    # the reflection image does not move with the surface, so fetching it
+    # at surface motion smears highlights under any camera motion. The
+    # geometric disocclusion tests stay surface-based (conservative); the
+    # neighborhood clamp below catches what they can't.
+    spec_valid = history_valid
+    if motion_specular is not None and cfg.specular_virtual:
+        prev_spec_v, in_bounds_v = _reproject(state.packed_spec,
+                                              motion_specular, "nearest")
+        prev_specular = _unpack_spec(prev_spec_v)
+        spec_valid = in_bounds_v & normal_ok & valid & ~reset
+
+    # Anti-ghosting history clamp (see DenoiseConfig.clamp_gamma).
+    prev_diffuse = _neighborhood_clamp(prev_diffuse, diffuse,
+                                       cfg.clamp_gamma)
+    prev_specular = _neighborhood_clamp(prev_specular, specular,
+                                        cfg.clamp_gamma)
+
     hist = jnp.where(history_valid, prev_hist, 0.0)
     new_hist = jnp.minimum(hist + 1.0, cfg.max_accumulated_frames)
     alpha = (1.0 / new_hist)[..., None]
@@ -267,11 +364,16 @@ def denoise(state: DenoiserState, diffuse, specular, motion, normal, depth,
     acc_diffuse = m.lerp(jnp.where(history_valid[..., None], prev_diffuse,
                                    0.0), diffuse, alpha)
     # Specular history is more fragile under motion: shorten it by roughness
-    # (rough = stable, smooth = short history), ReBLUR-style.
-    spec_hist_scale = jnp.clip(roughness * 2.0, 0.1, 1.0)
+    # (rough = stable, smooth = short history), ReBLUR-style. With virtual
+    # reprojection the mirror-end history is trustworthy again, so the
+    # shortening floor relaxes toward plain 1/N accumulation.
+    lo = 0.35 if (motion_specular is not None
+                  and cfg.specular_virtual) else 0.1
+    spec_hist_scale = jnp.clip(roughness * 2.0, lo, 1.0)
     spec_alpha = jnp.maximum(alpha[..., 0], 1.0 - spec_hist_scale *
                              (1.0 - alpha[..., 0]))[..., None]
-    acc_specular = m.lerp(jnp.where(history_valid[..., None], prev_specular,
+    spec_alpha = jnp.where(spec_valid[..., None], spec_alpha, 1.0)
+    acc_specular = m.lerp(jnp.where(spec_valid[..., None], prev_specular,
                                     0.0), specular, spec_alpha)
 
     # Spatial à-trous passes over the accumulated signals, channel-first
@@ -303,7 +405,8 @@ def denoise(state: DenoiserState, diffuse, specular, motion, normal, depth,
                               packed=_pack_history(acc_diffuse,
                                                    acc_specular, new_hist,
                                                    normal, depth,
-                                                   state.moments))
+                                                   state.moments),
+                              packed_spec=_pack_spec(acc_specular))
     return new_state, f_diffuse, f_specular
 
 
@@ -369,7 +472,8 @@ def _atrous_relax_chw(signal, var, normal, depth, step: int,
 
 def denoise_relax(state: DenoiserState, diffuse, specular, motion, normal,
                   depth, valid, roughness, reset,
-                  cfg: DenoiseConfig = DenoiseConfig()):
+                  cfg: DenoiseConfig = DenoiseConfig(),
+                  motion_specular=None):
     """ReLAX-style denoise: moment accumulation + variance-guided à-trous.
 
     Same I/O contract as ``denoise`` (the reference swaps NRD denoisers
@@ -416,14 +520,28 @@ def denoise_relax(state: DenoiserState, diffuse, specular, motion, normal,
     normal_ok = m.dot(prev_normal, normal) >= cfg.normal_threshold
     history_valid = in_bounds & depth_ok & normal_ok & valid & ~reset
 
+    # Virtual-point specular fetch + anti-ghosting clamp (see `denoise`).
+    spec_valid = history_valid
+    if motion_specular is not None and cfg.specular_virtual:
+        prev_spec_v, in_bounds_v = _reproject(state.packed_spec,
+                                              motion_specular, "nearest")
+        prev_specular = _unpack_spec(prev_spec_v)
+        spec_valid = in_bounds_v & normal_ok & valid & ~reset
+    prev_diffuse = _neighborhood_clamp(prev_diffuse, diffuse,
+                                       cfg.clamp_gamma)
+    prev_specular = _neighborhood_clamp(prev_specular, specular,
+                                        cfg.clamp_gamma)
+
     hist = jnp.where(history_valid, prev_hist, 0.0)
     new_hist = jnp.minimum(hist + 1.0, cfg.max_accumulated_frames)
     alpha = (1.0 / new_hist)[..., None]
 
     hv = history_valid[..., None]
+    sv = spec_valid[..., None]
+    spec_alpha = jnp.where(sv, alpha, 1.0)
     acc_diffuse = m.lerp(jnp.where(hv, prev_diffuse, 0.0), diffuse, alpha)
-    acc_specular = m.lerp(jnp.where(hv, prev_specular, 0.0), specular,
-                          alpha)
+    acc_specular = m.lerp(jnp.where(sv, prev_specular, 0.0), specular,
+                          spec_alpha)
     acc_moments = m.lerp(jnp.where(hv, prev_moments, 0.0), cur_moments,
                          alpha)
 
@@ -470,7 +588,8 @@ def denoise_relax(state: DenoiserState, diffuse, specular, motion, normal,
                               packed=_pack_history(acc_diffuse,
                                                    acc_specular, new_hist,
                                                    normal, depth,
-                                                   acc_moments))
+                                                   acc_moments),
+                              packed_spec=_pack_spec(acc_specular))
     return new_state, f_diffuse, f_specular
 
 

@@ -609,21 +609,40 @@ def temporal_resampling(cur: Reservoirs, prev: Reservoirs, surface: Surface,
     h, w = surface.depth.shape
     py = jnp.arange(h, dtype=jnp.float32)[:, None] + jnp.zeros((1, w))
     px = jnp.arange(w, dtype=jnp.float32)[None, :] + jnp.zeros((h, 1))
-    prev_x = jnp.clip(jnp.round(px + motion[..., 0]).astype(jnp.int32),
-                      0, w - 1)
-    prev_y = jnp.clip(jnp.round(py + motion[..., 1]).astype(jnp.int32),
-                      0, h - 1)
 
     pairwise = cfg.temporal_bias_correction in ("pairwise", "raytraced")
     extra = prev.phat[..., None] if pairwise else None
     packed = _pack_reservoirs(prev, prev_depth, prev_normal, extra)
-    p_idx, p_uv, p_m, p_w, pd, pn, rest = _fetch_packed(packed, prev_y,
-                                                        prev_x)
+    from . import intersect as intersect_mod
+    window_ok = None
+    if intersect_mod.pallas_enabled():
+        # Tile-windowed Pallas reprojection (nearest taps copy the packed
+        # bit rows exactly — see ops/reproject_pallas.py).
+        from . import reproject_pallas as rp
+        row, window_ok = rp.reproject_packed(
+            packed, motion, "nearest",
+            interpret=(intersect_mod.BACKEND == "interpret"))
+        idx_f, p_m = m.unpack2f16(row[..., 0])
+        u0, u1 = m.unpack2f16(row[..., 1])
+        pd, pn = m.unpack_depth_oct8(row[..., 3])
+        p_idx = jnp.round(idx_f).astype(jnp.int32)
+        p_uv = jnp.stack([u0, u1], axis=-1)
+        p_w = row[..., 2]
+        rest = row[..., 4:]
+    else:
+        prev_x = jnp.clip(jnp.round(px + motion[..., 0]).astype(jnp.int32),
+                          0, w - 1)
+        prev_y = jnp.clip(jnp.round(py + motion[..., 1]).astype(jnp.int32),
+                          0, h - 1)
+        p_idx, p_uv, p_m, p_w, pd, pn, rest = _fetch_packed(packed, prev_y,
+                                                            prev_x)
 
     # History validity (depth/normal similarity like the denoiser's test).
     in_bounds = ((px + motion[..., 0] >= 0) & (px + motion[..., 0] <= w - 1)
                  & (py + motion[..., 1] >= 0)
                  & (py + motion[..., 1] <= h - 1))
+    if window_ok is not None:
+        in_bounds = in_bounds & window_ok
     depth_ok = jnp.abs(pd - surface.depth) \
         <= cfg.depth_threshold * jnp.maximum(jnp.abs(surface.depth), 1e-3)
     normal_ok = m.dot(pn, surface.normal) >= cfg.normal_threshold

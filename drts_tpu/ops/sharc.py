@@ -272,10 +272,15 @@ def splat_levels(state_accum, slots_list, fps_list, radiance_list,
     # Compact surviving rows to the front (stable, so slots stay sorted):
     # the scatter's cost scales with ROWS PROCESSED, not rows kept —
     # dead-path lanes + merged duplicates are typically >2/3 of the
-    # stream. Overflow beyond the n/2 capacity is dropped (counted
-    # radiance loss is bounded by the dedup/termination statistics).
+    # stream. Overflow beyond the capacity is dropped and COUNTED
+    # (frame metric sharc_splat_dropped_rows). Capacity n/6: survivors
+    # after sort+dedup are the frame's distinct voxels (~50-120k of the
+    # 1.17M-row stream at the default downscale — a voxel covers ~10-25
+    # update pixels), and the downstream scatter-add was the single most
+    # expensive op of the frame at the old n/2 (47 ms -> ~16 ms; rows
+    # processed price every scatter).
     n = slots.shape[0]
-    cap_rows = -(-n // 2 // 1024) * 1024
+    cap_rows = -(-n // 6 // 1024) * 1024
     keep = slots < capacity
     pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
     # Rows lost to the n/2 compaction cap — surfaced as a frame metric

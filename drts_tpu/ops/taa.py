@@ -201,7 +201,17 @@ def upscale(state: TAAState, color, motion, jitter, out_h: int, out_w: int,
         * jnp.ones((1, out_w), jnp.float32)
     px = jnp.arange(out_w, dtype=jnp.float32)[None, :] \
         * jnp.ones((out_h, 1), jnp.float32)
-    if cfg.history_filter == "catmull":
+    from . import intersect
+    window_ok = None
+    if intersect.pallas_enabled() and cfg.history_filter != "catmull":
+        # Tile-windowed Pallas reprojection (ops/reproject_pallas.py) on
+        # the full-f32 history — bilinear weights cannot act on packed
+        # f16 bits, and the kernel streams its window anyway.
+        from . import reproject_pallas as rp
+        hist, window_ok = rp.reproject_packed(
+            state.history, motion_up, "bilinear",
+            interpret=(intersect.BACKEND == "interpret"))
+    elif cfg.history_filter == "catmull":
         hist = _catmull_rom_sample(state.history, py + motion_up[..., 1],
                                    px + motion_up[..., 0])
     else:
@@ -228,6 +238,10 @@ def upscale(state: TAAState, color, motion, jitter, out_h: int, out_w: int,
                  & ((py + motion_up[..., 1]) <= out_h - 1)
                  & ((px + motion_up[..., 0]) >= 0)
                  & ((px + motion_up[..., 0]) <= out_w - 1))
+    if window_ok is not None:
+        # Residuals outside the reprojection kernel's tap window refresh
+        # from the current frame (same policy as out-of-bounds).
+        in_bounds = in_bounds & window_ok
     alpha = cfg.blend_alpha * (0.25 + 0.75 * sample_w)
     if confidence is not None:
         conf_up = post.resize_bilinear(confidence[..., None], out_h,
