@@ -202,6 +202,12 @@ class PostProcessingSettings:
     is_hdr_enabled: bool = False
     paper_white_nits: float = 200.0
     hdr_color_rotation: ColorPrimaryRotation = ColorPrimaryRotation.HDTV_TO_UHDTV
+    # Denoiser tuning (NRD common/ReBLUR settings the reference mutates
+    # through its UI, App.cpp:1584-1637): history cap, anti-ghosting
+    # clamp width (0 disables), specular virtual-point reprojection.
+    denoiser_max_history: int = 30
+    denoiser_clamp_gamma: float = 2.5
+    denoiser_specular_virtual: bool = True
 
     def check(self) -> "PostProcessingSettings":
         return dataclasses.replace(
@@ -209,7 +215,10 @@ class PostProcessingSettings:
             sharpness=_clamp(self.sharpness, 0.0, 1.0),
             bloom_strength=_clamp(self.bloom_strength, 0.0, 1.0),
             exposure=_clamp(self.exposure, 1e-3, 1e3),
-            paper_white_nits=_clamp(self.paper_white_nits, 80.0, 1000.0))
+            paper_white_nits=_clamp(self.paper_white_nits, 80.0, 1000.0),
+            denoiser_max_history=_clamp(self.denoiser_max_history, 1, 64),
+            denoiser_clamp_gamma=_clamp(self.denoiser_clamp_gamma,
+                                        0.0, 16.0))
 
 
 @dataclass(frozen=True)

@@ -48,6 +48,9 @@ class PipelineConfig:
     # history-fade à-trous, ReLAX = variance-guided à-trous, DLSS-RR =
     # ReLAX core + joint denoise/upscale confidence coupling into TAA.
     denoiser: str = "NRDReBLUR"
+    denoiser_max_history: int = 30
+    denoiser_clamp_gamma: float = 2.5
+    denoiser_specular_virtual: bool = True
     upscaling: bool = True
     bloom_enabled: bool = True
     bloom_strength: float = 0.05
@@ -135,6 +138,9 @@ class PipelineConfig:
             russian_roulette=s.raytracing.is_russian_roulette_enabled,
             throughput_threshold=s.raytracing.throughput_threshold,
             denoiser=s.post.denoiser.value,
+            denoiser_max_history=s.post.denoiser_max_history,
+            denoiser_clamp_gamma=s.post.denoiser_clamp_gamma,
+            denoiser_specular_virtual=s.post.denoiser_specular_virtual,
             upscaling=(rw, rh) != (ow, oh),
             bloom_enabled=s.post.is_bloom_enabled,
             bloom_strength=s.post.bloom_strength,
@@ -428,15 +434,20 @@ class RenderPipeline:
         diff4 = jnp.concatenate([d_diff, hd[..., None]], axis=-1)
         spec4 = jnp.concatenate([d_spec, hd[..., None]], axis=-1)
         c = self.cfg
+        tuned = dict(max_accumulated_frames=c.denoiser_max_history,
+                     clamp_gamma=c.denoiser_clamp_gamma,
+                     specular_virtual=c.denoiser_specular_virtual)
         if c.denoiser == "NRDReLAX":
-            den_fn, den_cfg = denoise.denoise_relax, denoise.DenoiseConfig()
+            den_fn = denoise.denoise_relax
+            den_cfg = denoise.DenoiseConfig(**tuned)
         elif c.denoiser == "DLSSRayReconstruction":
             # Joint mode: lighter spatial core; the temporal upscaler gets
             # the denoiser's history confidence (see _stage_post).
             den_fn = denoise.denoise_relax
-            den_cfg = denoise.DenoiseConfig(relax_atrous_iterations=3)
+            den_cfg = denoise.DenoiseConfig(relax_atrous_iterations=3,
+                                            **tuned)
         else:
-            den_fn, den_cfg = denoise.denoise, denoise.DenoiseConfig()
+            den_fn, den_cfg = denoise.denoise, denoise.DenoiseConfig(**tuned)
         # Virtual-point specular motion (NRD ReBLUR's specular motion
         # model): reflections reproject from Xv = X + view * hitDist.
         rw, rh = c.render_width, c.render_height
