@@ -136,6 +136,9 @@ class ReSTIRDISettings:
     spatial_bias_correction: str = "basic"
     # Same 3-way switch for temporal reuse (MyAppData.h:226-239).
     temporal_bias_correction: str = "basic"
+    # "per_pixel" | "shared" neighbor addressing (see
+    # ops/restir.ReSTIRConfig.spatial_offset_mode).
+    spatial_offset_mode: str = "per_pixel"
 
     def check(self) -> "ReSTIRDISettings":
         return dataclasses.replace(
@@ -158,7 +161,11 @@ class ReSTIRDISettings:
                 self.temporal_bias_correction
                 if self.temporal_bias_correction in ("basic", "pairwise",
                                                      "raytraced")
-                else "basic"))
+                else "basic"),
+            spatial_offset_mode=(
+                self.spatial_offset_mode
+                if self.spatial_offset_mode in ("per_pixel", "shared")
+                else "per_pixel"))
 
 
 @dataclass(frozen=True)

@@ -123,7 +123,8 @@ class PipelineConfig:
                 spatial_samples=r.spatial_samples,
                 spatial_radius=r.spatial_radius,
                 spatial_bias_correction=r.spatial_bias_correction,
-                temporal_bias_correction=r.temporal_bias_correction),
+                temporal_bias_correction=r.temporal_bias_correction,
+                spatial_offset_mode=r.spatial_offset_mode),
             sharc_enabled=s.rtxgi == config_mod.RTXGITechnique.SHARC,
             sharc=sharc_mod.SHARCConfig(
                 capacity_log2=s.sharc.capacity_log2,

@@ -79,6 +79,18 @@ class ReSTIRConfig:
     # the approximation error, and the unbiasedness tests bound the
     # result.
     temporal_bias_correction: str = "basic"
+    # Spatial neighbor addressing. "per_pixel" draws an independent disc
+    # offset per pixel per round (RTXDI's per-pixel start into the
+    # neighbor-offset buffer) — on TPU each round is then a random row
+    # gather (~1-3 GB/s). "shared" degenerates the reference's
+    # precomputed low-discrepancy offset buffer
+    # (Rtxdi FillNeighborOffsetBuffer) to ONE offset per round, rotated
+    # per frame — every pixel borrows from the same relative neighbor, so
+    # the fetch is a dynamic roll (streaming copy, no gather). Resampling
+    # stays unbiased for ANY content-independent neighbor choice (the MIS
+    # weights normalize the stream); the cost is cross-pixel error
+    # correlation, which the rotation decorrelates over frames.
+    spatial_offset_mode: str = "per_pixel"
 
 
 @struct.dataclass
@@ -588,17 +600,22 @@ def _pack_reservoirs(res: Reservoirs, depth, normal, extra=None):
     return packed
 
 
-def _fetch_packed(packed, iy, ix):
-    """-> (idx, uv, m_count, w_out, depth, normal, extra)."""
-    h, w = packed.shape[:2]
-    flat = packed.reshape(-1, packed.shape[-1])
-    row = flat[iy * w + ix]
+def _unpack_fetched(row):
+    """Packed reservoir rows -> (idx, uv, m_count, w_out, depth, normal,
+    extra)."""
     idx_f, m_count = m.unpack2f16(row[..., 0])
     u0, u1 = m.unpack2f16(row[..., 1])
     depth, normal = m.unpack_depth_oct8(row[..., 3])
     return (jnp.round(idx_f).astype(jnp.int32),
             jnp.stack([u0, u1], axis=-1), m_count, row[..., 2],
             depth, normal, row[..., 4:])
+
+
+def _fetch_packed(packed, iy, ix):
+    """-> (idx, uv, m_count, w_out, depth, normal, extra)."""
+    h, w = packed.shape[:2]
+    flat = packed.reshape(-1, packed.shape[-1])
+    return _unpack_fetched(flat[iy * w + ix])
 
 
 def temporal_resampling(cur: Reservoirs, prev: Reservoirs, surface: Surface,
@@ -788,16 +805,33 @@ def _spatial_neighbors(cur, surface, cfg, frame_index, with_surface: bool):
     packed = _pack_reservoirs(cur, sdepth, surface.normal, extra)
 
     out = []
-    for _ in range(cfg.spatial_samples):
+    for s_i in range(cfg.spatial_samples):
         u3, rng = rng_mod.next_floats(rng, 3)
         u_r, u_a, u_keep = u3[..., 0], u3[..., 1], u3[..., 2]
-        radius = u_r * cfg.spatial_radius + 1.0
-        angle = u_a * 2.0 * jnp.pi
-        nx = jnp.clip(px + jnp.round(radius * jnp.cos(angle)).astype(
-            jnp.int32), 0, w - 1)
-        ny = jnp.clip(py + jnp.round(radius * jnp.sin(angle)).astype(
-            jnp.int32), 0, h - 1)
-        n_idx, n_uv, n_m, n_w, nd, nn, rest = _fetch_packed(packed, ny, nx)
+        if cfg.spatial_offset_mode == "shared":
+            # One golden-angle disc offset per (round, frame) — scalar —
+            # so the neighbor fetch is a dynamic roll instead of a
+            # gather (see ReSTIRConfig.spatial_offset_mode). Wrapped
+            # border lanes land on the far screen edge and are rejected
+            # by the similarity tests like any dissimilar neighbor.
+            seq = frame_index * cfg.spatial_samples + s_i
+            g = 2.39996323  # golden angle
+            rad_s = (0.35 + 0.6 * ((seq * 0.6180339887) % 1.0)) \
+                * cfg.spatial_radius + 1.0
+            ang_s = seq * g
+            dx = jnp.round(rad_s * jnp.cos(ang_s)).astype(jnp.int32)
+            dy = jnp.round(rad_s * jnp.sin(ang_s)).astype(jnp.int32)
+            rolled = jnp.roll(packed, shift=(-dy, -dx), axis=(0, 1))
+            n_idx, n_uv, n_m, n_w, nd, nn, rest = _unpack_fetched(rolled)
+        else:
+            radius = u_r * cfg.spatial_radius + 1.0
+            angle = u_a * 2.0 * jnp.pi
+            nx = jnp.clip(px + jnp.round(radius * jnp.cos(angle)).astype(
+                jnp.int32), 0, w - 1)
+            ny = jnp.clip(py + jnp.round(radius * jnp.sin(angle)).astype(
+                jnp.int32), 0, h - 1)
+            n_idx, n_uv, n_m, n_w, nd, nn, rest = _fetch_packed(packed, ny,
+                                                               nx)
         depth_ok = jnp.abs(nd - sdepth) \
             <= cfg.depth_threshold * jnp.maximum(jnp.abs(sdepth), 1e-3)
         normal_ok = m.dot(nn, surface.normal) >= cfg.normal_threshold

@@ -83,14 +83,16 @@ def test_sphere_light_cone_sampling_hits_sphere():
 
 
 def _render_di(scene, width=48, height=48, frames=1, spatial=True,
-               temporal=False, bias_correction="basic"):
+               temporal=False, bias_correction="basic",
+               offset_mode="per_pixel"):
     cam = camera_mod.make_camera((0.0, 1.0, -6.0), (0.0, -0.15, 1.0),
                                  aspect=1.0)
     cfg = restir.ReSTIRConfig(local_light_samples=8,
                               spatial_enabled=spatial,
                               temporal_enabled=temporal,
                               boiling_filter_strength=0.0,
-                              spatial_bias_correction=bias_correction)
+                              spatial_bias_correction=bias_correction,
+                              spatial_offset_mode=offset_mode)
     gbuf = gbuffer.generate(scene, cam, width, height, 4096)
     lights = light_mod.prepare(scene)
     surface = restir.make_surface(gbuf)
@@ -513,3 +515,19 @@ def test_sharc_splat_dedup_matches_naive():
                 ref_cnt[int(s[i])] += 1.0
     np.testing.assert_allclose(np.asarray(ssum), ref_sum, atol=1e-4)
     np.testing.assert_allclose(np.asarray(cnt), ref_cnt, atol=1e-5)
+
+
+def test_restir_shared_offset_mode_unbiased():
+    """The "shared" spatial neighbor mode (one rolled offset per round —
+    the TPU gather-free addressing, ReSTIRConfig.spatial_offset_mode)
+    must stay unbiased: pairwise MIS normalizes the stream for any
+    content-independent neighbor choice."""
+    scene = _two_light_scene()
+    di, gbuf = _render_di(scene, frames=96, bias_correction="pairwise",
+                          offset_mode="shared")
+    ref = _brute_force_di_cached(scene, samples=400)
+    valid = np.asarray(gbuf.surf.valid)
+    lit = valid & (ref.sum(-1) > 1e-3)
+    rel = np.abs(di[lit].mean(0) - ref[lit].mean(0)) / (ref[lit].mean(0)
+                                                        + 1e-6)
+    assert rel.max() < 0.02, (di[lit].mean(0), ref[lit].mean(0))
