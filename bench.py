@@ -19,7 +19,18 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import time
+
+# Watchdog: a wedged TPU tunnel blocks even `import jax` indefinitely
+# (observed live: relay outage turns device init into an unbounded wait).
+# A hung bench is strictly worse than a failed one — kill the process
+# with a distinct exit code so the driver records the failure.
+signal.signal(signal.SIGALRM,
+              lambda *_: (print(json.dumps(
+                  {"error": "bench watchdog expired (TPU unreachable?)"}),
+                  flush=True), os._exit(3)))
+signal.alarm(45 * 60)
 
 
 def bench_trace(width=1920, height=1080, bounces=8, spp=1, iters=8):
