@@ -132,3 +132,15 @@ def test_full_pipeline_sharded_matches_single_device():
     assert_f16_close(img1, img8, "image")
     # Temporal state (denoiser/TAA history) must agree too.
     assert_f16_close(s1.taa.history, s8.taa.history, "taa_history")
+
+
+def test_multihost_helpers_single_process():
+    """multihost.initialize is a no-op without a coordinator; the global
+    mesh and local-row bookkeeping degenerate to the single-host mesh."""
+    from drts_tpu.parallel import multihost
+
+    assert multihost.initialize() is False
+    mesh = multihost.global_mesh()
+    assert mesh.devices.size == jax.device_count()
+    lo, hi = multihost.process_local_rows(64)
+    assert lo == 0 and hi == 64
