@@ -531,3 +531,52 @@ def test_restir_shared_offset_mode_unbiased():
     rel = np.abs(di[lit].mean(0) - ref[lit].mean(0)) / (ref[lit].mean(0)
                                                         + 1e-6)
     assert rel.max() < 0.02, (di[lit].mean(0), ref[lit].mean(0))
+
+
+def test_sharc_cached_render_energy_matches_pure_trace():
+    """GI energy conservation through the cache: a SHARC-queried render,
+    accumulated once the cache is warm, must carry the same mean radiance
+    as the pure path trace (the cache stores the SAME integrand, just
+    temporally averaged; staleness/quantization bias stays bounded).
+    Guards the splat/resolve/query chain end-to-end — the fidelity
+    harness can't see a systematic cache bias because both its sides
+    share it (round-2 VERDICT weak #4)."""
+    from drts_tpu.models import myscene
+    from drts_tpu.ops import camera as camera_mod, pathtrace, sharc
+
+    w = h = 64
+    host = myscene.build(oscillator_grid=3)
+    scene = host.scene
+    cam = camera_mod.make_camera(host.camera_position, host.camera_forward,
+                                 horizontal_fov_deg=90.0, aspect=1.0)
+    cfg = pathtrace.PathTraceConfig(width=w, height=h, bounces=4,
+                                    samples_per_pixel=1, block_size=4096)
+    scfg = sharc.SHARCConfig(capacity_log2=16, scene_scale=50.0)
+
+    pure = jax.jit(lambda fi: pathtrace.trace_image(
+        scene, cam, cfg, fi).radiance)
+    ref = np.zeros((h, w, 3), np.float32)
+    n_ref = 24
+    for f in range(n_ref):
+        ref += np.asarray(pure(f))
+    ref /= n_ref
+
+    state = sharc.init_state(scfg)
+    upd = jax.jit(lambda st, fi: pathtrace.sharc_update_trace(
+        scene, cam, st, scfg, cfg, fi)[0])
+    cached_render = jax.jit(lambda st, fi: pathtrace.trace_image(
+        scene, cam, cfg, fi, sharc_state=st, sharc_cfg=scfg).radiance)
+    out = np.zeros((h, w, 3), np.float32)
+    n_out = 16
+    for f in range(8):                     # warm the cache
+        state = upd(state, f)
+    for f in range(n_out):
+        state = upd(state, 100 + f)
+        out += np.asarray(cached_render(state, 200 + f))
+    out /= n_out
+
+    # Mean-energy agreement (cache bias bound); per-pixel noise at these
+    # sample counts is large, so compare scene-level means per channel.
+    rel = np.abs(out.mean((0, 1)) - ref.mean((0, 1))) \
+        / np.maximum(ref.mean((0, 1)), 1e-4)
+    assert rel.max() < 0.08, (out.mean((0, 1)), ref.mean((0, 1)))
