@@ -131,6 +131,35 @@ def bench_full_pipeline(width=1920, height=1080, iters=4):
     return full_ms, {k: round(v, 2) for k, v in passes.items()}, report
 
 
+def bench_upscaled(width=1920, height=1080, iters=4):
+    """The reference's ACTUAL default config: DLSS-SR 'Auto' at 1080p
+    renders at 1/2 scale and upscales (App.cpp:1374-1451, scale table
+    ops/taa.py). The render==output record above is the harder workload;
+    this one is the apples-to-apples frame time."""
+    import jax
+
+    from drts_tpu.models import myscene, pipeline
+
+    cfg = pipeline.PipelineConfig(
+        output_width=width, output_height=height,
+        render_width=width // 2, render_height=height // 2,
+        bounces=8, samples_per_pixel=1, block_size=32768)
+    pipe = pipeline.RenderPipeline(cfg)
+    host = myscene.build(oscillator_grid=10, load_textures=True)
+    state = pipe.init_state(host)
+    pose = pipe.default_camera_pose(host)
+
+    step = jax.jit(lambda s, p: pipe.render_frame(s, p, 1.0 / 60.0))
+    state, image = step(state, pose)
+    jax.block_until_ready(image)
+    start = time.perf_counter()
+    cur = state
+    for _ in range(iters):
+        cur, image = step(cur, pose)
+    jax.block_until_ready(image)
+    return (time.perf_counter() - start) / iters * 1e3
+
+
 def main():
     import sys
     import traceback
@@ -173,6 +202,14 @@ def main():
             note(f"bench: full pipeline {full_ms:.1f} ms")
         except Exception:
             errors.append("full_pipeline: " + traceback.format_exc(limit=2))
+
+        try:
+            note("bench: upscaled (reference-default DLSS-SR Auto)...")
+            up_ms = bench_upscaled()
+            record["full_pipeline_upscaled_ms"] = round(up_ms, 2)
+            note(f"bench: upscaled pipeline {up_ms:.1f} ms")
+        except Exception:
+            errors.append("upscaled: " + traceback.format_exc(limit=2))
 
     if errors:
         record["errors"] = errors

@@ -180,6 +180,7 @@ def cmd_interactive(args):
     import jax.numpy as jnp
     from .models.pipeline import CameraPose
     from .utils import image as image_mod
+    from .utils import timer as timer_mod
 
     sess = _build_session(args)
     mutations = _parse_mutations(args)
@@ -187,6 +188,12 @@ def cmd_interactive(args):
 
     os.makedirs(args.out_dir, exist_ok=True)
     prev = sess.default_pose()
+
+    # The reference's main loop is StepTimer::Tick(Update) (App.cpp Tick):
+    # the timer owns elapsed-time clamping and FPS accounting, Update gets
+    # the measured dt — here the dt feeds the on-device physics step.
+    timer = timer_mod.StepTimer()
+
     for i in range(args.frames):
         for key, value in mutations.get(i, ()):
             how = sess.set(key, value)
@@ -199,8 +206,16 @@ def cmd_interactive(args):
         pose = CameraPose(position=jnp.asarray(pos),
                           forward=jnp.asarray(fwd, jnp.float32),
                           up=jnp.asarray([0.0, 1.0, 0.0], jnp.float32))
-        img = sess.step(pose, prev_pose=prev)
+
+        frames_img = []
+        timer.tick(lambda dt: frames_img.append(
+            sess.step(pose, dt=max(dt, 1e-4), prev_pose=prev)))
+        img = frames_img[-1] if frames_img else sess.step(pose,
+                                                          prev_pose=prev)
         prev = pose
+        if timer.frames_per_second:
+            print(f"frame {i}: {timer.frames_per_second:.1f} fps")
+            timer.frames_per_second = 0.0
         if args.save_last and i >= args.frames - args.save_last:
             path = os.path.join(args.out_dir, f"orbit_{i:04d}.png")
             image_mod.write_png(path, np.asarray(img))

@@ -60,6 +60,18 @@ class PathTraceConfig:
     # silently drops path radiance).
     compact_from: int = 2
     compact_fraction: int = 12
+    # Sort the compacted survivors by (direction octant, screen tile) before
+    # the deep sweep. Pixel-order compaction gives each RAY_BLOCK white-noise
+    # bounce directions, voiding the intersection kernel's bundle-cone cull
+    # (_bundle_summary: coherent requires every lane within 90° of the mean
+    # axis). Octant-major grouping guarantees a sub-90° cone per block;
+    # tile-minor keeps origins spatially local so the cone apex sphere stays
+    # small and the closest-hit distance cull bites. Per-path math is
+    # order-independent, so radiance is unchanged (tested) — only the chunk
+    # culls gain. The TPU analogue of SER coherence sorting
+    # (/root/reference/Source/Raytracing.ixx NVAPI SER usage).
+    compact_sort: bool = True
+    compact_sort_tile: int = 64
 
 
 @struct.dataclass
@@ -142,6 +154,31 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
     slot_of_src = jnp.where(keep, pos, cap)
     src = jnp.full((cap,), n, jnp.int32).at[slot_of_src].set(
         jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True)
+
+    # Coherence sort (see PathTraceConfig.compact_sort): permute the slot ->
+    # pixel map by (octant, tile) BEFORE the wide state gather, so every
+    # downstream per-bounce op sees the sorted order for free. Dead slots
+    # carry a sentinel key and stay packed at the tail (whole-block dead
+    # skip). perm[s] = the slot's pre-sort position, used to un-permute the
+    # contribution buffer so the final per-pixel read stays monotone.
+    perm = None
+    if cfg.compact_sort:
+        d = l_dir.reshape(n, 3)
+        octant = ((d[:, 0] < 0).astype(jnp.int32) * 4
+                  + (d[:, 1] < 0).astype(jnp.int32) * 2
+                  + (d[:, 2] < 0).astype(jnp.int32))
+        ts = cfg.compact_sort_tile
+        tiles_x = -(-w // ts)
+        tiles_y = -(-h // ts)
+        fl = jnp.arange(n, dtype=jnp.int32)
+        tile = (fl // (w * ts)) * tiles_x + (fl % w) // ts
+        key_dense = octant * (tiles_x * tiles_y) + tile
+        key_dense = jnp.concatenate(
+            [key_dense, jnp.array([2 ** 30], jnp.int32)])
+        key_slots = key_dense[jnp.minimum(src, n)]
+        _, src, perm = jax.lax.sort(
+            (key_slots, src, jnp.arange(cap, dtype=jnp.int32)), num_keys=1)
+
     slot_live = src < n
 
     # One wide packed gather of all per-path state (11 channels).
@@ -233,6 +270,11 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
     # indices — measured 6.9 ms as a scatter-add (XLA TPU scatter runs
     # ~0.3 GB/s) vs streaming-rate as a gather.
     contrib = jnp.where(slot_live[..., None], c_radiance, 0.0)
+    if perm is not None:
+        # Un-permute to pixel-order slots (a (cap, 3) permuting store) so
+        # the pixel read below keeps its monotone indices.
+        contrib = jnp.zeros_like(contrib).at[perm].set(
+            contrib, unique_indices=True)
     contrib = jnp.concatenate([contrib, jnp.zeros((1, 3), jnp.float32)])
     radiance_add = contrib[jnp.where(keep, pos, cap)]
     return radiance_add.reshape(h, w, 3), rays_add, overflow, counters

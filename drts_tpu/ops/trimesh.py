@@ -257,12 +257,22 @@ def _intersect_instances_pallas(origin, direction, t_min, t_max,
         tmx = jnp.broadcast_to(t_max, lead).reshape(n0)
     rays, n = ip.pack_rays(o, d, tmn, tmx)
 
-    inst_tbl = tp.make_inst_table(inst_position, inst_rotation, inst_scale,
-                                  mesh.bound_radius)
+    # Near-to-far TLAS chunk order anchored at the live-ray origin
+    # centroid (the camera for primary blocks; the bounce surface cloud
+    # otherwise) — feeds the kernel's closest-hit distance early-out.
+    live = (tmx >= tmn).astype(jnp.float32)
+    cnt = jnp.maximum(jnp.sum(live), 1.0)
+    sort_origin = jnp.sum(o * live[:, None], axis=0) / cnt
+
+    inst_tbl, inst_bounds, order, n_ic = tp.make_inst_tables(
+        inst_position, inst_rotation, inst_scale, mesh.bound_radius,
+        sort_origin=sort_origin)
     t_p, face_p, inst_p = tp.intersect_mesh_instances(
-        rays, inst_tbl, mesh.tri_bounds, mesh.tri_tbl,
-        int(inst_position.shape[0]), mesh.n_chunks,
+        rays, inst_tbl, inst_bounds, mesh.tri_bounds, mesh.tri_tbl,
+        n_ic, tp.INST_CHUNK, mesh.n_chunks,
         mesh.tri_tbl.shape[0] // mesh.n_chunks, interpret=interp)
+    # Kernel instance ids are sorted-table positions; map back.
+    inst_p = jnp.maximum(order[jnp.minimum(inst_p, order.shape[0] - 1)], 0)
 
     def unflat(x):
         if tiled:

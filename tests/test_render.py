@@ -133,6 +133,24 @@ def test_compact_wavefront_matches_dense():
     assert float(out_c.rays_traced) == float(out_d.rays_traced)
 
 
+def test_compact_sort_is_invisible():
+    """The (octant, tile) coherence sort of the compacted deep-bounce buffer
+    only re-orders slots; every per-path op is lane-independent, so radiance
+    must be bitwise identical with the sort on or off."""
+    host, cam, _ = _small_setup()
+    cfg_off = pathtrace.PathTraceConfig(width=64, height=64, bounces=6,
+                                        block_size=4096, compact_from=2,
+                                        compact_fraction=4,
+                                        compact_sort=False)
+    cfg_on = dataclasses.replace(cfg_off, compact_sort=True,
+                                 compact_sort_tile=16)
+    out_off = pathtrace.trace_image(host.scene, cam, cfg_off, 3)
+    out_on = pathtrace.trace_image(host.scene, cam, cfg_on, 3)
+    np.testing.assert_array_equal(np.asarray(out_on.radiance),
+                                  np.asarray(out_off.radiance))
+    assert float(out_on.rays_traced) == float(out_off.rays_traced)
+
+
 def test_compact_wavefront_overflow_drops_not_corrupts():
     """With a pathological 1-lane capacity, overflow rays are dropped
     (documented energy loss), never corrupting other pixels."""

@@ -122,6 +122,44 @@ def test_pallas_mesh_kernel_matches_xla():
                                atol=2e-3)
 
 
+def test_pallas_mesh_kernel_many_instances():
+    """Multi-chunk TLAS: 48 instances span several INST_CHUNK groups, so
+    the kernel's instance-chunk scalar cull, the near-to-far chunk
+    reorder, and the sorted-position -> instance-id mapping all engage.
+    Must agree with the XLA sweep like the small case."""
+    rng = np.random.RandomState(11)
+    mesh = _unit_geosphere(2)
+    k = 48
+    pos = jnp.asarray(rng.randn(k, 3) * 10, jnp.float32)
+    rot = m.normalize(jnp.asarray(rng.randn(k, 4), jnp.float32))
+    scale = jnp.asarray(0.4 + rng.rand(k) * 1.2, jnp.float32)
+    n = 4096
+    o = jnp.asarray(rng.randn(n, 3) * 12, jnp.float32)
+    d = m.normalize(jnp.asarray(rng.randn(n, 3), jnp.float32))
+    tmin = jnp.zeros(n)
+    tmax = jnp.full((n,), 1e9)
+
+    ref = trimesh.intersect_instances(o, d, tmin, tmax, mesh, pos, rot,
+                                      scale)
+    old = intersect.BACKEND
+    intersect.BACKEND = "interpret"
+    try:
+        pal = trimesh.intersect_instances(o, d, tmin, tmax, mesh, pos, rot,
+                                          scale)
+    finally:
+        intersect.BACKEND = old
+
+    hit_r = np.asarray(ref.hit)
+    hit_p = np.asarray(pal.hit)
+    assert (hit_r == hit_p).mean() > 0.999
+    both = hit_r & hit_p
+    np.testing.assert_allclose(np.asarray(pal.t)[both],
+                               np.asarray(ref.t)[both], rtol=1e-3,
+                               atol=1e-4)
+    same = (np.asarray(ref.instance)[both] == np.asarray(pal.instance)[both])
+    assert same.mean() > 0.98
+
+
 def test_as_mesh_scene_renders():
     """The demo scene converted to 100% instanced triangle meshes
     (myscene.as_mesh_scene — the reference's actual geosphere BLAS
