@@ -47,6 +47,15 @@ class PackedTextures:
     emissive_mean: jnp.ndarray  # (T', 3) per-set emissive-map mean (1 = none)
     size: int = struct.field(pytree_node=False)
     n_words: int = struct.field(pytree_node=False)
+    # Half-resolution mip (the MipmapGeneration.hlsl role, re-aimed at the
+    # TPU's actual texture cost model): deep-bounce fetches are nearest
+    # anyway (their ray footprint exceeds texel size — ops/pathtrace
+    # texture_bounces), so they read this 4x-smaller table instead — the
+    # area-filtered value their footprint wants AND a smaller hot gather
+    # source for XLA's scoped-memory fast path (a table's in-frame gather
+    # cost is dominated by whether it stays resident).
+    rows_half: jnp.ndarray | None = None    # (T'*(S/2)^2, 4*W) uint32
+    half_size: int = struct.field(pytree_node=False, default=0)
 
 
 _MAP_FIELDS = ("base_color_map", "normal_map", "metallic_map",
@@ -114,43 +123,50 @@ def build(atlas: np.ndarray | None, materials: Materials, size: int = 256
     needs_w2 = any(c[4] >= 0 or c[5] >= 0 for c in combos)
     n_words = 3 if needs_w2 else 2
 
-    def slot(idx, neutral):
-        if idx < 0 or idx >= t:
-            return np.broadcast_to(np.asarray(neutral, np.float32),
-                                   (size, size, len(neutral))).copy()
-        return _resize_area(atlas[idx], size)
+    def bake_rows(sz):
+        def slot(idx, neutral):
+            if idx < 0 or idx >= t:
+                return np.broadcast_to(np.asarray(neutral, np.float32),
+                                       (sz, sz, len(neutral))).copy()
+            return _resize_area(atlas[idx], sz)
 
-    rows_all = []
-    emissive_mean = []
-    for combo in combos:
-        bcm, nm, mm, rm, em, tm = combo
-        base = slot(bcm, (1.0, 1.0, 1.0, 1.0))
-        normal = slot(nm, (0.5, 0.5, 1.0, 1.0))
-        metallic = slot(mm, (1.0,))[..., 0]
-        rough = slot(rm, (1.0,))[..., 0]
-        w0 = _pack_word(np.sqrt(np.clip(base[..., 0], 0, 1)),
-                        np.sqrt(np.clip(base[..., 1], 0, 1)),
-                        np.sqrt(np.clip(base[..., 2], 0, 1)),
-                        base[..., 3])
-        w1 = _pack_word(normal[..., 0], normal[..., 1], metallic, rough)
-        words = [w0, w1]
-        if needs_w2:
-            emis = slot(em, (1.0, 1.0, 1.0, 1.0))
-            trans = slot(tm, (1.0,))[..., 0]
-            words.append(_pack_word(np.sqrt(np.clip(emis[..., 0], 0, 1)),
-                                    np.sqrt(np.clip(emis[..., 1], 0, 1)),
-                                    np.sqrt(np.clip(emis[..., 2], 0, 1)),
-                                    trans))
-        texel = np.stack(words, axis=-1)                 # (S, S, W)
-        quad = _quad(texel)                              # (S, S, 4, W)
-        rows_all.append(quad.reshape(size * size, 4 * n_words))
-        emissive_mean.append(atlas[em][..., :3].mean(axis=(0, 1))
-                             if em >= 0 else np.ones(3, np.float32))
+        rows_all = []
+        for combo in combos:
+            bcm, nm, mm, rm, em, tm = combo
+            base = slot(bcm, (1.0, 1.0, 1.0, 1.0))
+            normal = slot(nm, (0.5, 0.5, 1.0, 1.0))
+            metallic = slot(mm, (1.0,))[..., 0]
+            rough = slot(rm, (1.0,))[..., 0]
+            w0 = _pack_word(np.sqrt(np.clip(base[..., 0], 0, 1)),
+                            np.sqrt(np.clip(base[..., 1], 0, 1)),
+                            np.sqrt(np.clip(base[..., 2], 0, 1)),
+                            base[..., 3])
+            w1 = _pack_word(normal[..., 0], normal[..., 1], metallic, rough)
+            words = [w0, w1]
+            if needs_w2:
+                emis = slot(em, (1.0, 1.0, 1.0, 1.0))
+                trans = slot(tm, (1.0,))[..., 0]
+                words.append(
+                    _pack_word(np.sqrt(np.clip(emis[..., 0], 0, 1)),
+                               np.sqrt(np.clip(emis[..., 1], 0, 1)),
+                               np.sqrt(np.clip(emis[..., 2], 0, 1)),
+                               trans))
+            texel = np.stack(words, axis=-1)             # (S, S, W)
+            quad = _quad(texel)                          # (S, S, 4, W)
+            rows_all.append(quad.reshape(sz * sz, 4 * n_words))
+        return np.concatenate(rows_all, axis=0)
 
+    emissive_mean = [atlas[c[4]][..., :3].mean(axis=(0, 1))
+                     if c[4] >= 0 else np.ones(3, np.float32)
+                     for c in combos]
+
+    half = size // 2 if size >= 8 else 0
     packed = PackedTextures(
-        rows=jnp.asarray(np.concatenate(rows_all, axis=0)),
+        rows=jnp.asarray(bake_rows(size)),
         emissive_mean=jnp.asarray(np.stack(emissive_mean)),
-        size=size, n_words=n_words)
+        size=size, n_words=n_words,
+        rows_half=jnp.asarray(bake_rows(half)) if half else None,
+        half_size=half)
 
     new_cols = {}
     for f in _MAP_FIELDS:

@@ -94,10 +94,20 @@ def sample_packed(tex: PackedTextures, set_index, uv,
                         for i, c in enumerate(ch)])
         return out
 
-    if filter == "nearest":
+    if filter in ("nearest", "nearest0"):
+        # "nearest" callers are deep-bounce / wide-footprint fetches
+        # (pathtrace texture_bounces policy): read the half-res mip — the
+        # area-filtered value their footprint wants, from a 4x smaller
+        # (scoped-memory-friendlier) table (texpack.PackedTextures.rows_half,
+        # the MipmapGeneration.hlsl role). "nearest0" pins level 0 (the
+        # alpha-test fetch at primary hits, ops/trace.py — cutout
+        # silhouettes must not blur).
+        use_half = filter == "nearest" and tex.rows_half is not None
+        table = tex.rows_half if use_half else tex.rows
+        s = tex.half_size if use_half else s
         xi = jnp.mod((uv[..., 0] * s).astype(jnp.int32), s)
         yi = jnp.clip((uv[..., 1] * s).astype(jnp.int32), 0, s - 1)
-        rows = tex.rows[idx * (s * s) + yi * s + xi]       # (..., 4W)
+        rows = table[idx * (s * s) + yi * s + xi]          # (..., 4W)
         words = decode([rows[..., w] for w in range(w_n)])  # c00 only
     else:
         x = uv[..., 0] * s - 0.5

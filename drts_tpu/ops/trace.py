@@ -113,7 +113,7 @@ def trace_scene(scene, origin, direction, t_min, t_max,
         if scene.textures is not None:
             ts = shading.sample_packed(scene.textures,
                                        surf.material.base_color_map,
-                                       surf.uv, "nearest")
+                                       surf.uv, "nearest0")
             alpha = alpha * ts.alpha
         rejected = surf.valid & (alpha < surf.material.alpha_cutoff)
         t_min2 = jnp.where(rejected,

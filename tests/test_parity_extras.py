@@ -167,6 +167,37 @@ def test_transmission_map_sampling():
     np.testing.assert_allclose(float(ev.transmission[1]), 0.8, rtol=1e-5)
 
 
+def test_packed_texture_half_mip():
+    """Deep-bounce ("nearest") fetches read the half-res mip: each mip
+    texel is the area average of its 2x2 full-res block
+    (MipmapGeneration.hlsl role); "nearest0" (alpha test) stays level 0."""
+    from drts_tpu.models import texpack
+    rng = np.random.RandomState(7)
+    s = 16
+    atlas = rng.random_sample((1, s, s, 4)).astype(np.float32)
+    mats = pack_materials([
+        MaterialDesc(base_color=(1, 1, 1, 1), base_color_map=0)])
+    packed, pmats = texpack.build(atlas, mats, size=s)
+    assert packed.half_size == s // 2
+    assert packed.rows_half.shape == ((s // 2) ** 2, packed.rows.shape[1])
+
+    # Texel centers of the mip: nearest fetch == 2x2 block average.
+    hs = s // 2
+    uv = jnp.asarray([[(i + 0.5) / hs, (j + 0.5) / hs]
+                      for j in range(hs) for i in range(hs)], jnp.float32)
+    idx = jnp.zeros((uv.shape[0],), jnp.int32)
+    ts = shading.sample_packed(packed, idx, uv, "nearest")
+    want = atlas[0, :, :, :3].reshape(hs, 2, hs, 2, 3).mean(axis=(1, 3))
+    np.testing.assert_allclose(np.asarray(ts.base_rgb).reshape(hs, hs, 3),
+                               want, atol=0.02)
+    # nearest0 pins full res: texel (0,0) exact.
+    uv0 = jnp.asarray([[0.5 / s, 0.5 / s]], jnp.float32)
+    ts0 = shading.sample_packed(packed, jnp.zeros((1,), jnp.int32), uv0,
+                                "nearest0")
+    np.testing.assert_allclose(np.asarray(ts0.base_rgb)[0],
+                               atlas[0, 0, 0, :3], atol=0.02)
+
+
 def test_packed_texture_set_matches_float_atlas():
     """The quad-duplicated one-gather path reproduces the float-atlas
     bilinear sample to u8 precision for every channel, including sqrt-coded
