@@ -56,7 +56,8 @@ def bench_trace(width=1920, height=1080, bounces=8, spp=1, iters=8):
 
     @jax.jit
     def frame(scene, cam, frame_index):
-        accel = clusters.make_morton_accel(plan, scene.center, scene.radius)
+        accel = clusters.make_morton_accel(plan, scene.center, scene.radius,
+                                           sort_origin=cam.position)
         gbuf = gbuffer.generate(scene, cam, width, height, cfg.block_size,
                                 accel=accel)
         out = pathtrace.trace_image(scene, cam, cfg, frame_index, gbuf=gbuf,

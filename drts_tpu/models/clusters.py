@@ -210,11 +210,26 @@ def pack_for_kernel(plan: ClusterPlan, bounds: ClusterBounds, centers,
     return bounds_tbl, members
 
 
-def make_morton_accel(plan: ClusterPlan, centers, radii):
+def make_morton_accel(plan: ClusterPlan, centers, radii, sort_origin=None):
     """Per-frame tables for the Morton-chunk flat kernel
     (ops/intersect_pallas.intersect_morton_planar): refit chunk bounds +
-    planar sphere table in Morton order with an object-index row."""
+    planar sphere table in Morton order with an object-index row.
+
+    `sort_origin` (usually the camera position) additionally orders chunks
+    near-to-far from that point: the kernel sweeps chunks in table order
+    and its closest-hit distance cull (_t_done) only starts skipping once
+    live lanes have hits, so visiting near chunks first lets interior
+    blocks cull the far tail. Order is semantically invisible (closest-hit
+    = min over chunks; object ids ride the table rows)."""
     member = jnp.asarray(plan.member_object)          # (C, M)
+    bounds = refit(plan, centers, radii)
+    if sort_origin is not None:
+        key = jnp.sqrt(jnp.sum((bounds.center - sort_origin) ** 2,
+                               axis=-1)) - bounds.radius
+        corder = jnp.argsort(key)
+        member = member[corder]
+        bounds = ClusterBounds(center=bounds.center[corder],
+                               radius=bounds.radius[corder])
     c, mm = member.shape
     valid = member >= 0
     safe = jnp.maximum(member, 0)
@@ -235,7 +250,6 @@ def make_morton_accel(plan: ClusterPlan, centers, radii):
         jnp.where(valid, member, 0).reshape(flat).astype(jnp.float32),
         -2.0 * cx, -2.0 * cy, -2.0 * cz, ccrr,
     ])
-    bounds = refit(plan, centers, radii)
     c_pad = -(-c // 8) * 8
 
     def pad_to(x):

@@ -331,7 +331,8 @@ class RenderPipeline:
         if self.cluster_plan is not None and intersect.pallas_enabled():
             from . import clusters
             accel = clusters.make_morton_accel(self.cluster_plan,
-                                               scene.center, scene.radius)
+                                               scene.center, scene.radius,
+                                               sort_origin=cam.position)
         else:
             accel = None
         return bodies, scene, cam, accel

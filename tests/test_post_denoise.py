@@ -239,11 +239,19 @@ def test_pallas_interpret_morton_and_clustered_match_xla():
     t_x, i_x = ip.intersect_morton_mxu(rays, acc.bounds_tbl, acc.table,
                                        acc.mxu_a, acc.n_chunks, acc.chunk,
                                        interpret=True)
+    # Front-to-back chunk order (sort_origin) must be invisible: object
+    # identity rides the table rows, closest-hit is a min over chunks.
+    acc_s = clusters.make_morton_accel(
+        plan, jnp.asarray(centers), jnp.asarray(radii),
+        sort_origin=jnp.asarray([3.0, -2.0, 7.0]))
+    t_s, i_s = ip.intersect_morton_planar(rays, acc_s.bounds_tbl,
+                                          acc_s.table, acc_s.n_chunks,
+                                          acc_s.chunk, interpret=True)
 
     fin = np.isfinite(np.asarray(ref.t))
     ref_t = np.asarray(ref.t)
     ref_i = np.asarray(ref.index)
-    for t_pal, i_pal in ((t_m, i_m), (t_c, i_c), (t_x, i_x)):
+    for t_pal, i_pal in ((t_m, i_m), (t_c, i_c), (t_x, i_x), (t_s, i_s)):
         t_pal = np.asarray(t_pal)[:n]
         i_pal = np.asarray(i_pal)[:n]
         np.testing.assert_array_equal(np.isfinite(t_pal), fin)
