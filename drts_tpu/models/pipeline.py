@@ -211,8 +211,15 @@ class RenderPipeline:
 
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
-        self.jitter_table = jnp.asarray(
-            rng_mod.halton_jitter(cfg.halton_period))
+        # Jitter phase count follows the DLSS convention the reference uses
+        # (App.cpp HaltonSamplePattern sized 8 x upscale-ratio^2): more
+        # subpixel phases when the upscaler has more output pixels per
+        # render pixel to reconstruct. halton_period is the no-upscaling
+        # floor.
+        ratio2 = ((cfg.output_width * cfg.output_height)
+                  / max(cfg.render_width * cfg.render_height, 1))
+        period = max(cfg.halton_period, int(round(8 * ratio2)))
+        self.jitter_table = jnp.asarray(rng_mod.halton_jitter(period))
         self.cluster_plan = None  # built at init_state (BLAS-build analogue)
 
     # -- state management ---------------------------------------------------
@@ -232,6 +239,8 @@ class RenderPipeline:
         keys = ["wavefront_overflow_paths"]
         if c.restir_enabled:
             keys += ["lights_dropped", "lights_dropped_power_frac"]
+            if c.restir.local_light_mode == "ReGIR_RIS":
+                keys += ["regir_occupancy"]
         if c.sharc_enabled:
             keys.append("sharc_splat_dropped_rows")
             for b in range(1, c.bounces + 1):
@@ -289,7 +298,7 @@ class RenderPipeline:
         jitter = jnp.where(
             c.jitter_enabled,
             self.jitter_table[jnp.mod(state.frame_index,
-                                      c.halton_period)],
+                                      self.jitter_table.shape[0])],
             jnp.zeros(2, jnp.float32))
         # |forward| = focus distance (Camera.ixx frame convention); the
         # aperture radius turns the primary pass thin-lens (DoF).
@@ -593,6 +602,13 @@ class RenderPipeline:
             frame_counters["lights_dropped"] = lights.dropped_lights
             frame_counters["lights_dropped_power_frac"] = \
                 lights.dropped_power_frac
+        if c.restir_enabled and grid is not None:
+            # ReGIR grid occupancy (the reference inspects this via the
+            # cell-visualization overlay, DIFinalShading.hlsl:69-75): the
+            # fraction of non-fallback cell slots holding a live reservoir.
+            n_cells = c.restir.regir_cells_per_axis ** 3
+            frame_counters["regir_occupancy"] = jnp.mean(
+                (grid.weight[:n_cells] > 0).astype(jnp.float32))
         if c.sharc_enabled:
             if di_total is not None:
                 sharc_state, sharc_counters = run(

@@ -210,7 +210,8 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
             accel=accel, table=table,
             alpha_rounds=scene.alpha_test_rounds)
 
-        env_color = sky.environment_color(scene.env, c_dir)
+        env_color = sky.environment_color(
+            scene.env, c_dir, wide=bounce >= cfg.texture_bounces)
         miss = c_active & ~surf.valid
         c_radiance = c_radiance + jnp.where(miss[..., None],
                                             c_thr * env_color, 0.0)
@@ -401,7 +402,8 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
                     hit_distance = jnp.where(hit_ok, surf.distance, jnp.inf)
 
             # Miss -> environment light, terminate (Raytracing.hlsl:241-259).
-            env_color = sky.environment_color(scene.env, ray_d)
+            env_color = sky.environment_color(
+                scene.env, ray_d, wide=bounce >= cfg.texture_bounces)
             miss = active & ~hit_ok
             sample_radiance = sample_radiance + jnp.where(
                 miss[..., None], throughput * env_color, 0.0)
@@ -588,7 +590,8 @@ def sharc_update_trace(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
                 alpha_rounds=scene.alpha_test_rounds)
 
         miss = active & ~surf.valid
-        env_color = sky.environment_color(scene.env, l_dir)
+        env_color = sky.environment_color(
+            scene.env, l_dir, wide=bounce >= cfg.texture_bounces)
         live = active & surf.valid
 
         front_flat = jnp.where(surf.is_front_face[..., None],

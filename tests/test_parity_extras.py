@@ -84,6 +84,14 @@ def test_env_map_wiring(tmp_path):
                                  jnp.asarray([[0.0, -1.0, 0.0]]))
     assert float(up[0, 2]) > 1.0 and float(up[0, 0]) < 1e-3
     assert float(down[0, 0]) > 1.0 and float(down[0, 2]) < 1e-3
+    # Quarter-res mip built at load (post.generate_mips, the
+    # MipmapGeneration.hlsl role) and served to wide-footprint callers.
+    assert host.scene.env.texture_low is not None
+    assert host.scene.env.texture_low.shape == (2, 4, 3)
+    up_w = sky.environment_color(host.scene.env,
+                                 jnp.asarray([[0.0, 1.0, 0.0]]), wide=True)
+    # The test map is constant per hemisphere: mip == full at the pole.
+    np.testing.assert_allclose(np.asarray(up_w), np.asarray(up), atol=1e-5)
 
 
 def test_st2084_tonemap():
