@@ -58,8 +58,21 @@ class PathTraceConfig:
     # /8 98 ms, /16 80 ms. /12 balances machinery cost against survivor
     # overflow headroom (~130k bounce-2 survivors vs the 174k cap; overflow
     # silently drops path radiance).
+    #
+    # compact_from = 1 compacts + coherence-sorts the BOUNCE-1 wavefront
+    # too (segment [1,1] at n/compact_fraction_first capacity, then a
+    # re-compaction to the tight deep capacity for bounces >= 2). Bounce-1
+    # rays are BSDF-scattered — pixel-order blocks give the intersection
+    # kernel white-noise direction bundles exactly like deep bounces, so
+    # the (octant, tile) sort re-arms the bundle-cone culls for ~half of
+    # all rays in a frame. Costs one extra state round-trip through pixel
+    # space between the segments.
     compact_from: int = 2
     compact_fraction: int = 12
+    # Capacity divisor for the bounce-1 segment (survivors there are all
+    # primary hits with a valid scatter — a large fraction of the frame,
+    # unlike the ~6% deep-bounce survivors).
+    compact_fraction_first: int = 2
     # Sort the compacted survivors by (direction octant, screen tile) before
     # the deep sweep. Pixel-order compaction gives each RAY_BLOCK white-noise
     # bounce directions, voiding the intersection kernel's bundle-cone cull
@@ -128,16 +141,29 @@ def _compact_capacity(n_pixels: int, cfg: PathTraceConfig) -> int:
 def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
                         sharc_state, sharc_cfg, origin, l_dir, throughput,
                         prev_roughness, rng, active, start_bounce: int,
-                        accel, cap: int):
-    """Bounces >= start_bounce on a compacted survivor buffer.
+                        accel, cap: int, end_bounce: int | None = None,
+                        di_valid=None, want_aov: bool = False,
+                        return_state: bool = False):
+    """Bounces [start_bounce, end_bounce] on a compacted survivor buffer.
 
     Live paths are packed to the front of a (cap,) buffer with ONE wide
     row-gather; every per-bounce op (intersection sweep, attribute fetch,
     SHARC query, BSDF sample) then costs O(survivors) instead of
     O(frame pixels). Survivors beyond `cap` are dropped (counted in the
     returned overflow) — capacity is sized ~3x the measured survivor count.
-    Returns (radiance_add (H, W, 3), rays_traced_add, overflow_count).
+
+    `di_valid` (only meaningful when the segment covers bounce 1)
+    suppresses bounce-1 emission for pixels whose direct light was already
+    added at the primary vertex (Raytracing.hlsl:302). `want_aov` captures
+    the first trace's hit distance (the bounce-1 AOV). `return_state`
+    (end_bounce < cfg.bounces) scatters the continuation state back to
+    dense pixel arrays so a second, tighter segment can re-compact it.
+
+    Returns a dict: radiance (H, W, 3), rays, overflow, counters, and
+    optionally hit_distance (H, W) / state (dense pixel-space pytree).
     """
+    if end_bounce is None:
+        end_bounce = cfg.bounces
     h, w = active.shape
     n = h * w
 
@@ -196,19 +222,29 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
     c_rough = rows[:, 9]
     c_rng = jax.lax.bitcast_convert_type(rows[:, 10], jnp.uint32)
 
+    if di_valid is not None:
+        dv = jnp.concatenate([di_valid.reshape(n),
+                              jnp.zeros((1,), bool)])
+        c_di = dv[jnp.minimum(src, n)]
+    else:
+        c_di = None
+
     c_active = slot_live
     c_radiance = jnp.zeros((cap, 3), jnp.float32)
+    c_hitdist = None
     rays_add = jnp.float32(0.0)
     zeros_c = jnp.zeros((cap,), jnp.float32)
     counters = {}
 
-    for bounce in range(start_bounce, cfg.bounces + 1):
+    for bounce in range(start_bounce, end_bounce + 1):
         rays_add = rays_add + jnp.sum(c_active.astype(jnp.float32))
         surf = trace_mod.trace_scene(
             scene, c_origin, c_dir, zeros_c,
             jnp.where(c_active, jnp.inf, -1.0), cfg.block_size,
             accel=accel, table=table,
             alpha_rounds=scene.alpha_test_rounds)
+        if want_aov and bounce == start_bounce:
+            c_hitdist = jnp.where(surf.valid, surf.distance, jnp.inf)
 
         env_color = sky.environment_color(
             scene.env, c_dir, wide=bounce >= cfg.texture_bounces)
@@ -241,12 +277,17 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
             mat = shading.evaluate_material(surf.material, surf.uv,
                                             surf.shading_normal,
                                             surf.tangent, atlas_b, "nearest")
+            emission = mat.emission
+            if c_di is not None and bounce == 1:
+                emission = jnp.where(c_di[..., None], 0.0, emission)
             c_radiance = c_radiance + jnp.where(c_active[..., None],
-                                                c_thr * mat.emission, 0.0)
+                                                c_thr * emission, 0.0)
             break
 
         emission, new_dir, weight, valid, lobe, bs, _, _, c_rng = \
             _shade_and_scatter(scene, surf, c_dir, c_rng, atlas_b, "nearest")
+        if c_di is not None and bounce == 1:
+            emission = jnp.where(c_di[..., None], 0.0, emission)
         c_radiance = c_radiance + jnp.where(c_active[..., None],
                                             c_thr * emission, 0.0)
         c_thr = c_thr * weight
@@ -270,15 +311,47 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
     # slot is just the cumsum position, so this is a GATHER with monotone
     # indices — measured 6.9 ms as a scatter-add (XLA TPU scatter runs
     # ~0.3 GB/s) vs streaming-rate as a gather.
+    pixel_idx = jnp.where(keep, pos, cap)
+
+    def to_pixels(slot_vals, fill):
+        """(cap, C) slot values -> (h*w, C) pixel values (un-permute to
+        pre-sort slot order, then the monotone pixel gather)."""
+        vals = slot_vals
+        if perm is not None:
+            vals = jnp.zeros_like(vals).at[perm].set(vals,
+                                                     unique_indices=True)
+        vals = jnp.concatenate(
+            [vals, jnp.full((1,) + vals.shape[1:], fill, vals.dtype)])
+        return vals[pixel_idx]
+
     contrib = jnp.where(slot_live[..., None], c_radiance, 0.0)
-    if perm is not None:
-        # Un-permute to pixel-order slots (a (cap, 3) permuting store) so
-        # the pixel read below keeps its monotone indices.
-        contrib = jnp.zeros_like(contrib).at[perm].set(
-            contrib, unique_indices=True)
-    contrib = jnp.concatenate([contrib, jnp.zeros((1, 3), jnp.float32)])
-    radiance_add = contrib[jnp.where(keep, pos, cap)]
-    return radiance_add.reshape(h, w, 3), rays_add, overflow, counters
+    out = {
+        "radiance": to_pixels(contrib, 0.0).reshape(h, w, 3),
+        "rays": rays_add, "overflow": overflow, "counters": counters,
+    }
+    if c_hitdist is not None:
+        out["hit_distance"] = to_pixels(c_hitdist[:, None],
+                                        jnp.inf).reshape(h, w)
+    if return_state:
+        # Continuation state back to dense pixel space so a second segment
+        # can re-compact at its own (tighter) capacity. Dropped-overflow /
+        # dead pixels land on the zero fill row -> active = 0.
+        st_rows = jnp.concatenate([
+            c_origin, c_dir, c_thr, c_rough[:, None],
+            jax.lax.bitcast_convert_type(c_rng, jnp.float32)[:, None],
+            c_active.astype(jnp.float32)[:, None],
+        ], axis=-1)
+        rows_px = to_pixels(st_rows, 0.0)
+        out["state"] = {
+            "origin": rows_px[:, 0:3].reshape(h, w, 3),
+            "dir": rows_px[:, 3:6].reshape(h, w, 3),
+            "throughput": rows_px[:, 6:9].reshape(h, w, 3),
+            "roughness": rows_px[:, 9].reshape(h, w),
+            "rng": jax.lax.bitcast_convert_type(
+                rows_px[:, 10], jnp.uint32).reshape(h, w),
+            "active": rows_px[:, 11].reshape(h, w) > 0.5,
+        }
+    return out
 
 
 def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
@@ -359,9 +432,11 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
     # Compact-wavefront switchover (see PathTraceConfig.compact_from): the
     # dense loop runs bounces [0, compact_start); survivors continue on the
     # compacted buffer. Bounces 0-1 stay dense (AOVs, DI handoff, textures).
-    use_compact = 2 <= cfg.compact_from <= cfg.bounces
+    use_compact = 1 <= cfg.compact_from <= cfg.bounces
     dense_last = cfg.compact_from - 1 if use_compact else cfg.bounces
     cap = _compact_capacity(h * w, cfg)
+    cap_first = -(-max(1024, h * w // cfg.compact_fraction_first) // 1024) \
+        * 1024
     counters = {"wavefront_overflow_paths": jnp.float32(0.0)}
 
     for sample_index in range(cfg.samples_per_pixel):
@@ -483,18 +558,46 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
         if use_compact:
             origin = intersect.safe_spawn_point(
                 surf.position, surf.geometric_normal, l_dir)
-            radiance_add, rays_add, overflow, c_counters = \
-                _trace_deep_compact(
+
+            def fold(res):
+                nonlocal sample_radiance, rays_traced, hit_distance
+                sample_radiance = sample_radiance + res["radiance"]
+                rays_traced = rays_traced + res["rays"]
+                counters["wavefront_overflow_paths"] = \
+                    counters["wavefront_overflow_paths"] \
+                    + res["overflow"].astype(jnp.float32)
+                for k, v in res["counters"].items():
+                    counters[k] = counters.get(k, 0.0) + v
+                if "hit_distance" in res:
+                    hit_distance = res["hit_distance"]
+
+            if cfg.compact_from == 1:
+                # Bounce-1 AOVs the dense loop would have produced: the
+                # first-scatter lobe is bounce-0 state (already dense);
+                # the secondary hit distance comes back from the segment.
+                if sample_index == 0:
+                    is_diffuse = lobe == bxdf.LOBE_DIFFUSE
+                two_segment = cfg.bounces >= 2
+                seg = _trace_deep_compact(
                     scene, table, cam, cfg, sharc_state, sharc_cfg,
                     origin, l_dir, throughput, prev_roughness, rng, active,
-                    cfg.compact_from, accel, cap)
-            sample_radiance = sample_radiance + radiance_add
-            rays_traced = rays_traced + rays_add
-            counters["wavefront_overflow_paths"] = \
-                counters["wavefront_overflow_paths"] \
-                + overflow.astype(jnp.float32)
-            for k, v in c_counters.items():
-                counters[k] = counters.get(k, 0.0) + v
+                    1, accel, cap_first,
+                    end_bounce=1 if two_segment else cfg.bounces,
+                    di_valid=di_valid, want_aov=sample_index == 0,
+                    return_state=two_segment)
+                fold(seg)
+                if two_segment:
+                    st = seg["state"]
+                    fold(_trace_deep_compact(
+                        scene, table, cam, cfg, sharc_state, sharc_cfg,
+                        st["origin"], st["dir"], st["throughput"],
+                        st["roughness"], st["rng"], st["active"],
+                        2, accel, cap))
+            else:
+                fold(_trace_deep_compact(
+                    scene, table, cam, cfg, sharc_state, sharc_cfg,
+                    origin, l_dir, throughput, prev_roughness, rng, active,
+                    cfg.compact_from, accel, cap))
 
         # NaN guard (Raytracing.hlsl:377).
         finite = jnp.all(jnp.isfinite(sample_radiance), axis=-1,

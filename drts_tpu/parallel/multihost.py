@@ -56,8 +56,10 @@ def process_local_rows(height: int) -> tuple[int, int]:
     """The [start, end) image-row range whose shards live on THIS
     process's devices under the global row sharding — what a multi-host
     driver renders/saves locally (addressable-shard bookkeeping)."""
-    n = jax.device_count()
-    local = jax.local_devices()
+    order = list(jax.devices())  # the order make_mesh() lays rows out in
+    n = len(order)
     rows_per_dev = height // n
-    ids = sorted(d.id for d in local)
-    return ids[0] * rows_per_dev, (ids[-1] + 1) * rows_per_dev
+    # Positions in mesh order, NOT raw device ids: multi-process backends
+    # assign non-contiguous ids (process 1's CPU devices start at 2^k).
+    pos = sorted(order.index(d) for d in jax.local_devices())
+    return pos[0] * rows_per_dev, (pos[-1] + 1) * rows_per_dev

@@ -151,6 +151,69 @@ def test_compact_sort_is_invisible():
     assert float(out_on.rays_traced) == float(out_off.rays_traced)
 
 
+def test_compact_from_bounce1_matches_dense():
+    """compact_from=1 (bounce-1 segment + deep re-compaction) reproduces
+    the masked-dense integrator exactly like compact_from=2 does: per-path
+    RNG streams are carried through both segments, so radiance, the
+    bounce-1 AOVs, and the ray count must all agree."""
+    host, cam, _ = _small_setup()
+    cfg_dense = pathtrace.PathTraceConfig(width=64, height=64, bounces=6,
+                                          block_size=4096, compact_from=99)
+    cfg_b1 = dataclasses.replace(cfg_dense, compact_from=1,
+                                 compact_fraction=4,
+                                 compact_fraction_first=1)
+    out_d = pathtrace.trace_image(host.scene, cam, cfg_dense, 3)
+    out_c = pathtrace.trace_image(host.scene, cam, cfg_b1, 3)
+    np.testing.assert_allclose(np.asarray(out_c.radiance),
+                               np.asarray(out_d.radiance),
+                               rtol=1e-4, atol=1e-5)
+    assert float(out_c.rays_traced) == float(out_d.rays_traced)
+    np.testing.assert_array_equal(np.asarray(out_c.is_diffuse),
+                                  np.asarray(out_d.is_diffuse))
+    hd_c = np.asarray(out_c.hit_distance)
+    hd_d = np.asarray(out_d.hit_distance)
+    both_finite = np.isfinite(hd_c) & np.isfinite(hd_d)
+    assert (np.isfinite(hd_c) == np.isfinite(hd_d)).all()
+    np.testing.assert_allclose(hd_c[both_finite], hd_d[both_finite],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_compact_from_bounce1_di_handoff_matches_dense():
+    """The ReSTIR DI handoff (bounce-1 emission suppression where DI was
+    added at the primary vertex, Raytracing.hlsl:302) must survive the
+    bounce-1 compaction: di_valid rides the slot gather."""
+    host, cam, _ = _small_setup()
+    di = jnp.full((64, 64, 3), 0.25, jnp.float32)
+    cfg_dense = pathtrace.PathTraceConfig(width=64, height=64, bounces=4,
+                                          block_size=4096, compact_from=99)
+    cfg_b1 = dataclasses.replace(cfg_dense, compact_from=1,
+                                 compact_fraction=4,
+                                 compact_fraction_first=1)
+    out_d = pathtrace.trace_image(host.scene, cam, cfg_dense, 7,
+                                  di_radiance=di)
+    out_c = pathtrace.trace_image(host.scene, cam, cfg_b1, 7,
+                                  di_radiance=di)
+    np.testing.assert_allclose(np.asarray(out_c.radiance),
+                               np.asarray(out_d.radiance),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_compact_from_bounce1_single_bounce():
+    """compact_from=1 with bounces=1 exercises the single-segment
+    final-emission path (no continuation state)."""
+    host, cam, _ = _small_setup()
+    cfg_dense = pathtrace.PathTraceConfig(width=64, height=64, bounces=1,
+                                          block_size=4096, compact_from=99)
+    cfg_b1 = dataclasses.replace(cfg_dense, compact_from=1,
+                                 compact_fraction_first=1)
+    out_d = pathtrace.trace_image(host.scene, cam, cfg_dense, 5)
+    out_c = pathtrace.trace_image(host.scene, cam, cfg_b1, 5)
+    np.testing.assert_allclose(np.asarray(out_c.radiance),
+                               np.asarray(out_d.radiance),
+                               rtol=1e-4, atol=1e-5)
+    assert float(out_c.rays_traced) == float(out_d.rays_traced)
+
+
 def test_compact_wavefront_overflow_drops_not_corrupts():
     """With a pathological 1-lane capacity, overflow rays are dropped
     (documented energy loss), never corrupting other pixels."""

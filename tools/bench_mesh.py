@@ -19,7 +19,7 @@ from drts_tpu.ops import camera as camera_mod, pathtrace
 
 
 def main(tess: int = 4, bounces: int = 2, width: int = 1920,
-         height: int = 1080):
+         height: int = 1080, compact_from: int = 2):
     host = myscene.build(oscillator_grid=10)
     mh = myscene.as_mesh_scene(host, tessellation=tess)
     scene = mh.scene
@@ -30,7 +30,8 @@ def main(tess: int = 4, bounces: int = 2, width: int = 1920,
                                  aspect=width / height)
     cfg = pathtrace.PathTraceConfig(width=width, height=height,
                                     bounces=bounces, samples_per_pixel=1,
-                                    block_size=32768)
+                                    block_size=32768,
+                                    compact_from=compact_from)
 
     @jax.jit
     def frame(scene, cam, fi):
@@ -48,7 +49,8 @@ def main(tess: int = 4, bounces: int = 2, width: int = 1920,
     jax.block_until_ready(rad)
     ms = (time.perf_counter() - t0) / iters * 1e3
     mray = float(rays) / 1e6 / (ms / 1e3)
-    print(f"mesh trace tess={tess} bounces={bounces}: "
+    print(f"mesh trace tess={tess} bounces={bounces} "
+          f"cfrom={compact_from}: "
           f"{ms:.1f} ms, {float(rays)/1e6:.2f} Mray -> {mray:.2f} Mray/s",
           flush=True)
 
@@ -56,4 +58,5 @@ def main(tess: int = 4, bounces: int = 2, width: int = 1920,
 if __name__ == "__main__":
     tess = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     bounces = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    main(tess, bounces)
+    cfrom = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    main(tess, bounces, compact_from=cfrom)

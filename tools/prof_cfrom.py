@@ -13,11 +13,12 @@ plan = clusters.build_plan_morton(np.asarray(scene.center),
 cam = camera_mod.make_camera(host.camera_position, host.camera_forward,
                              horizontal_fov_deg=90.0, aspect=W / H)
 
-def run(compact_from, fraction=8, iters=6):
+def run(compact_from, fraction=8, iters=6, fraction_first=2):
     cfg = pathtrace.PathTraceConfig(
         width=W, height=H, bounces=8, samples_per_pixel=1,
         russian_roulette=True, block_size=32768,
-        compact_from=compact_from, compact_fraction=fraction)
+        compact_from=compact_from, compact_fraction=fraction,
+        compact_fraction_first=fraction_first)
     @jax.jit
     def frame(scene, cam, fi):
         accel = clusters.make_morton_accel(plan, scene.center, scene.radius)
@@ -32,6 +33,7 @@ def run(compact_from, fraction=8, iters=6):
     jax.block_until_ready(r)
     ms = (time.perf_counter() - t0) / iters * 1e3
     print(json.dumps({"compact_from": compact_from, "fraction": fraction,
+                      "fraction_first": fraction_first,
                       "ms": round(ms, 2),
                       "mray_s": round(float(rays) / ms / 1e3, 1)}),
           flush=True)
@@ -39,5 +41,8 @@ def run(compact_from, fraction=8, iters=6):
 run(99)        # dense all the way
 run(2)         # current default
 run(2, 16)     # smaller capacity
+run(1)                     # bounce-1 compaction+sort, half-frame capacity
+run(1, fraction_first=1)   # ... full-frame capacity (no overflow risk)
+run(1, fraction_first=3)   # ... tighter (measure bounce-1 survivor rate)
 run(3)
 run(4)

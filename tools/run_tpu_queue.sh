@@ -1,0 +1,46 @@
+#!/bin/bash
+# Pending TPU measurement queue (NEXT.md round-3). Run when the tunnel is
+# back: executes every queued measurement with bounded time, tees each to
+# /tmp/tpuq/<name>.log, and never stops on a single failure.
+set -u
+OUT=${1:-/tmp/tpuq}
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+run() {
+  name=$1; shift
+  echo "=== $name: $* ==="
+  timeout 3000 "$@" >"$OUT/$name.log" 2>&1
+  echo "--- $name rc=$? (tail) ---"
+  tail -5 "$OUT/$name.log"
+}
+
+# 0. Is the TPU even up? Bounded probe; abort the queue if not.
+timeout 300 python -c "import jax; print(jax.devices())" >"$OUT/probe.log" 2>&1
+if [ $? -ne 0 ]; then echo "TPU PROBE FAILED"; cat "$OUT/probe.log"; exit 3; fi
+echo "TPU UP: $(cat "$OUT/probe.log")"
+
+# 1. Headline bench (trace + full pipeline + upscaled + counters).
+run bench python bench.py
+
+# 2. Denoiser-under-motion fidelity (target: min SSIM >= 0.95 @640x360).
+run fidelity_motion python -m drts_tpu.fidelity --motion
+
+# 3. Static fidelity regression (SSIM @ spec).
+run fidelity_static python -m drts_tpu.fidelity
+
+# 4. spatial_offset_mode A/B (frame ms + SSIM shared vs per_pixel).
+run ab_spatial python tools/ab_spatial_offset.py
+
+# 5. Fresh per-op attribution of the full frame.
+run prof_passes python tools/prof_passes2.py
+
+# 6. compact_from sweep incl. the new bounce-1 compaction+sort segment.
+run prof_cfrom python tools/prof_cfrom.py
+
+# 7. Mesh-path bench: bounce-1 sorting is the hypothesized fix for the
+#    0.94 Mray/s incoherent-block collapse (NEXT.md item 3).
+run bench_mesh_c2 python tools/bench_mesh.py 4 2 2
+run bench_mesh_c1 python tools/bench_mesh.py 4 2 1
+
+echo "=== QUEUE DONE — logs in $OUT ==="
