@@ -85,6 +85,15 @@ class PathTraceConfig:
     # (/root/reference/Source/Raytracing.ixx NVAPI SER usage).
     compact_sort: bool = True
     compact_sort_tile: int = 64
+    # At large capacities (the bounce-1 segment: ~1-2M slots) a full
+    # (octant, tile) lax.sort costs O(cap log^2 cap) compare-exchange
+    # passes (~230 sweeps at 2M lanes). Capacities >= this threshold use a
+    # stable 9-bucket octant partition instead (9 masked cumsums — two
+    # orders of magnitude less traffic); slot order within an octant stays
+    # pixel-row-major, which keeps origins spatially local enough for the
+    # bundle apex. The deep segment (~174k slots) keeps the exact
+    # tile-minor key sort.
+    compact_sort_partition_min: int = 500_000
 
 
 @struct.dataclass
@@ -193,17 +202,39 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
         octant = ((d[:, 0] < 0).astype(jnp.int32) * 4
                   + (d[:, 1] < 0).astype(jnp.int32) * 2
                   + (d[:, 2] < 0).astype(jnp.int32))
-        ts = cfg.compact_sort_tile
-        tiles_x = -(-w // ts)
-        tiles_y = -(-h // ts)
-        fl = jnp.arange(n, dtype=jnp.int32)
-        tile = (fl // (w * ts)) * tiles_x + (fl % w) // ts
-        key_dense = octant * (tiles_x * tiles_y) + tile
-        key_dense = jnp.concatenate(
-            [key_dense, jnp.array([2 ** 30], jnp.int32)])
-        key_slots = key_dense[jnp.minimum(src, n)]
-        _, src, perm = jax.lax.sort(
-            (key_slots, src, jnp.arange(cap, dtype=jnp.int32)), num_keys=1)
+        if cap >= cfg.compact_sort_partition_min:
+            # Stable octant partition (see compact_sort_partition_min):
+            # bucket 8 = dead slots, packed at the tail like the key
+            # sort's sentinel. Every slot lands in exactly one bucket, so
+            # new_pos is a full permutation of [0, cap).
+            key_dense = jnp.concatenate([octant, jnp.array([8], jnp.int32)])
+            key_slots = key_dense[jnp.minimum(src, n)]
+            new_pos = jnp.zeros((cap,), jnp.int32)
+            base = jnp.int32(0)
+            for b in range(9):
+                mask = key_slots == b
+                mi = mask.astype(jnp.int32)
+                rank = jnp.cumsum(mi) - 1
+                new_pos = jnp.where(mask, base + rank, new_pos)
+                base = base + jnp.sum(mi)
+            arange_cap = jnp.arange(cap, dtype=jnp.int32)
+            src = jnp.zeros((cap,), jnp.int32).at[new_pos].set(
+                src, unique_indices=True)
+            perm = jnp.zeros((cap,), jnp.int32).at[new_pos].set(
+                arange_cap, unique_indices=True)
+        else:
+            ts = cfg.compact_sort_tile
+            tiles_x = -(-w // ts)
+            tiles_y = -(-h // ts)
+            fl = jnp.arange(n, dtype=jnp.int32)
+            tile = (fl // (w * ts)) * tiles_x + (fl % w) // ts
+            key_dense = octant * (tiles_x * tiles_y) + tile
+            key_dense = jnp.concatenate(
+                [key_dense, jnp.array([2 ** 30], jnp.int32)])
+            key_slots = key_dense[jnp.minimum(src, n)]
+            _, src, perm = jax.lax.sort(
+                (key_slots, src, jnp.arange(cap, dtype=jnp.int32)),
+                num_keys=1)
 
     slot_live = src < n
 

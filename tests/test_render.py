@@ -151,6 +151,24 @@ def test_compact_sort_is_invisible():
     assert float(out_on.rays_traced) == float(out_off.rays_traced)
 
 
+def test_compact_sort_partition_is_invisible():
+    """The stable 9-bucket octant partition (large-capacity replacement
+    for the (octant, tile) key sort) is also just a slot permutation:
+    radiance must be bitwise identical to the sort-off baseline."""
+    host, cam, _ = _small_setup()
+    cfg_off = pathtrace.PathTraceConfig(width=64, height=64, bounces=6,
+                                        block_size=4096, compact_from=2,
+                                        compact_fraction=4,
+                                        compact_sort=False)
+    cfg_part = dataclasses.replace(cfg_off, compact_sort=True,
+                                   compact_sort_partition_min=0)
+    out_off = pathtrace.trace_image(host.scene, cam, cfg_off, 3)
+    out_p = pathtrace.trace_image(host.scene, cam, cfg_part, 3)
+    np.testing.assert_array_equal(np.asarray(out_p.radiance),
+                                  np.asarray(out_off.radiance))
+    assert float(out_p.rays_traced) == float(out_off.rays_traced)
+
+
 def test_compact_from_bounce1_matches_dense():
     """compact_from=1 (bounce-1 segment + deep re-compaction) reproduces
     the masked-dense integrator exactly like compact_from=2 does: per-path
