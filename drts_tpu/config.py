@@ -215,10 +215,16 @@ class PostProcessingSettings:
     denoiser_max_history: int = 30
     denoiser_clamp_gamma: float = 2.5
     denoiser_specular_virtual: bool = True
+    # Lateral chromatic aberration (reference README "Post-Processing >
+    # Chromatic Aberration"; no shader ships in the snapshot — see
+    # ops/post.chromatic_aberration). 0 disables.
+    chromatic_aberration_strength: float = 0.0
 
     def check(self) -> "PostProcessingSettings":
         return dataclasses.replace(
             self,
+            chromatic_aberration_strength=_clamp(
+                self.chromatic_aberration_strength, 0.0, 0.05),
             sharpness=_clamp(self.sharpness, 0.0, 1.0),
             bloom_strength=_clamp(self.bloom_strength, 0.0, 1.0),
             exposure=_clamp(self.exposure, 1e-3, 1e3),

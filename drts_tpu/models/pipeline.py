@@ -56,6 +56,10 @@ class PipelineConfig:
     bloom_strength: float = 0.05
     sharpen_enabled: bool = True
     sharpness: float = 0.5
+    # Lateral chromatic aberration in display space (README post chain);
+    # 0 = off. Static: the per-channel center-scale gathers fold to
+    # constant indices (ops/post.chromatic_aberration).
+    chromatic_aberration_strength: float = 0.0
     tone_map_operator: str = "ACESFilmic"
     exposure: float = 1.0
     # HDR10 output path (App.cpp:1737-1744): ST.2084 + Rec.2020 signal.
@@ -147,6 +151,8 @@ class PipelineConfig:
             bloom_strength=s.post.bloom_strength,
             sharpen_enabled=s.post.is_sharpening_enabled,
             sharpness=s.post.sharpness,
+            chromatic_aberration_strength=(
+                s.post.chromatic_aberration_strength),
             tone_map_operator=s.post.tone_map_operator.value,
             exposure=s.post.exposure,
             hdr_enabled=s.post.is_hdr_enabled,
@@ -512,10 +518,13 @@ class RenderPipeline:
             color = post.sharpen(color, dyn.sharpness)
         if c.bloom_enabled:
             color = post.bloom(color, dyn.bloom_strength)
-        return post.tonemap(color, c.tone_map_operator, dyn.exposure,
-                            hdr=c.hdr_enabled,
-                            paper_white_nits=c.paper_white_nits,
-                            color_rotation=c.hdr_color_rotation)
+        color = post.tonemap(color, c.tone_map_operator, dyn.exposure,
+                             hdr=c.hdr_enabled,
+                             paper_white_nits=c.paper_white_nits,
+                             color_rotation=c.hdr_color_rotation)
+        # Display-space lateral CA last (reference README post chain).
+        return post.chromatic_aberration(color,
+                                         c.chromatic_aberration_strength)
 
     def _stage_post(self, state, color, gbuf, cam, reset, confidence=None,
                     dyn: DynamicSettings | None = None):

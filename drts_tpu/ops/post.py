@@ -12,6 +12,7 @@ dense vector code.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils import math as m
 
@@ -215,6 +216,46 @@ def sharpen(img, sharpness: float = 0.5):
                    + _shift(img, 0, -1) + _shift(img, 0, 1))
     amount = 0.8 * sharpness
     return jnp.maximum(img + (img - blur) * amount, 0.0)
+
+
+# ----------------------------------------------------------------------------
+# Chromatic aberration (reference README.md "Post-Processing > Chromatic
+# Aberration"; the code snapshot at /root/reference ships no shader for it,
+# so this implements the standard lateral-CA model: each channel magnified
+# about the image center by a slightly different factor — R outward, B
+# inward). A center scale is separable, so with a STATIC strength the whole
+# effect lowers to four monotone static-index gathers per channel (no 2-D
+# warp gather).
+
+
+def _scale_about_center(ch, scale: float):
+    """Bilinear resample of (H, W) channel `ch` magnified by `scale` about
+    the center. `scale` is a static python float."""
+    out = ch
+    for axis in (0, 1):
+        n = out.shape[axis]
+        coords = (np.arange(n, dtype=np.float64) - (n - 1) / 2) / scale \
+            + (n - 1) / 2
+        i0 = np.clip(np.floor(coords).astype(np.int32), 0, n - 1)
+        i1 = np.minimum(i0 + 1, n - 1)
+        f = jnp.asarray(np.clip(coords - i0, 0.0, 1.0), jnp.float32)
+        a = jnp.take(out, jnp.asarray(i0), axis=axis)
+        b = jnp.take(out, jnp.asarray(i1), axis=axis)
+        fshape = [1, 1]
+        fshape[axis] = n
+        out = a + (b - a) * f.reshape(fshape)
+    return out
+
+
+def chromatic_aberration(img, strength: float = 0.0):
+    """(H, W, 3) display-space image -> lateral CA. strength ~ the relative
+    magnification split between R and B at the image corner (0 = off,
+    typical 0.002-0.01)."""
+    if strength <= 0.0:
+        return img
+    scales = (1.0 + strength, 1.0, 1.0 - strength)
+    return jnp.stack([_scale_about_center(img[..., c], s)
+                      for c, s in enumerate(scales)], axis=-1)
 
 
 # ----------------------------------------------------------------------------

@@ -50,6 +50,36 @@ def test_sharpen_enhances_edges():
     assert out[8, 8].sum() > 3.0 - 1e-6  # overshoot on the bright side
 
 
+def test_chromatic_aberration():
+    """Lateral CA (README post chain): strength 0 is the identity; at
+    strength > 0 an off-center impulse's red channel magnifies outward,
+    blue inward, green stays put (a magnification scales integrals by the
+    Jacobian, so only the green channel is exactly preserved)."""
+    h = w = 65
+    img = np.zeros((h, w, 3), np.float32)
+    img[32, 48] = 1.0  # 16 px right of center
+    x = jnp.asarray(img)
+
+    assert post.chromatic_aberration(x, 0.0) is x
+
+    out = np.asarray(post.chromatic_aberration(x, 0.03))
+    assert np.isfinite(out).all()
+
+    def centroid_x(ch):
+        wsum = ch.sum()
+        return (ch * np.arange(w)[None, :]).sum() / wsum, wsum
+
+    rx, re = centroid_x(out[..., 0])
+    gx, _ = centroid_x(out[..., 1])
+    bx, be = centroid_x(out[..., 2])
+    assert rx > 48.2, rx          # red pushed outward (right of center)
+    assert abs(gx - 48.0) < 1e-4  # green untouched
+    assert bx < 47.8, bx          # blue pulled inward
+    # Jacobian bounds the per-channel integral drift.
+    assert 0.9 < re < 1.12 and 0.9 < be < 1.12, (re, be)
+    np.testing.assert_array_equal(out[..., 1], img[..., 1])
+
+
 def test_denoiser_accumulates_static_scene():
     h = w = 32
     state = denoise.init_state(h, w)
