@@ -108,6 +108,33 @@ def _numpy_mirror_trace():
     return radiance
 
 
+def test_index_matched_glass_sphere_is_invisible():
+    """Transmission-lobe ground truth without any tracer at all: a
+    transmission=1 sphere with ior=1 is index-matched — Fresnel reflectance
+    is 0 and refraction doesn't bend, so every camera ray must pass
+    straight through and the image equals the raw environment color
+    (up to the bounce budget: rays that would need more than `bounces`
+    interface crossings terminate black, so give it headroom)."""
+    mats = pack_materials([MaterialDesc(base_color=(1.0, 1.0, 1.0, 1.0),
+                                        roughness=0.0, transmission=1.0,
+                                        ior=1.0)])
+    center = jnp.zeros((1, 3), jnp.float32)
+    rot = jnp.tile(m.QUAT_IDENTITY, (1, 1))
+    scene = scene_mod.SphereScene(
+        center=center, rotation=rot, prev_center=center, prev_rotation=rot,
+        radius=jnp.asarray([1.5], jnp.float32), materials=mats,
+        env=sky.make_environment_light(color=(*ENV, 1.0)))
+    cam = camera_mod.make_camera((0.0, 0.0, -4.0), forward=(0.0, 0.0, 1.0),
+                                 horizontal_fov_deg=FOV_DEG, aspect=1.0)
+    cfg = pathtrace.PathTraceConfig(width=32, height=32, bounces=6,
+                                    samples_per_pixel=1, block_size=1024,
+                                    russian_roulette=False)
+    out = pathtrace.trace_image(scene, cam, cfg, 0)
+    got = np.asarray(out.radiance)
+    np.testing.assert_allclose(got, np.broadcast_to(ENV, got.shape),
+                               rtol=5e-3, atol=5e-3)
+
+
 def test_mirror_gi_matches_independent_numpy_tracer():
     scene = _build_scene()
     cam = camera_mod.make_camera((0.0, 0.0, -4.0), forward=(0.0, 0.0, 1.0),
