@@ -174,17 +174,104 @@ def cmd_set(args):
     print(f"saved {args.settings}")
 
 
+def _interactive_keys(args, sess, mutations, mtime_box, camera_mod,
+                      image_mod):
+    """Key-driven fly camera: each tick polls one key (scripted string or
+    live TTY), applies it to the CameraController, renders a frame."""
+    import time
+
+    import numpy as np
+
+    default = sess.default_pose()
+
+    def make_controller():
+        return camera_mod.CameraController(
+            position=np.asarray(default.position, np.float64),
+            forward=np.asarray(default.forward, np.float64))
+
+    ctl = make_controller()
+    scripted = args.keys is not None
+    keys = iter(args.keys) if scripted else _read_keys_live()
+    print(camera_mod.KEY_HELP, flush=True)
+    prev = ctl.pose()
+    os.makedirs(args.out_dir, exist_ok=True)
+    shots = 0
+    t_last = time.perf_counter()
+    img = None
+    i = 0
+    while scripted or i < args.frames:
+        for key, value in mutations.get(i, ()):
+            how = sess.set(key, value)
+            print(f"tick {i}: set {key}={value} ({how})", flush=True)
+        _maybe_reload(sess, args, mtime_box)
+        try:
+            k = next(keys)
+        except StopIteration:
+            break
+        action = camera_mod.apply_input_key(ctl, k)
+        if action == "quit":
+            break
+        if action == "reset":
+            ctl = make_controller()
+        pose = ctl.pose()
+        now = time.perf_counter()
+        dt = 1.0 / 60.0 if scripted else max(now - t_last, 1e-4)
+        t_last = now
+        img = sess.step(pose, dt=dt, prev_pose=prev)
+        prev = pose
+        if action == "screenshot":
+            path = os.path.join(args.out_dir, f"shot_{shots:04d}.png")
+            image_mod.write_png(path, np.asarray(img))
+            print(f"wrote {path}", flush=True)
+            shots += 1
+        if action:
+            p = np.asarray(pose.position).round(2)
+            print(f"tick {i}: {action} pos={p.tolist()}", flush=True)
+        i += 1
+    if img is not None and args.save_last:
+        path = os.path.join(args.out_dir, "final.png")
+        image_mod.write_png(path, np.asarray(img))
+        print(f"wrote {path}", flush=True)
+
+
+def _read_keys_live():
+    """Generator of keypresses from a cbreak TTY (the reference's per-frame
+    ProcessInput poll, App.cpp:812-970). Yields '' when no key is pending
+    so the render loop keeps ticking."""
+    import select
+    import sys
+    import termios
+    import tty
+
+    fd = sys.stdin.fileno()
+    old = termios.tcgetattr(fd)
+    try:
+        tty.setcbreak(fd)
+        while True:
+            r, _, _ = select.select([sys.stdin], [], [], 0.0)
+            yield sys.stdin.read(1) if r else ""
+    finally:
+        termios.tcsetattr(fd, termios.TCSADRAIN, old)
+
+
 def cmd_interactive(args):
-    """Scripted orbit fly-through (CameraController analogue) with optional
-    mid-flight settings mutation."""
+    """Fly-camera loop (CameraController analogue): --keys drives it with
+    a scripted key string (space = tick with no input), a TTY drives it
+    live (WASD..., see camera.KEY_HELP), otherwise a scripted orbit; all
+    modes support mid-flight settings mutation."""
     import jax.numpy as jnp
     from .models.pipeline import CameraPose
+    from .ops import camera as camera_mod
     from .utils import image as image_mod
     from .utils import timer as timer_mod
 
     sess = _build_session(args)
     mutations = _parse_mutations(args)
     mtime_box = [None]
+
+    if args.keys is not None or (args.wasd and os.isatty(0)):
+        return _interactive_keys(args, sess, mutations, mtime_box,
+                                 camera_mod, image_mod)
 
     os.makedirs(args.out_dir, exist_ok=True)
     prev = sess.default_pose()
@@ -273,6 +360,12 @@ def main(argv=None):
     it.add_argument("--frames", type=int, default=32)
     it.add_argument("--save-last", type=int, default=4)
     it.add_argument("--out-dir", default="out")
+    it.add_argument("--keys", default=None, metavar="STR",
+                    help="scripted key string for the fly camera "
+                         "(w/a/s/d/q/e move, i/j/k/l/u/o look, r reset, "
+                         "p screenshot, x quit; space = idle tick)")
+    it.add_argument("--wasd", action="store_true",
+                    help="live keyboard fly camera (requires a TTY)")
     add_runtime_flags(it)
     it.set_defaults(fn=cmd_interactive)
 

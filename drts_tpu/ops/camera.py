@@ -210,3 +210,37 @@ class CameraController:
             position=jnp.asarray(self.position, jnp.float32),
             forward=jnp.asarray(self._forward, jnp.float32),
             up=jnp.asarray(self._up, jnp.float32))
+
+
+# Key bindings for the CLI fly-camera (the terminal stand-in for the
+# reference's ProcessInput WASD+mouse handling, App.cpp:812-970):
+# translation in the local frame, ijkl/uo look, r reset, p screenshot,
+# x quit.
+KEY_HELP = ("w/s fwd/back  a/d left/right  q/e down/up  "
+            "j/l yaw  i/k pitch  u/o roll  r reset  p screenshot  x quit")
+
+
+def apply_input_key(controller: CameraController, key: str,
+                    move_step: float = 1.0,
+                    turn_step: float = np.deg2rad(5.0)) -> str:
+    """Apply one key to the controller. Returns the action taken:
+    'move' | 'turn' | 'reset' | 'screenshot' | 'quit' | '' (ignored)."""
+    moves = {"w": (0, 0, 1), "s": (0, 0, -1), "a": (-1, 0, 0),
+             "d": (1, 0, 0), "q": (0, -1, 0), "e": (0, 1, 0)}
+    turns = {"j": (-1, 0, 0), "l": (1, 0, 0), "i": (0, 1, 0),
+             "k": (0, -1, 0), "u": (0, 0, -1), "o": (0, 0, 1)}
+    k = key.lower()
+    if k in moves:
+        controller.translate(np.asarray(moves[k], np.float64) * move_step)
+        return "move"
+    if k in turns:
+        yaw, pitch, roll = (np.asarray(turns[k], np.float64) * turn_step)
+        controller.rotate(yaw=yaw, pitch=pitch, roll=roll)
+        return "turn"
+    if k == "r":
+        return "reset"
+    if k == "p":
+        return "screenshot"
+    if k == "x":
+        return "quit"
+    return ""

@@ -73,3 +73,26 @@ def test_thin_lens_dof():
     focal = o + d / m.dot(d, jnp.array([0.0, 0.0, 1.0]))[:, None]
     spread = np.asarray(focal) - np.asarray(focal)[0]
     np.testing.assert_allclose(spread, np.zeros_like(spread), atol=1e-5)
+
+
+def test_apply_input_key_bindings():
+    """CLI fly-camera key map (App.cpp ProcessInput analogue): w moves
+    along local forward, d along local right, l yaws right (forward tips
+    toward +x for a +z-facing camera), r/p/x report their actions,
+    unbound keys are ignored without touching the state."""
+    c = camera_mod.CameraController(position=(0.0, 0.0, -15.0))
+    assert camera_mod.apply_input_key(c, "w", move_step=2.0) == "move"
+    np.testing.assert_allclose(c.position, [0, 0, -13], atol=1e-9)
+    assert camera_mod.apply_input_key(c, "d", move_step=1.0) == "move"
+    np.testing.assert_allclose(c.position, [1, 0, -13], atol=1e-9)
+    fwd_before = c.forward
+    assert camera_mod.apply_input_key(c, "l") == "turn"
+    assert c.forward[0] > fwd_before[0]
+    assert camera_mod.apply_input_key(c, "i") == "turn"
+    assert c.forward[1] > 0.0  # pitch up
+    assert camera_mod.apply_input_key(c, "r") == "reset"
+    assert camera_mod.apply_input_key(c, "p") == "screenshot"
+    assert camera_mod.apply_input_key(c, "x") == "quit"
+    pos = c.position.copy()
+    assert camera_mod.apply_input_key(c, "z") == ""
+    np.testing.assert_array_equal(c.position, pos)
