@@ -146,8 +146,7 @@ def occluded_scene(scene, origin, direction, max_dist, exclude_index,
             exclude_index=exclude_index, accel=accel)
     if scene.mesh is not None:
         mi = scene.mesh_instances
-        tri = trimesh.intersect_instances(
+        occ = occ | trimesh.intersect_instances_any(
             origin, direction, jnp.zeros(max_dist.shape), max_dist,
             scene.mesh, mi.center, mi.rotation, mi.scale)
-        occ = occ | tri.hit
     return occ

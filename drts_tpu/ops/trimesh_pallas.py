@@ -303,6 +303,209 @@ def intersect_mesh_instances(rays_planar, inst_tbl, inst_bounds, tri_bounds,
     return t, face, inst[0]
 
 
+def _mesh_anyhit_kernel(rays_ref, inst_ref, ibounds_ref, tbounds_ref,
+                        tri_ref, occ_ref, occ_s, *, n_ichunks: int,
+                        inst_chunk: int, n_chunks: int, chunk: int):
+    """Any-hit (shadow-ray) variant of _mesh_kernel — the instanced-mesh
+    counterpart of intersect_pallas._anyhit_kernel
+    (RAY_FLAG_ACCEPT_FIRST_HIT_AND_END_SEARCH, RTXDIAppBridge.hlsli:418-459):
+    no closest-t/winner bookkeeping, just a per-lane blocked bit; instance
+    chunks, instances, and triangle chunks are all skipped once every live
+    lane is blocked, and distance culls use the block's max shadow range
+    instead of the closest-hit bound."""
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+    tmin = rays_ref[6:7, :]
+    tmax = rays_ref[7:8, :]
+
+    occ_s[:, :] = jnp.zeros(ox.shape, jnp.int32)
+
+    @pl.when(jnp.any(tmax >= tmin))
+    def _():
+        live = tmax >= tmin
+        (mx, my, mz, orad, axw, ayw, azw, cmin, sin_c,
+         coherent) = _bundle_summary(ox, oy, oz, dx, dy, dz, live)
+        tmax_max = jnp.max(jnp.where(live, tmax, 0.0))
+
+        def visit_inst(k, _):
+            px = inst_ref[0, k]
+            py = inst_ref[1, k]
+            pz = inst_ref[2, k]
+            qx = inst_ref[3, k]
+            qy = inst_ref[4, k]
+            qz = inst_ref[5, k]
+            qw = inst_ref[6, k]
+            inv_s = inst_ref[7, k]
+            brw = inst_ref[8, k]
+
+            vx, vy, vz = px - mx, py - my, pz - mz
+            er = brw + orad
+            along = vx * axw + vy * ayw + vz * azw
+            d2 = vx * vx + vy * vy + vz * vz
+            perp = jnp.sqrt(jnp.maximum(d2 - along * along, 0.0))
+            outside_cone = perp * cmin - along * sin_c > er
+            behind = along < -er
+            too_far = jnp.sqrt(d2) - er > tmax_max
+            unresolved = jnp.any((occ_s[:, :] == 0) & live)
+            possible = unresolved & (brw > 0.0) & jnp.logical_not(
+                (coherent & (outside_cone | behind)) | too_far)
+
+            @pl.when(possible)
+            def _():
+                olx, oly, olz = _quat_conj_rotate_rows(
+                    qx, qy, qz, qw, ox - px, oy - py, oz - pz)
+                olx, oly, olz = olx * inv_s, oly * inv_s, olz * inv_s
+                dlx, dly, dlz = _quat_conj_rotate_rows(
+                    qx, qy, qz, qw, dx, dy, dz)
+                dlx, dly, dlz = dlx * inv_s, dly * inv_s, dlz * inv_s
+
+                def rot_scalar(vx0, vy0, vz0):
+                    ax0, ay0, az0 = -qx, -qy, -qz
+                    c1x = ay0 * vz0 - az0 * vy0 + qw * vx0
+                    c1y = az0 * vx0 - ax0 * vz0 + qw * vy0
+                    c1z = ax0 * vy0 - ay0 * vx0 + qw * vz0
+                    return (vx0 + 2.0 * (ay0 * c1z - az0 * c1y),
+                            vy0 + 2.0 * (az0 * c1x - ax0 * c1z),
+                            vz0 + 2.0 * (ax0 * c1y - ay0 * c1x))
+
+                mlx, mly, mlz = rot_scalar(mx - px, my - py, mz - pz)
+                mlx, mly, mlz = mlx * inv_s, mly * inv_s, mlz * inv_s
+                alx, aly, alz = rot_scalar(axw, ayw, azw)
+                orad_l = orad * inv_s
+                tmax_max_l = tmax_max * inv_s
+
+                def visit_chunk(c, _):
+                    bx = tbounds_ref[0, c]
+                    by = tbounds_ref[1, c]
+                    bz = tbounds_ref[2, c]
+                    br = tbounds_ref[3, c]
+                    wx, wy, wz = bx - mlx, by - mly, bz - mlz
+                    er2 = br + orad_l
+                    along2 = wx * alx + wy * aly + wz * alz
+                    dd2 = wx * wx + wy * wy + wz * wz
+                    perp2 = jnp.sqrt(jnp.maximum(
+                        dd2 - along2 * along2, 0.0))
+                    out2 = perp2 * cmin - along2 * sin_c > er2
+                    behind2 = along2 < -er2
+                    far2 = jnp.sqrt(dd2) - er2 > tmax_max_l
+                    unresolved2 = jnp.any((occ_s[:, :] == 0) & live)
+                    possible2 = unresolved2 & jnp.logical_not(
+                        (coherent & (out2 | behind2)) | far2)
+
+                    @pl.when(possible2)
+                    def _():
+                        s0 = pl.multiple_of(c * chunk, chunk)
+                        tri = tri_ref[pl.ds(s0, chunk), :]   # (S, 9)
+                        v0x = tri[:, 0:1]
+                        v0y = tri[:, 1:2]
+                        v0z = tri[:, 2:3]
+                        e1x = tri[:, 3:4]
+                        e1y = tri[:, 4:5]
+                        e1z = tri[:, 5:6]
+                        e2x = tri[:, 6:7]
+                        e2y = tri[:, 7:8]
+                        e2z = tri[:, 8:9]
+
+                        pvx = dly * e2z - dlz * e2y
+                        pvy = dlz * e2x - dlx * e2z
+                        pvz = dlx * e2y - dly * e2x
+                        det = pvx * e1x + pvy * e1y + pvz * e1z
+                        inv = 1.0 / det
+                        tvx = olx - v0x
+                        tvy = oly - v0y
+                        tvz = olz - v0z
+                        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+                        qvx = tvy * e1z - tvz * e1y
+                        qvy = tvz * e1x - tvx * e1z
+                        qvz = tvx * e1y - tvy * e1x
+                        v = (dlx * qvx + dly * qvy + dlz * qvz) * inv
+                        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+                        blocked = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                                   & (t >= tmin) & (t <= tmax))
+                        any_hit = jnp.sum(blocked.astype(jnp.int32),
+                                          axis=0, keepdims=True)
+                        occ_s[:, :] = occ_s[:, :] \
+                            | (any_hit > 0).astype(jnp.int32)
+                    return 0
+
+                jax.lax.fori_loop(0, n_chunks, visit_chunk, 0)
+            return 0
+
+        def visit_ichunk(ic, _):
+            bcx = ibounds_ref[0, ic]
+            bcy = ibounds_ref[1, ic]
+            bcz = ibounds_ref[2, ic]
+            bcr = ibounds_ref[3, ic]
+            wx, wy, wz = bcx - mx, bcy - my, bcz - mz
+            erc = bcr + orad
+            alongc = wx * axw + wy * ayw + wz * azw
+            dc2 = wx * wx + wy * wy + wz * wz
+            perpc = jnp.sqrt(jnp.maximum(dc2 - alongc * alongc, 0.0))
+            outc = perpc * cmin - alongc * sin_c > erc
+            behindc = alongc < -erc
+            farc = jnp.sqrt(dc2) - erc > tmax_max
+            unresolved_c = jnp.any((occ_s[:, :] == 0) & live)
+            possible_c = unresolved_c & (bcr > 0.0) & jnp.logical_not(
+                (coherent & (outc | behindc)) | farc)
+
+            @pl.when(possible_c)
+            def _():
+                jax.lax.fori_loop(ic * inst_chunk, (ic + 1) * inst_chunk,
+                                  visit_inst, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_ichunks, visit_ichunk, 0)
+
+    occ_ref[:, :] = occ_s[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("n_ichunks", "inst_chunk",
+                                             "n_chunks", "chunk",
+                                             "interpret"))
+def intersect_mesh_instances_any(rays_planar, inst_tbl, inst_bounds,
+                                 tri_bounds, tri_tbl, n_ichunks: int,
+                                 inst_chunk: int, n_chunks: int, chunk: int,
+                                 interpret=False):
+    """Any-hit occlusion against instanced meshes. Same table layout as
+    intersect_mesh_instances; returns occluded (N,) bool."""
+    n = rays_planar.shape[1]
+    assert n % RAY_BLOCK == 0, n
+    grid = (n // RAY_BLOCK,)
+
+    occ = pl.pallas_call(
+        functools.partial(_mesh_anyhit_kernel, n_ichunks=n_ichunks,
+                          inst_chunk=inst_chunk, n_chunks=n_chunks,
+                          chunk=chunk),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, inst_tbl.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, inst_bounds.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, tri_bounds.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(tri_tbl.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, RAY_BLOCK), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=45 * n * (n_ichunks * inst_chunk + tri_tbl.shape[0]),
+            bytes_accessed=(8 + 1) * n * 4,
+            transcendentals=n * n_chunks),
+        interpret=interpret,
+    )(rays_planar, inst_tbl, inst_bounds, tri_bounds, tri_tbl)
+    return occ[0] > 0
+
+
 def build_mesh_tables(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
                       chunk: int = TRI_CHUNK):
     """Host-side BLAS build: Morton-order faces by centroid, pad to a chunk

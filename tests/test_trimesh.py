@@ -160,6 +160,41 @@ def test_pallas_mesh_kernel_many_instances():
     assert same.mean() > 0.98
 
 
+def test_pallas_mesh_anyhit_matches_closest_hit():
+    """The any-hit mesh kernel (shadow rays) must classify occlusion
+    exactly like the closest-hit sweep's hit bit — including range-bounded
+    rays (finite tmax) and dead lanes (tmax < tmin)."""
+    rng = np.random.RandomState(23)
+    mesh = _unit_geosphere(2)
+    k = 24
+    pos = jnp.asarray(rng.randn(k, 3) * 8, jnp.float32)
+    rot = m.normalize(jnp.asarray(rng.randn(k, 4), jnp.float32))
+    scale = jnp.asarray(0.5 + rng.rand(k), jnp.float32)
+    n = 4096
+    o = jnp.asarray(rng.randn(n, 3) * 10, jnp.float32)
+    d = m.normalize(jnp.asarray(rng.randn(n, 3), jnp.float32))
+    tmin = jnp.zeros(n)
+    # Mix of unbounded, short, and dead rays.
+    tmax = jnp.asarray(np.where(rng.rand(n) < 0.3, 1e9,
+                                np.where(rng.rand(n) < 0.5,
+                                         rng.rand(n) * 12, -1.0)),
+                       jnp.float32)
+
+    ref = trimesh.intersect_instances(o, d, tmin, tmax, mesh, pos, rot,
+                                      scale)
+    old = intersect.BACKEND
+    intersect.BACKEND = "interpret"
+    try:
+        occ = trimesh.intersect_instances_any(o, d, tmin, tmax, mesh, pos,
+                                              rot, scale)
+    finally:
+        intersect.BACKEND = old
+    occ = np.asarray(occ)
+    hit_r = np.asarray(ref.hit)
+    assert (occ == hit_r).mean() > 0.999, (occ != hit_r).sum()
+    assert not occ[np.asarray(tmax) < 0].any()
+
+
 def test_as_mesh_scene_renders():
     """The demo scene converted to 100% instanced triangle meshes
     (myscene.as_mesh_scene — the reference's actual geosphere BLAS
