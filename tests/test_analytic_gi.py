@@ -135,6 +135,119 @@ def test_index_matched_glass_sphere_is_invisible():
                                rtol=5e-3, atol=5e-3)
 
 
+def _numpy_glass_trace(ior, samples, seed, bounces, width, height):
+    """Independent MC glass tracer: exact unpolarized dielectric Fresnel
+    decides reflect vs refract (Snell), TIR reflects, throughput stays 1
+    (base_color 1 smooth glass). Environment = the sRGB-lerp sky gradient
+    (ShadingHelpers.hlsli:29). Written from the published formulas only."""
+    rng = np.random.RandomState(seed)
+    pos0 = np.array([0.0, 0.0, -4.0])
+    tan_half = np.tan(np.radians(FOV_DEG) / 2.0)
+    xs, ys = np.meshgrid(np.arange(width), np.arange(height), indexing="xy")
+    ndc_x = (xs + 0.5) / width * 2.0 - 1.0
+    ndc_y = 1.0 - (ys + 0.5) / height * 2.0
+    d0 = np.stack([ndc_x * tan_half, ndc_y * tan_half,
+                   np.ones_like(ndc_x)], axis=-1)
+    d0 = d0 / np.linalg.norm(d0, axis=-1, keepdims=True)
+
+    def sky(direction):
+        t = (direction[..., 1:2] + 1.0) * 0.5
+        srgb = 1.0 + (np.array([0.5, 0.7, 1.0]) - 1.0) * t
+        return np.where(srgb <= 0.04045, srgb / 12.92,
+                        ((srgb + 0.055) / 1.055) ** 2.4)
+
+    acc = np.zeros((height, width, 3))
+    radius = 1.5
+    for _ in range(samples):
+        o = np.broadcast_to(pos0, d0.shape).copy()
+        d = d0.copy()
+        alive = np.ones((height, width), bool)
+        for level in range(bounces + 1):
+            b = np.sum(o * d, axis=-1)
+            disc = b * b - (np.sum(o * o, axis=-1) - radius * radius)
+            ok = disc >= 0.0
+            sq = np.sqrt(np.maximum(disc, 0.0))
+            t_near = -b - sq
+            t_far = -b + sq
+            t = np.where(t_near > 1e-4, t_near, t_far)
+            hit = alive & ok & (t > 1e-4)
+
+            miss = alive & ~hit
+            acc[miss] += sky(d)[miss]
+            alive = alive & hit
+            if level == bounces or not alive.any():
+                break
+
+            p = o + d * np.where(hit, t, 0.0)[..., None]
+            n = p / radius                       # outward normal
+            inside = np.sum(d * n, axis=-1) > 0.0
+            n_f = np.where(inside[..., None], -n, n)  # against the ray
+            # eta = IOR_incident / IOR_transmitted (glass inside: ior/1).
+            eta_f = np.where(inside, ior, 1.0 / ior)
+            cos_i = np.clip(-np.sum(d * n_f, axis=-1), 0.0, 1.0)
+            sin_t2 = eta_f ** 2 * (1.0 - cos_i ** 2)
+            tir = sin_t2 >= 1.0
+            cos_t = np.sqrt(np.maximum(1.0 - sin_t2, 0.0))
+            rs = (eta_f * cos_i - cos_t) / np.maximum(
+                eta_f * cos_i + cos_t, 1e-8)
+            rp = (cos_i - eta_f * cos_t) / np.maximum(
+                cos_i + eta_f * cos_t, 1e-8)
+            fres = np.where(tir, 1.0, 0.5 * (rs * rs + rp * rp))
+
+            reflect = rng.rand(height, width) < fres
+            d_refl = d + 2.0 * cos_i[..., None] * n_f
+            d_refr = (eta_f[..., None] * d
+                      + (eta_f * cos_i - cos_t)[..., None] * n_f)
+            d_new = np.where(reflect[..., None], d_refl, d_refr)
+            d_new = d_new / np.maximum(
+                np.linalg.norm(d_new, axis=-1, keepdims=True), 1e-12)
+            d = np.where(alive[..., None], d_new, d)
+            side = np.where(reflect, 1.0, -1.0)
+            o = np.where(alive[..., None],
+                         p + n_f * side[..., None] * 1e-4, o)
+    return acc / samples
+
+
+def test_glass_sphere_matches_independent_mc_tracer():
+    """Refraction geometry ground truth: a smooth ior-1.5 glass sphere
+    lensing the sky gradient. Both sides are Monte-Carlo (the Fresnel
+    reflect/refract split is stochastic), so compare converged means."""
+    ior = 1.5
+    w = h = 32
+    spp = 8
+    frames = 30  # 240 spp total; one jit compile, cheap repeat calls
+    mats = pack_materials([MaterialDesc(base_color=(1.0, 1.0, 1.0, 1.0),
+                                        roughness=0.0, transmission=1.0,
+                                        ior=ior)])
+    center = jnp.zeros((1, 3), jnp.float32)
+    rot = jnp.tile(m.QUAT_IDENTITY, (1, 1))
+    scene = scene_mod.SphereScene(
+        center=center, rotation=rot, prev_center=center, prev_rotation=rot,
+        radius=jnp.asarray([1.5], jnp.float32), materials=mats,
+        env=sky.make_environment_light())  # procedural sky gradient
+    cam = camera_mod.make_camera((0.0, 0.0, -4.0), forward=(0.0, 0.0, 1.0),
+                                 horizontal_fov_deg=FOV_DEG, aspect=1.0)
+    cfg = pathtrace.PathTraceConfig(width=w, height=h, bounces=6,
+                                    samples_per_pixel=spp, block_size=1024,
+                                    russian_roulette=False)
+    acc = np.zeros((h, w, 3))
+    for f in range(frames):
+        acc += np.asarray(
+            pathtrace.trace_image_jit(scene, cam, cfg, f).radiance)
+    got = acc / frames
+
+    want = _numpy_glass_trace(ior, samples=240, seed=7, bounces=6,
+                              width=w, height=h)
+
+    # Per-pixel MC noise ~0.012 at 288 spp; direction errors in the lens
+    # region would blow past this instantly (the gradient spans ~0.2-1.0).
+    diff = np.abs(got - want).max(axis=-1)
+    assert np.mean(diff) < 0.02, np.mean(diff)
+    assert np.mean(diff > 0.08) < 0.05, np.mean(diff > 0.08)
+    assert abs(got.mean() - want.mean()) / want.mean() < 0.015, \
+        (got.mean(), want.mean())
+
+
 def test_mirror_gi_matches_independent_numpy_tracer():
     scene = _build_scene()
     cam = camera_mod.make_camera((0.0, 0.0, -4.0), forward=(0.0, 0.0, 1.0),
