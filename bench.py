@@ -132,6 +132,42 @@ def bench_full_pipeline(width=1920, height=1080, iters=4):
     return full_ms, {k: round(v, 2) for k, v in passes.items()}, report
 
 
+def bench_mesh(width=1920, height=1080, tess=4, bounces=2, iters=4):
+    """General-geometry capability number: the same 448-instance demo
+    scene rendered as REAL triangle meshes through the Pallas instanced
+    TLAS/BLAS kernel (ops/trimesh_pallas.py) — the reference's actual
+    geosphere BLAS workload (Scene.ixx:225-284)."""
+    import jax
+    import numpy as np
+
+    from drts_tpu.models import myscene
+    from drts_tpu.ops import camera as camera_mod, pathtrace
+
+    host = myscene.build(oscillator_grid=10)
+    mh = myscene.as_mesh_scene(host, tessellation=tess)
+    cam = camera_mod.make_camera(mh.camera_position, mh.camera_forward,
+                                 horizontal_fov_deg=90.0,
+                                 aspect=width / height)
+    cfg = pathtrace.PathTraceConfig(width=width, height=height,
+                                    bounces=bounces, samples_per_pixel=1,
+                                    block_size=32768)
+
+    @jax.jit
+    def frame(scene, cam, fi):
+        out = pathtrace.trace_image(scene, cam, cfg, fi)
+        return out.radiance, out.rays_traced
+
+    rad, rays = frame(mh.scene, cam, 0)
+    jax.block_until_ready(rad)
+    assert np.isfinite(np.asarray(rad)).all()
+    start = time.perf_counter()
+    for i in range(iters):
+        rad, rays = frame(mh.scene, cam, i + 1)
+    jax.block_until_ready(rad)
+    ms = (time.perf_counter() - start) / iters * 1e3
+    return float(rays) / 1e6 / (ms / 1e3), ms
+
+
 def bench_upscaled(width=1920, height=1080, iters=4):
     """The reference's ACTUAL default config: DLSS-SR 'Auto' at 1080p
     renders at 1/2 scale and upscales (App.cpp:1374-1451, scale table
@@ -211,6 +247,15 @@ def main():
             note(f"bench: upscaled pipeline {up_ms:.1f} ms")
         except Exception:
             errors.append("upscaled: " + traceback.format_exc(limit=2))
+
+        try:
+            note("bench: instanced-mesh trace (448 geosphere BLAS)...")
+            mesh_mray, mesh_ms = bench_mesh()
+            record["mesh_trace_mray_s"] = round(mesh_mray, 2)
+            record["mesh_trace_ms"] = round(mesh_ms, 2)
+            note(f"bench: mesh trace {mesh_mray:.2f} Mray/s ({mesh_ms:.1f} ms)")
+        except Exception:
+            errors.append("mesh: " + traceback.format_exc(limit=2))
 
     if errors:
         record["errors"] = errors
