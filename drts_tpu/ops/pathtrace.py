@@ -69,10 +69,12 @@ class PathTraceConfig:
     # space between the segments.
     compact_from: int = 2
     compact_fraction: int = 12
-    # Capacity divisor for the bounce-1 segment (survivors there are all
-    # primary hits with a valid scatter — a large fraction of the frame,
-    # unlike the ~6% deep-bounce survivors).
-    compact_fraction_first: int = 2
+    # Capacity divisor for the bounce-1 segment. Survivors there are all
+    # primary hits with a valid scatter — routinely 60-80% of the frame,
+    # so /2 would OVERFLOW and silently drop GI paths; default /1 keeps
+    # full capacity (the coherence sort, not the lane reduction, is what
+    # the bounce-1 segment buys — dead tail blocks skip cheaply anyway).
+    compact_fraction_first: int = 1
     # Sort the compacted survivors by (direction octant, screen tile) before
     # the deep sweep. Pixel-order compaction gives each RAY_BLOCK white-noise
     # bounce directions, voiding the intersection kernel's bundle-cone cull
