@@ -55,6 +55,45 @@ def test_sharded_render_matches_single_device():
                                atol=1e-5)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_sharded_compact_from_bounce1_matches_single_device():
+    """The bounce-1 compaction + coherence sort (compact_from=1) under
+    GSPMD row sharding: the full-frame cumsum/permute machinery inserts
+    collectives, which must not change the math. De-risks flipping the
+    default after the TPU A/B."""
+    import dataclasses
+
+    from drts_tpu.models import myscene
+    from drts_tpu.ops import camera as camera_mod, pathtrace
+
+    host = myscene.build(oscillator_grid=1)
+    scene = host.scene
+    h, w = 16, 32
+    cam = camera_mod.make_camera(host.camera_position, host.camera_forward,
+                                 aspect=w / h)
+    cfg = pathtrace.PathTraceConfig(width=w, height=h, bounces=4,
+                                    block_size=512, compact_from=1,
+                                    compact_fraction=4,
+                                    compact_fraction_first=1)
+    # Partition-sort variant too: it's the large-cap default at 1080p.
+    cfg_p = dataclasses.replace(cfg, compact_sort_partition_min=0)
+
+    def render(cfg):
+        def f(scene, cam):
+            return pathtrace.trace_image(scene, cam, cfg, 5).radiance
+        return f
+
+    single = jax.jit(render(cfg))(scene, cam)
+    mesh = mesh_mod.make_mesh(4)
+    for c in (cfg, cfg_p):
+        sharded = jax.jit(render(c),
+                          out_shardings=mesh_mod.image_sharding(mesh))(
+            scene, cam)
+        assert len(sharded.sharding.device_set) == 4
+        np.testing.assert_allclose(np.asarray(single), np.asarray(sharded),
+                                   atol=1e-5)
+
+
 def test_dryrun_multichip_small():
     import os
     import sys
