@@ -199,35 +199,41 @@ def _interactive_keys(args, sess, mutations, mtime_box, camera_mod,
     t_last = time.perf_counter()
     img = None
     i = 0
-    while scripted or i < args.frames:
-        for key, value in mutations.get(i, ()):
-            how = sess.set(key, value)
-            print(f"tick {i}: set {key}={value} ({how})", flush=True)
-        _maybe_reload(sess, args, mtime_box)
-        try:
-            k = next(keys)
-        except StopIteration:
-            break
-        action = camera_mod.apply_input_key(ctl, k)
-        if action == "quit":
-            break
-        if action == "reset":
-            ctl = make_controller()
-        pose = ctl.pose()
-        now = time.perf_counter()
-        dt = 1.0 / 60.0 if scripted else max(now - t_last, 1e-4)
-        t_last = now
-        img = sess.step(pose, dt=dt, prev_pose=prev)
-        prev = pose
-        if action == "screenshot":
-            path = os.path.join(args.out_dir, f"shot_{shots:04d}.png")
-            image_mod.write_png(path, np.asarray(img))
-            print(f"wrote {path}", flush=True)
-            shots += 1
-        if action:
-            p = np.asarray(pose.position).round(2)
-            print(f"tick {i}: {action} pos={p.tolist()}", flush=True)
-        i += 1
+    # Live mode runs until 'x'/Ctrl-C like a real app window — a frame
+    # budget would end the session mid-flight (idle ticks still render,
+    # accumulating temporal history). Scripted mode ends with its string.
+    try:
+        while True:
+            for key, value in mutations.get(i, ()):
+                how = sess.set(key, value)
+                print(f"tick {i}: set {key}={value} ({how})", flush=True)
+            _maybe_reload(sess, args, mtime_box)
+            try:
+                k = next(keys)
+            except StopIteration:
+                break
+            action = camera_mod.apply_input_key(ctl, k)
+            if action == "quit":
+                break
+            if action == "reset":
+                ctl = make_controller()
+            pose = ctl.pose()
+            now = time.perf_counter()
+            dt = 1.0 / 60.0 if scripted else max(now - t_last, 1e-4)
+            t_last = now
+            img = sess.step(pose, dt=dt, prev_pose=prev)
+            prev = pose
+            if action == "screenshot":
+                path = os.path.join(args.out_dir, f"shot_{shots:04d}.png")
+                image_mod.write_png(path, np.asarray(img))
+                print(f"wrote {path}", flush=True)
+                shots += 1
+            if action:
+                p = np.asarray(pose.position).round(2)
+                print(f"tick {i}: {action} pos={p.tolist()}", flush=True)
+            i += 1
+    except KeyboardInterrupt:
+        print("interrupted", flush=True)
     if img is not None and args.save_last:
         path = os.path.join(args.out_dir, "final.png")
         image_mod.write_png(path, np.asarray(img))
@@ -269,7 +275,10 @@ def cmd_interactive(args):
     mutations = _parse_mutations(args)
     mtime_box = [None]
 
-    if args.keys is not None or (args.wasd and os.isatty(0)):
+    if args.wasd and args.keys is None and not os.isatty(0):
+        raise SystemExit("interactive --wasd needs a TTY on stdin "
+                         "(use --keys STR for scripted input)")
+    if args.keys is not None or args.wasd:
         return _interactive_keys(args, sess, mutations, mtime_box,
                                  camera_mod, image_mod)
 

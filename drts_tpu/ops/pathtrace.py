@@ -144,8 +144,8 @@ def _shade_and_scatter(scene, surf, ray_d, rng, atlas=None,
     return mat.emission, l_dir, weight, valid, lobe, bs, sv, v, rng
 
 
-def _compact_capacity(n_pixels: int, cfg: PathTraceConfig) -> int:
-    cap = max(1024, n_pixels // cfg.compact_fraction)
+def _compact_capacity(n_pixels: int, fraction: int) -> int:
+    cap = max(1024, n_pixels // fraction)
     return -(-cap // 1024) * 1024
 
 
@@ -467,9 +467,8 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
     # compacted buffer. Bounces 0-1 stay dense (AOVs, DI handoff, textures).
     use_compact = 1 <= cfg.compact_from <= cfg.bounces
     dense_last = cfg.compact_from - 1 if use_compact else cfg.bounces
-    cap = _compact_capacity(h * w, cfg)
-    cap_first = -(-max(1024, h * w // cfg.compact_fraction_first) // 1024) \
-        * 1024
+    cap = _compact_capacity(h * w, cfg.compact_fraction)
+    cap_first = _compact_capacity(h * w, cfg.compact_fraction_first)
     counters = {"wavefront_overflow_paths": jnp.float32(0.0)}
 
     for sample_index in range(cfg.samples_per_pixel):

@@ -254,7 +254,8 @@ def chromatic_aberration(img, strength: float = 0.0):
     if strength <= 0.0:
         return img
     scales = (1.0 + strength, 1.0, 1.0 - strength)
-    return jnp.stack([_scale_about_center(img[..., c], s)
+    return jnp.stack([img[..., c] if s == 1.0
+                      else _scale_about_center(img[..., c], s)
                       for c, s in enumerate(scales)], axis=-1)
 
 

@@ -227,66 +227,15 @@ def intersect_instances(origin, direction, t_min, t_max, mesh: TriMesh,
     return best
 
 
-def intersect_instances_any(origin, direction, t_min, t_max, mesh: TriMesh,
-                            inst_position, inst_rotation, inst_scale):
-    """Any-hit occlusion against instanced meshes (the mesh half of
-    RAY_FLAG_ACCEPT_FIRST_HIT_AND_END_SEARCH visibility rays,
-    RTXDIAppBridge.hlsli:418-459). Runs the specialized Pallas any-hit
-    kernel (early-out once every live lane is blocked) when available;
-    portable fallback reuses the closest-hit sweep's hit bit."""
-    from . import intersect
-    if intersect.pallas_enabled() and mesh.tri_tbl is not None:
-        from . import intersect_pallas as ip
-        from . import trimesh_pallas as tp
-
-        lead = origin.shape[:-1]
-        interp = intersect.BACKEND == "interpret"
-        tiled = intersect._tileable(lead)
-        if tiled:
-            o = intersect._tile_order(origin)
-            d = intersect._tile_order(direction)
-            tmn = intersect._tile_order(jnp.broadcast_to(t_min, lead))
-            tmx = intersect._tile_order(jnp.broadcast_to(t_max, lead))
-        else:
-            n0 = 1
-            for s in lead:
-                n0 *= s
-            o = origin.reshape(n0, 3)
-            d = direction.reshape(n0, 3)
-            tmn = jnp.broadcast_to(t_min, lead).reshape(n0)
-            tmx = jnp.broadcast_to(t_max, lead).reshape(n0)
-        rays, n = ip.pack_rays(o, d, tmn, tmx)
-
-        live = (tmx >= tmn).astype(jnp.float32)
-        cnt = jnp.maximum(jnp.sum(live), 1.0)
-        sort_origin = jnp.sum(o * live[:, None], axis=0) / cnt
-        inst_tbl, inst_bounds, _, n_ic = tp.make_inst_tables(
-            inst_position, inst_rotation, inst_scale, mesh.bound_radius,
-            sort_origin=sort_origin)
-        occ = tp.intersect_mesh_instances_any(
-            rays, inst_tbl, inst_bounds, mesh.tri_bounds, mesh.tri_tbl,
-            n_ic, tp.INST_CHUNK, mesh.n_chunks,
-            mesh.tri_tbl.shape[0] // mesh.n_chunks, interpret=interp)
-        if tiled:
-            return intersect._tile_unorder(occ[:n], *lead)
-        return occ[:n].reshape(lead)
-
-    return intersect_instances(origin, direction, t_min, t_max, mesh,
-                               inst_position, inst_rotation,
-                               inst_scale).hit
-
-
-def _intersect_instances_pallas(origin, direction, t_min, t_max,
-                                mesh: TriMesh, inst_position,
-                                inst_rotation, inst_scale) -> TriHit:
-    """Pallas path: pack rays (screen-tile order when 2D, matching the
-    sphere kernel), run the instanced-mesh kernel, then recover exact
-    t/barycentrics for winners with one per-ray Moller-Trumbore
-    (trimesh_pallas.refine_hit)."""
+def _pack_for_mesh_kernel(origin, direction, t_min, t_max, mesh,
+                          inst_position, inst_rotation, inst_scale):
+    """Shared preamble of both Pallas mesh entries (closest-hit and
+    any-hit): screen-tile ray packing, live-centroid sort origin, and the
+    per-frame TLAS tables. Returns (rays, n, unflat, inst_tbl,
+    inst_bounds, order, n_ic, interp)."""
     from . import intersect
     from . import intersect_pallas as ip
     from . import trimesh_pallas as tp
-    from ..models import scene as scene_mod
 
     lead = origin.shape[:-1]
     interp = intersect.BACKEND == "interpret"
@@ -308,25 +257,66 @@ def _intersect_instances_pallas(origin, direction, t_min, t_max,
 
     # Near-to-far TLAS chunk order anchored at the live-ray origin
     # centroid (the camera for primary blocks; the bounce surface cloud
-    # otherwise) — feeds the kernel's closest-hit distance early-out.
+    # otherwise) — feeds the kernel's distance early-outs.
     live = (tmx >= tmn).astype(jnp.float32)
     cnt = jnp.maximum(jnp.sum(live), 1.0)
     sort_origin = jnp.sum(o * live[:, None], axis=0) / cnt
-
     inst_tbl, inst_bounds, order, n_ic = tp.make_inst_tables(
         inst_position, inst_rotation, inst_scale, mesh.bound_radius,
         sort_origin=sort_origin)
+
+    def unflat(x):
+        if tiled:
+            return intersect._tile_unorder(x[:n], *lead)
+        return x[:n].reshape(lead)
+
+    return rays, unflat, inst_tbl, inst_bounds, order, n_ic, interp
+
+
+def intersect_instances_any(origin, direction, t_min, t_max, mesh: TriMesh,
+                            inst_position, inst_rotation, inst_scale):
+    """Any-hit occlusion against instanced meshes (the mesh half of
+    RAY_FLAG_ACCEPT_FIRST_HIT_AND_END_SEARCH visibility rays,
+    RTXDIAppBridge.hlsli:418-459). Runs the specialized Pallas any-hit
+    kernel (early-out once every live lane is blocked) when available;
+    portable fallback reuses the closest-hit sweep's hit bit."""
+    from . import intersect
+    if intersect.pallas_enabled() and mesh.tri_tbl is not None:
+        from . import trimesh_pallas as tp
+
+        rays, unflat, inst_tbl, inst_bounds, _, n_ic, interp = \
+            _pack_for_mesh_kernel(origin, direction, t_min, t_max, mesh,
+                                  inst_position, inst_rotation, inst_scale)
+        occ = tp.intersect_mesh_instances_any(
+            rays, inst_tbl, inst_bounds, mesh.tri_bounds, mesh.tri_tbl,
+            n_ic, tp.INST_CHUNK, mesh.n_chunks,
+            mesh.tri_tbl.shape[0] // mesh.n_chunks, interpret=interp)
+        return unflat(occ)
+
+    return intersect_instances(origin, direction, t_min, t_max, mesh,
+                               inst_position, inst_rotation,
+                               inst_scale).hit
+
+
+def _intersect_instances_pallas(origin, direction, t_min, t_max,
+                                mesh: TriMesh, inst_position,
+                                inst_rotation, inst_scale) -> TriHit:
+    """Pallas path: pack rays (screen-tile order when 2D, matching the
+    sphere kernel), run the instanced-mesh kernel, then recover exact
+    t/barycentrics for winners with one per-ray Moller-Trumbore
+    (trimesh_pallas.refine_hit)."""
+    from . import trimesh_pallas as tp
+    from ..models import scene as scene_mod
+
+    rays, unflat, inst_tbl, inst_bounds, order, n_ic, interp = \
+        _pack_for_mesh_kernel(origin, direction, t_min, t_max, mesh,
+                              inst_position, inst_rotation, inst_scale)
     t_p, face_p, inst_p = tp.intersect_mesh_instances(
         rays, inst_tbl, inst_bounds, mesh.tri_bounds, mesh.tri_tbl,
         n_ic, tp.INST_CHUNK, mesh.n_chunks,
         mesh.tri_tbl.shape[0] // mesh.n_chunks, interpret=interp)
     # Kernel instance ids are sorted-table positions; map back.
     inst_p = jnp.maximum(order[jnp.minimum(inst_p, order.shape[0] - 1)], 0)
-
-    def unflat(x):
-        if tiled:
-            return intersect._tile_unorder(x[:n], *lead)
-        return x[:n].reshape(lead)
 
     t_p = unflat(t_p)
     f = mesh.v0.shape[0]

@@ -188,13 +188,16 @@ class Session:
             pose = self.default_pose()
         if self._step is None:
             pipe = self.pipe
+            # dt is a traced argument — closing over it would bake the
+            # FIRST call's timestep into the compiled step for the whole
+            # session (StepTimer-fed dt must actually reach the physics).
             self._step = jax.jit(
-                lambda s, p, q, r, d: pipe.render_frame(
-                    s, p, dt, prev_pose=q, reset=r, dyn=d))
+                lambda s, p, q, r, d, dt_: pipe.render_frame(
+                    s, p, dt_, prev_pose=q, reset=r, dyn=d))
         reset = jnp.asarray(self._pending_reset)
         self._pending_reset = False
         self.state, image = self._step(
             self.state, pose, prev_pose if prev_pose is not None else pose,
-            reset, self.dyn)
+            reset, self.dyn, jnp.float32(dt))
         self.frame_count += 1
         return image
