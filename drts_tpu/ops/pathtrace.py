@@ -23,6 +23,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ..utils import math as m
@@ -179,18 +180,48 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
     n = h * w
 
     act = active.reshape(n)
-    pos = jnp.cumsum(act.astype(jnp.int32)) - 1
-    keep = act & (pos < cap)
-    overflow = jnp.sum(act.astype(jnp.int32)) - jnp.sum(keep.astype(jnp.int32))
+    partition_mode = (cfg.compact_sort
+                      and cap >= cfg.compact_sort_partition_min)
+    if partition_mode:
+        # Compact in STATIC tile-major pixel order: the stable octant
+        # partition below then yields (octant, tile, pixel-in-tile) slot
+        # grouping — exactly the key sort's grouping (sim: 2x less
+        # surviving sweep work at bounce 1 vs pixel-row order,
+        # tools/sim_sort_cull.py) at counting-sort cost. tm/inv_tm are
+        # trace-time numpy constants.
+        ts = cfg.compact_sort_tile
+        tiles_x = -(-w // ts)
+        fl_np = np.arange(n)
+        tile_np = (fl_np // (w * ts)) * tiles_x + (fl_np % w) // ts
+        tm_np = np.argsort(tile_np, kind="stable").astype(np.int32)
+        tm = jnp.asarray(tm_np)
+        inv_tm = jnp.asarray(np.argsort(tm_np).astype(np.int32))
+        act_src = act[tm]
+        pixel_ids = tm
+    else:
+        act_src = act
+        pixel_ids = jnp.arange(n, dtype=jnp.int32)
+
+    pos_src = jnp.cumsum(act_src.astype(jnp.int32)) - 1
+    keep_src = act_src & (pos_src < cap)
+    overflow = jnp.sum(act.astype(jnp.int32)) \
+        - jnp.sum(keep_src.astype(jnp.int32))
 
     # Source-pixel table: slot s -> flat pixel index (n = empty slot).
     # Dead lanes get the out-of-range slot `cap` and are DROPPED by the
     # scatter instead of colliding on a dump slot: with unique indices XLA
     # lowers this to a fast permuting store (the colliding-dump-slot form
     # measured ~30 ms/frame at 1080p — it serializes on the collisions).
-    slot_of_src = jnp.where(keep, pos, cap)
+    slot_of_src = jnp.where(keep_src, pos_src, cap)
     src = jnp.full((cap,), n, jnp.int32).at[slot_of_src].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True)
+        pixel_ids, mode="drop", unique_indices=True)
+
+    # Pixel-order (keep, pos) for the final contribution/state gathers.
+    if partition_mode:
+        keep = keep_src[inv_tm]
+        pos = pos_src[inv_tm]
+    else:
+        keep, pos = keep_src, pos_src
 
     # Coherence sort (see PathTraceConfig.compact_sort): permute the slot ->
     # pixel map by (octant, tile) BEFORE the wide state gather, so every
@@ -204,11 +235,13 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
         octant = ((d[:, 0] < 0).astype(jnp.int32) * 4
                   + (d[:, 1] < 0).astype(jnp.int32) * 2
                   + (d[:, 2] < 0).astype(jnp.int32))
-        if cap >= cfg.compact_sort_partition_min:
+        if partition_mode:
             # Stable octant partition (see compact_sort_partition_min):
             # bucket 8 = dead slots, packed at the tail like the key
             # sort's sentinel. Every slot lands in exactly one bucket, so
-            # new_pos is a full permutation of [0, cap).
+            # new_pos is a full permutation of [0, cap). Slot order is
+            # tile-major (see above), so stability gives tile-minor
+            # grouping within each octant for free.
             key_dense = jnp.concatenate([octant, jnp.array([8], jnp.int32)])
             key_slots = key_dense[jnp.minimum(src, n)]
             new_pos = jnp.zeros((cap,), jnp.int32)
