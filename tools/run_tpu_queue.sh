@@ -43,4 +43,8 @@ run prof_cfrom python tools/prof_cfrom.py
 run bench_mesh_c2 python tools/bench_mesh.py 4 2 2
 run bench_mesh_c1 python tools/bench_mesh.py 4 2 1
 
+# 8. Chunk-size fixed-cost check (sim predicts finer chunks win even for
+#    primaries under a 2-col/pair overhead model — validate on hardware).
+run prof_chunksize python tools/prof_chunksize.py
+
 echo "=== QUEUE DONE — logs in $OUT ==="
