@@ -424,7 +424,7 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
                 cfg: PathTraceConfig, frame_index,
                 gbuf=None, sharc_state=None, sharc_cfg=None,
                 di_radiance=None, di_in_radiance: bool = True,
-                accel=None) -> TraceOutput:
+                accel=None, accel_deep=None) -> TraceOutput:
     """Render one frame's path-traced radiance (plus AOVs).
 
     Pure function of (scene, camera, frame index); jit with
@@ -432,6 +432,12 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
     passed the primary hit is reused from it (the reference reconstructs
     primaries from the G-buffer, Raytracing.hlsl:118-163) instead of
     re-traced.
+
+    ``accel_deep``: optional second Morton accel used for the COMPACTED
+    bounce sweeps only (bounce-ray blocks favor finer chunks — tighter
+    bounds cull better once directions are octant-sorted, while primary
+    blocks amortize fewer, fatter chunks; tools/sim_sort_cull.py).
+    Results are accel-independent; this is purely a scheduling choice.
     """
     h, w = cfg.height, cfg.width
     ndc = camera_mod.pixel_ndc(w, h, cam.jitter)
@@ -646,7 +652,7 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
                 seg = _trace_deep_compact(
                     scene, table, cam, cfg, sharc_state, sharc_cfg,
                     origin, l_dir, throughput, prev_roughness, rng, active,
-                    1, accel, cap_first,
+                    1, accel_deep or accel, cap_first,
                     end_bounce=1 if two_segment else cfg.bounces,
                     di_valid=di_valid, want_aov=sample_index == 0,
                     return_state=two_segment)
@@ -657,12 +663,12 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
                         scene, table, cam, cfg, sharc_state, sharc_cfg,
                         st["origin"], st["dir"], st["throughput"],
                         st["roughness"], st["rng"], st["active"],
-                        2, accel, cap))
+                        2, accel_deep or accel, cap))
             else:
                 fold(_trace_deep_compact(
                     scene, table, cam, cfg, sharc_state, sharc_cfg,
                     origin, l_dir, throughput, prev_roughness, rng, active,
-                    cfg.compact_from, accel, cap))
+                    cfg.compact_from, accel_deep or accel, cap))
 
         # NaN guard (Raytracing.hlsl:377).
         finite = jnp.all(jnp.isfinite(sample_radiance), axis=-1,

@@ -13,7 +13,13 @@ plan = clusters.build_plan_morton(np.asarray(scene.center),
 cam = camera_mod.make_camera(host.camera_position, host.camera_forward,
                              horizontal_fov_deg=90.0, aspect=W / H)
 
-def run(compact_from, fraction=8, iters=6, fraction_first=2):
+plan16 = clusters.build_plan_morton(np.asarray(scene.center),
+                                    np.asarray(scene.radius),
+                                    max_members=16)
+
+
+def run(compact_from, fraction=8, iters=6, fraction_first=1,
+        deep_chunk16=False):
     cfg = pathtrace.PathTraceConfig(
         width=W, height=H, bounces=8, samples_per_pixel=1,
         russian_roulette=True, block_size=32768,
@@ -22,9 +28,12 @@ def run(compact_from, fraction=8, iters=6, fraction_first=2):
     @jax.jit
     def frame(scene, cam, fi):
         accel = clusters.make_morton_accel(plan, scene.center, scene.radius)
+        deep = (clusters.make_morton_accel(plan16, scene.center,
+                                           scene.radius)
+                if deep_chunk16 else None)
         gbuf = gbuffer.generate(scene, cam, W, H, cfg.block_size, accel=accel)
         out = pathtrace.trace_image(scene, cam, cfg, fi, gbuf=gbuf,
-                                    accel=accel)
+                                    accel=accel, accel_deep=deep)
         return out.radiance, out.rays_traced
     r, rays = frame(scene, cam, 0); jax.block_until_ready(r)
     t0 = time.perf_counter()
@@ -34,15 +43,16 @@ def run(compact_from, fraction=8, iters=6, fraction_first=2):
     ms = (time.perf_counter() - t0) / iters * 1e3
     print(json.dumps({"compact_from": compact_from, "fraction": fraction,
                       "fraction_first": fraction_first,
-                      "ms": round(ms, 2),
+                      "deep16": deep_chunk16, "ms": round(ms, 2),
                       "mray_s": round(float(rays) / ms / 1e3, 1)}),
           flush=True)
 
 run(99)        # dense all the way
 run(2)         # current default
 run(2, 16)     # smaller capacity
-run(1)                     # bounce-1 compaction+sort, half-frame capacity
-run(1, fraction_first=1)   # ... full-frame capacity (no overflow risk)
-run(1, fraction_first=3)   # ... tighter (measure bounce-1 survivor rate)
+run(1)                        # bounce-1 compaction+sort, full capacity
+run(1, fraction_first=2)      # half capacity (check overflow counter!)
+run(1, deep_chunk16=True)     # + finer 16-sphere chunks for bounce sweeps
+run(2, deep_chunk16=True)
 run(3)
 run(4)
