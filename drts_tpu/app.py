@@ -189,6 +189,9 @@ def _interactive_keys(args, sess, mutations, mtime_box, camera_mod,
             position=np.asarray(default.position, np.float64),
             forward=np.asarray(default.forward, np.float64))
 
+    from . import config as config_mod
+
+    controls = config_mod.load_controls(args.controls)
     ctl = make_controller()
     scripted = args.keys is not None
     keys = iter(args.keys) if scripted else _read_keys_live()
@@ -212,15 +215,20 @@ def _interactive_keys(args, sess, mutations, mtime_box, camera_mod,
                 k = next(keys)
             except StopIteration:
                 break
-            action = camera_mod.apply_input_key(ctl, k)
+            now = time.perf_counter()
+            dt = 1.0 / 60.0 if scripted else max(now - t_last, 1e-4)
+            t_last = now
+            # Speed * elapsed, the reference's ProcessInput scaling
+            # (Controls.json Camera.Speed, MyAppData.h:392-414).
+            action = camera_mod.apply_input_key(
+                ctl, k,
+                move_step=controls.camera_movement_speed * max(dt, 1e-2),
+                turn_step=controls.camera_rotation_speed * np.deg2rad(10.0))
             if action == "quit":
                 break
             if action == "reset":
                 ctl = make_controller()
             pose = ctl.pose()
-            now = time.perf_counter()
-            dt = 1.0 / 60.0 if scripted else max(now - t_last, 1e-4)
-            t_last = now
             img = sess.step(pose, dt=dt, prev_pose=prev)
             prev = pose
             if action == "screenshot":
@@ -375,6 +383,8 @@ def main(argv=None):
                          "p screenshot, x quit; space = idle tick)")
     it.add_argument("--wasd", action="store_true",
                     help="live keyboard fly camera (requires a TTY)")
+    it.add_argument("--controls", default="Settings/controls.json",
+                    help="Controls.json (camera speeds, MyAppData.h:392)")
     add_runtime_flags(it)
     it.set_defaults(fn=cmd_interactive)
 

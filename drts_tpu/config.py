@@ -304,6 +304,31 @@ def _coerce(typ, default, value):
     return value
 
 
+@dataclass(frozen=True)
+class ControlsSettings:
+    """MyAppData.h:392-414 Controls.json: fly-camera speeds. Movement is
+    world units per second, rotation radians per keypress-equivalent."""
+    camera_movement_speed: float = 10.0
+    camera_rotation_speed: float = 0.5
+
+    def check(self) -> "ControlsSettings":
+        return dataclasses.replace(
+            self,
+            camera_movement_speed=_clamp(self.camera_movement_speed,
+                                         0.0, 1000.0),
+            camera_rotation_speed=_clamp(self.camera_rotation_speed,
+                                         0.0, 2.0))
+
+
+def load_controls(path: str) -> ControlsSettings:
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        data = {}
+    return _from_jsonable(ControlsSettings, data).check()
+
+
 def save_settings(settings: GraphicsSettings, path: str) -> None:
     with open(path, "w") as f:
         json.dump(_to_jsonable(settings), f, indent=2)

@@ -95,3 +95,20 @@ def test_set_by_path_unknown_key_raises():
     except KeyError:
         return
     raise AssertionError("expected KeyError")
+
+
+def test_controls_settings_load_and_clamp(tmp_path):
+    """Controls.json parity (MyAppData.h:392-414): defaults, JSON load,
+    and the reference's clamp ranges (movement <= 1000, rotation <= 2)."""
+    from drts_tpu import config as config_mod
+
+    d = config_mod.load_controls(str(tmp_path / "missing.json"))
+    assert d.camera_movement_speed == 10.0
+    assert d.camera_rotation_speed == 0.5
+
+    p = tmp_path / "controls.json"
+    p.write_text('{"camera_movement_speed": 5000,'
+                 ' "camera_rotation_speed": -1}')
+    c = config_mod.load_controls(str(p))
+    assert c.camera_movement_speed == 1000.0
+    assert c.camera_rotation_speed == 0.0
