@@ -132,11 +132,17 @@ def bench_full_pipeline(width=1920, height=1080, iters=4):
     return full_ms, {k: round(v, 2) for k, v in passes.items()}, report
 
 
-def bench_mesh(width=1920, height=1080, tess=4, bounces=2, iters=4):
+def bench_mesh(width=1920, height=1080, tess=4, bounces=2, iters=4,
+               compact_from=1):
     """General-geometry capability number: the same 448-instance demo
     scene rendered as REAL triangle meshes through the Pallas instanced
     TLAS/BLAS kernel (ops/trimesh_pallas.py) — the reference's actual
-    geosphere BLAS workload (Scene.ixx:225-284)."""
+    geosphere BLAS workload (Scene.ixx:225-284).
+
+    compact_from=1 by default here: bounce-1 blocks are the mesh path's
+    bottleneck (unsorted, per-instance bounds barely cull — replayed
+    surviving instance visits drop 77% -> 11% with the sorted segment,
+    tools/sim_sort_cull.py), and the segment is exact-parity tested."""
     import jax
     import numpy as np
 
@@ -150,7 +156,8 @@ def bench_mesh(width=1920, height=1080, tess=4, bounces=2, iters=4):
                                  aspect=width / height)
     cfg = pathtrace.PathTraceConfig(width=width, height=height,
                                     bounces=bounces, samples_per_pixel=1,
-                                    block_size=32768)
+                                    block_size=32768,
+                                    compact_from=compact_from)
 
     @jax.jit
     def frame(scene, cam, fi):
