@@ -155,69 +155,90 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
                         prev_roughness, rng, active, start_bounce: int,
                         accel, cap: int, end_bounce: int | None = None,
                         di_valid=None, want_aov: bool = False,
-                        return_state: bool = False):
+                        return_state: bool = False, pixel_ids=None,
+                        img_hw=None):
     """Bounces [start_bounce, end_bounce] on a compacted survivor buffer.
 
-    Live paths are packed to the front of a (cap,) buffer with ONE wide
-    row-gather; every per-bounce op (intersection sweep, attribute fetch,
-    SHARC query, BSDF sample) then costs O(survivors) instead of
-    O(frame pixels). Survivors beyond `cap` are dropped (counted in the
-    returned overflow) — capacity is sized ~3x the measured survivor count.
+    Live paths are packed to the front of a (cap,) buffer; every
+    per-bounce op (intersection sweep, attribute fetch, SHARC query, BSDF
+    sample) then costs O(survivors) instead of O(frame pixels). Survivors
+    beyond `cap` are dropped (counted in the returned overflow) —
+    capacity is sized ~3x the measured survivor count.
+
+    The INPUT space is either the pixel frame ((H, W)-shaped arrays,
+    pixel_ids None) or a previous segment's slot buffer (flat (ns,)
+    arrays + `pixel_ids` mapping each element to its true pixel; pass
+    img_hw for the tile keys). Cascading in slot space avoids the ~350 MB
+    dense round-trip a pixel-space handoff would cost at 1080p — the
+    next segment re-compacts straight from these (cap,) arrays with a few
+    narrow gathers.
 
     `di_valid` (only meaningful when the segment covers bounce 1)
-    suppresses bounce-1 emission for pixels whose direct light was already
-    added at the primary vertex (Raytracing.hlsl:302). `want_aov` captures
-    the first trace's hit distance (the bounce-1 AOV). `return_state`
-    (end_bounce < cfg.bounces) scatters the continuation state back to
-    dense pixel arrays so a second, tighter segment can re-compact it.
+    suppresses bounce-1 emission for pixels whose direct light was
+    already added at the primary vertex (Raytracing.hlsl:302).
+    `want_aov` captures the first trace's hit distance (the bounce-1
+    AOV). `return_state` (end_bounce < cfg.bounces) returns the
+    continuation state in SLOT space plus a `mapper` that converts any
+    later (cap,)-space per-path values back to this segment's input
+    space (_slots_to_space).
 
-    Returns a dict: radiance (H, W, 3), rays, overflow, counters, and
-    optionally hit_distance (H, W) / state (dense pixel-space pytree).
+    Returns a dict: radiance, rays, overflow, counters, and optionally
+    hit_distance / state / mapper. Array outputs are (H, W, ...) for
+    pixel-space input, flat (ns, ...) otherwise.
     """
     if end_bounce is None:
         end_bounce = cfg.bounces
-    h, w = active.shape
-    n = h * w
+    pixel_space = pixel_ids is None
+    if img_hw is None:
+        h, w = active.shape
+    else:
+        h, w = img_hw
+    ns = active.size
+    n_px = h * w
 
-    act = active.reshape(n)
+    act = active.reshape(ns)
     partition_mode = (cfg.compact_sort
                       and cap >= cfg.compact_sort_partition_min)
-    if partition_mode:
+    if partition_mode and pixel_space:
         # Compact in STATIC tile-major pixel order: the stable octant
         # partition below then yields (octant, tile, pixel-in-tile) slot
         # grouping — exactly the key sort's grouping (sim: 2x less
         # surviving sweep work at bounce 1 vs pixel-row order,
         # tools/sim_sort_cull.py) at counting-sort cost. tm/inv_tm are
-        # trace-time numpy constants.
+        # trace-time numpy constants. Slot-space input is already
+        # tile-grouped by the previous segment, so it compacts in place.
         ts = cfg.compact_sort_tile
         tiles_x = -(-w // ts)
-        fl_np = np.arange(n)
+        fl_np = np.arange(ns)
         tile_np = (fl_np // (w * ts)) * tiles_x + (fl_np % w) // ts
         tm_np = np.argsort(tile_np, kind="stable").astype(np.int32)
         tm = jnp.asarray(tm_np)
         inv_tm = jnp.asarray(np.argsort(tm_np).astype(np.int32))
         act_src = act[tm]
-        pixel_ids = tm
+        order_ids = tm            # input-space positions, compaction order
     else:
+        tm = inv_tm = None
         act_src = act
-        pixel_ids = jnp.arange(n, dtype=jnp.int32)
+        order_ids = jnp.arange(ns, dtype=jnp.int32)
+    if pixel_ids is None:
+        pixel_ids = jnp.arange(ns, dtype=jnp.int32)
 
     pos_src = jnp.cumsum(act_src.astype(jnp.int32)) - 1
     keep_src = act_src & (pos_src < cap)
     overflow = jnp.sum(act.astype(jnp.int32)) \
         - jnp.sum(keep_src.astype(jnp.int32))
 
-    # Source-pixel table: slot s -> flat pixel index (n = empty slot).
+    # Source table: slot s -> input-space position (ns = empty slot).
     # Dead lanes get the out-of-range slot `cap` and are DROPPED by the
     # scatter instead of colliding on a dump slot: with unique indices XLA
     # lowers this to a fast permuting store (the colliding-dump-slot form
     # measured ~30 ms/frame at 1080p — it serializes on the collisions).
     slot_of_src = jnp.where(keep_src, pos_src, cap)
-    src = jnp.full((cap,), n, jnp.int32).at[slot_of_src].set(
-        pixel_ids, mode="drop", unique_indices=True)
+    src = jnp.full((cap,), ns, jnp.int32).at[slot_of_src].set(
+        order_ids, mode="drop", unique_indices=True)
 
-    # Pixel-order (keep, pos) for the final contribution/state gathers.
-    if partition_mode:
+    # Input-space-order (keep, pos) for the final contribution gathers.
+    if tm is not None:
         keep = keep_src[inv_tm]
         pos = pos_src[inv_tm]
     else:
@@ -231,7 +252,7 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
     # contribution buffer so the final per-pixel read stays monotone.
     perm = None
     if cfg.compact_sort:
-        d = l_dir.reshape(n, 3)
+        d = l_dir.reshape(ns, 3)
         octant = ((d[:, 0] < 0).astype(jnp.int32) * 4
                   + (d[:, 1] < 0).astype(jnp.int32) * 2
                   + (d[:, 2] < 0).astype(jnp.int32))
@@ -240,10 +261,11 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
             # bucket 8 = dead slots, packed at the tail like the key
             # sort's sentinel. Every slot lands in exactly one bucket, so
             # new_pos is a full permutation of [0, cap). Slot order is
-            # tile-major (see above), so stability gives tile-minor
+            # tile-major (see above; slot-space input inherits the
+            # previous segment's grouping), so stability gives tile-minor
             # grouping within each octant for free.
             key_dense = jnp.concatenate([octant, jnp.array([8], jnp.int32)])
-            key_slots = key_dense[jnp.minimum(src, n)]
+            key_slots = key_dense[jnp.minimum(src, ns)]
             new_pos = jnp.zeros((cap,), jnp.int32)
             base = jnp.int32(0)
             for b in range(9):
@@ -261,37 +283,38 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
             ts = cfg.compact_sort_tile
             tiles_x = -(-w // ts)
             tiles_y = -(-h // ts)
-            fl = jnp.arange(n, dtype=jnp.int32)
-            tile = (fl // (w * ts)) * tiles_x + (fl % w) // ts
+            # Tile from the TRUE pixel id (slot-space inputs carry it).
+            tile = ((pixel_ids // (w * ts)) * tiles_x
+                    + (pixel_ids % w) // ts)
             key_dense = octant * (tiles_x * tiles_y) + tile
             key_dense = jnp.concatenate(
                 [key_dense, jnp.array([2 ** 30], jnp.int32)])
-            key_slots = key_dense[jnp.minimum(src, n)]
+            key_slots = key_dense[jnp.minimum(src, ns)]
             _, src, perm = jax.lax.sort(
                 (key_slots, src, jnp.arange(cap, dtype=jnp.int32)),
                 num_keys=1)
 
-    slot_live = src < n
+    slot_live = src < ns
+    idx = jnp.minimum(src, ns)
 
-    # One wide packed gather of all per-path state (11 channels).
-    packed = jnp.concatenate([
-        origin.reshape(n, 3), l_dir.reshape(n, 3), throughput.reshape(n, 3),
-        prev_roughness.reshape(n, 1),
-        jax.lax.bitcast_convert_type(rng, jnp.float32).reshape(n, 1),
-    ], axis=-1)
-    dead_row = jnp.zeros((1, 11), jnp.float32).at[0, 5].set(1.0)  # dir=+z
-    packed = jnp.concatenate([packed, dead_row])
-    rows = packed[jnp.minimum(src, n)]
-    c_origin = rows[:, 0:3]
-    c_dir = rows[:, 3:6]
-    c_thr = rows[:, 6:9]
-    c_rough = rows[:, 9]
-    c_rng = jax.lax.bitcast_convert_type(rows[:, 10], jnp.uint32)
+    # Per-array slot gathers (each with one appended dead row). Narrow
+    # gathers of 1-3 columns cost the same bytes as the former 11-wide
+    # concat gather but skip the concat's full extra copy of the state.
+    def gsel(x_flat, dead):
+        ext = jnp.concatenate(
+            [x_flat, jnp.asarray(dead, x_flat.dtype).reshape(
+                (1,) + x_flat.shape[1:])])
+        return ext[idx]
+
+    c_origin = gsel(origin.reshape(ns, 3), [[0.0, 0.0, 0.0]])
+    c_dir = gsel(l_dir.reshape(ns, 3), [[0.0, 0.0, 1.0]])
+    c_thr = gsel(throughput.reshape(ns, 3), [[0.0, 0.0, 0.0]])
+    c_rough = gsel(prev_roughness.reshape(ns), [0.0])
+    c_rng = gsel(rng.reshape(ns), [0])
+    c_pix = gsel(pixel_ids, [n_px])
 
     if di_valid is not None:
-        dv = jnp.concatenate([di_valid.reshape(n),
-                              jnp.zeros((1,), bool)])
-        c_di = dv[jnp.minimum(src, n)]
+        c_di = gsel(di_valid.reshape(ns), [False])
     else:
         c_di = None
 
@@ -373,51 +396,52 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
                                               surf.geometric_normal, new_dir)
         c_dir = new_dir
 
-    # Read contributions back by pixel (each path owns one pixel): pixel ->
-    # slot is just the cumsum position, so this is a GATHER with monotone
-    # indices — measured 6.9 ms as a scatter-add (XLA TPU scatter runs
-    # ~0.3 GB/s) vs streaming-rate as a gather.
-    pixel_idx = jnp.where(keep, pos, cap)
+    # Read contributions back into the input space (each path owns one
+    # input element): element -> slot is just the cumsum position, so
+    # this is a GATHER with monotone indices — measured 6.9 ms as a
+    # scatter-add (XLA TPU scatter runs ~0.3 GB/s) vs streaming-rate as a
+    # gather.
+    mapper = (keep, pos, perm, cap)
 
-    def to_pixels(slot_vals, fill):
-        """(cap, C) slot values -> (h*w, C) pixel values (un-permute to
-        pre-sort slot order, then the monotone pixel gather)."""
-        vals = slot_vals
-        if perm is not None:
-            vals = jnp.zeros_like(vals).at[perm].set(vals,
-                                                     unique_indices=True)
-        vals = jnp.concatenate(
-            [vals, jnp.full((1,) + vals.shape[1:], fill, vals.dtype)])
-        return vals[pixel_idx]
+    def to_space(slot_vals, fill):
+        vals = _slots_to_space(slot_vals, fill, mapper)
+        if pixel_space:
+            return vals.reshape((h, w) + vals.shape[1:])
+        return vals
 
     contrib = jnp.where(slot_live[..., None], c_radiance, 0.0)
     out = {
-        "radiance": to_pixels(contrib, 0.0).reshape(h, w, 3),
+        "radiance": to_space(contrib, 0.0),
         "rays": rays_add, "overflow": overflow, "counters": counters,
+        "mapper": mapper, "pixel_space": pixel_space,
     }
     if c_hitdist is not None:
-        out["hit_distance"] = to_pixels(c_hitdist[:, None],
-                                        jnp.inf).reshape(h, w)
+        out["hit_distance"] = to_space(c_hitdist[:, None], jnp.inf)[..., 0]
     if return_state:
-        # Continuation state back to dense pixel space so a second segment
-        # can re-compact at its own (tighter) capacity. Dropped-overflow /
-        # dead pixels land on the zero fill row -> active = 0.
-        st_rows = jnp.concatenate([
-            c_origin, c_dir, c_thr, c_rough[:, None],
-            jax.lax.bitcast_convert_type(c_rng, jnp.float32)[:, None],
-            c_active.astype(jnp.float32)[:, None],
-        ], axis=-1)
-        rows_px = to_pixels(st_rows, 0.0)
+        # Continuation state stays in SLOT space; the next segment
+        # re-compacts straight from these (cap,) arrays (a few narrow
+        # gathers) instead of a dense pixel round-trip. c_pix keeps the
+        # true pixel identity for its tile keys and output mapping.
         out["state"] = {
-            "origin": rows_px[:, 0:3].reshape(h, w, 3),
-            "dir": rows_px[:, 3:6].reshape(h, w, 3),
-            "throughput": rows_px[:, 6:9].reshape(h, w, 3),
-            "roughness": rows_px[:, 9].reshape(h, w),
-            "rng": jax.lax.bitcast_convert_type(
-                rows_px[:, 10], jnp.uint32).reshape(h, w),
-            "active": rows_px[:, 11].reshape(h, w) > 0.5,
+            "origin": c_origin, "dir": c_dir, "throughput": c_thr,
+            "roughness": c_rough, "rng": c_rng, "active": c_active,
+            "pixel_ids": c_pix,
         }
     return out
+
+
+def _slots_to_space(slot_vals, fill, mapper):
+    """(cap, C) slot values -> (ns, C) input-space values: un-permute to
+    pre-sort slot order, then the monotone positional gather. `mapper`
+    is the (keep, pos, perm, cap) tuple a segment returns — apply it to
+    map a LATER segment's per-path outputs back through this one."""
+    keep, pos, perm, cap = mapper
+    vals = slot_vals
+    if perm is not None:
+        vals = jnp.zeros_like(vals).at[perm].set(vals, unique_indices=True)
+    vals = jnp.concatenate(
+        [vals, jnp.full((1,) + vals.shape[1:], fill, vals.dtype)])
+    return vals[jnp.where(keep, pos, cap)]
 
 
 def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
@@ -630,9 +654,17 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
             origin = intersect.safe_spawn_point(
                 surf.position, surf.geometric_normal, l_dir)
 
-            def fold(res):
+            def fold(res, through=None):
+                """Accumulate a segment's outputs; `through` is the
+                previous segment's result when this one ran in ITS slot
+                space (radiance then maps back via that mapper)."""
                 nonlocal sample_radiance, rays_traced, hit_distance
-                sample_radiance = sample_radiance + res["radiance"]
+                rad = res["radiance"]
+                if through is not None:
+                    rad = _slots_to_space(rad, 0.0,
+                                          through["mapper"]).reshape(
+                        h, w, 3)
+                sample_radiance = sample_radiance + rad
                 rays_traced = rays_traced + res["rays"]
                 counters["wavefront_overflow_paths"] = \
                     counters["wavefront_overflow_paths"] \
@@ -658,12 +690,16 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
                     return_state=two_segment)
                 fold(seg)
                 if two_segment:
+                    # Deep segment cascades in segment A's SLOT space —
+                    # no dense round-trip (see _trace_deep_compact doc).
                     st = seg["state"]
                     fold(_trace_deep_compact(
                         scene, table, cam, cfg, sharc_state, sharc_cfg,
                         st["origin"], st["dir"], st["throughput"],
                         st["roughness"], st["rng"], st["active"],
-                        2, accel_deep or accel, cap))
+                        2, accel_deep or accel, cap,
+                        pixel_ids=st["pixel_ids"], img_hw=(h, w)),
+                        through=seg)
             else:
                 fold(_trace_deep_compact(
                     scene, table, cam, cfg, sharc_state, sharc_cfg,
