@@ -97,7 +97,8 @@ def bench_trace(width=1920, height=1080, bounces=8, spp=1, iters=8):
     return mray_s, frame_ms, rays_per_frame, ab
 
 
-def bench_full_pipeline(width=1920, height=1080, iters=4):
+def bench_full_pipeline(width=1920, height=1080, iters=4,
+                        compact_from=2):
     """Full frame graph at the reference defaults: per-pass ms (separately
     jitted, synced) + monolithic jitted frame ms."""
     import jax
@@ -107,7 +108,8 @@ def bench_full_pipeline(width=1920, height=1080, iters=4):
     cfg = pipeline.PipelineConfig(
         output_width=width, output_height=height,
         render_width=width, render_height=height,
-        bounces=8, samples_per_pixel=1, block_size=32768)
+        bounces=8, samples_per_pixel=1, block_size=32768,
+        compact_from=compact_from)
     pipe = pipeline.RenderPipeline(cfg)
     host = myscene.build(oscillator_grid=10, load_textures=True)
     state = pipe.init_state(host)
@@ -193,7 +195,7 @@ def bench_mesh(width=1920, height=1080, tess=4, bounces=2, iters=4,
     return float(rays) / 1e6 / (ms / 1e3), ms
 
 
-def bench_upscaled(width=1920, height=1080, iters=4):
+def bench_upscaled(width=1920, height=1080, iters=4, compact_from=2):
     """The reference's ACTUAL default config: DLSS-SR 'Auto' at 1080p
     renders at 1/2 scale and upscales (App.cpp:1374-1451, scale table
     ops/taa.py). The render==output record above is the harder workload;
@@ -205,7 +207,8 @@ def bench_upscaled(width=1920, height=1080, iters=4):
     cfg = pipeline.PipelineConfig(
         output_width=width, output_height=height,
         render_width=width // 2, render_height=height // 2,
-        bounces=8, samples_per_pixel=1, block_size=32768)
+        bounces=8, samples_per_pixel=1, block_size=32768,
+        compact_from=compact_from)
     pipe = pipeline.RenderPipeline(cfg)
     host = myscene.build(oscillator_grid=10, load_textures=True)
     state = pipe.init_state(host)
@@ -257,7 +260,9 @@ def main():
     if not os.environ.get("DRTS_BENCH_FAST"):
         try:
             note("bench: full pipeline...")
-            full_ms, passes, counters = bench_full_pipeline()
+            chosen = record.get("trace_ab", {}).get("chosen", 2)
+            full_ms, passes, counters = bench_full_pipeline(
+                compact_from=chosen)
             record["full_pipeline_ms"] = round(full_ms, 2)
             record["passes_ms"] = passes
             record["counters"] = counters
@@ -269,7 +274,7 @@ def main():
 
         try:
             note("bench: upscaled (reference-default DLSS-SR Auto)...")
-            up_ms = bench_upscaled()
+            up_ms = bench_upscaled(compact_from=chosen)
             record["full_pipeline_upscaled_ms"] = round(up_ms, 2)
             note(f"bench: upscaled pipeline {up_ms:.1f} ms")
         except Exception:

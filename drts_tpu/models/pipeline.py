@@ -75,6 +75,10 @@ class PipelineConfig:
     physics_enabled: bool = True
     horizontal_fov_deg: float = 90.0
     block_size: int = 16384
+    # Wavefront compaction start for the flagship trace (see
+    # ops/pathtrace.PathTraceConfig.compact_from; 1 adds the coherence-
+    # sorted bounce-1 segment — exact parity, machine-dependent net win).
+    compact_from: int = 2
     halton_period: int = 64
     # ReSTIR DI (App.cpp:1187-1229 PrepareReSTIRDI + RTXDI::Render chain).
     restir_enabled: bool = True
@@ -407,7 +411,8 @@ class RenderPipeline:
             samples_per_pixel=c.samples_per_pixel,
             russian_roulette=c.russian_roulette,
             throughput_threshold=c.throughput_threshold,
-            block_size=c.block_size)
+            block_size=c.block_size,
+            compact_from=c.compact_from)
 
     def _stage_sharc(self, state, scene, cam, di_total, accel, frame_index):
         """SHARC update trace + resolve at downscaled res
