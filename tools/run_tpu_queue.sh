@@ -20,7 +20,10 @@ timeout 300 python -c "import jax; print(jax.devices())" >"$OUT/probe.log" 2>&1
 if [ $? -ne 0 ]; then echo "TPU PROBE FAILED"; cat "$OUT/probe.log"; exit 3; fi
 echo "TPU UP: $(cat "$OUT/probe.log")"
 
-# 1. Headline bench (trace + full pipeline + upscaled + counters).
+# 1a. Fast trace-only record FIRST (insurance if the tunnel dies mid-queue).
+run bench_fast env DRTS_BENCH_FAST=1 python bench.py
+
+# 1b. Headline bench (trace + full pipeline + upscaled + mesh + counters).
 run bench python bench.py
 
 # 2. Denoiser-under-motion fidelity (target: min SSIM >= 0.95 @640x360).
