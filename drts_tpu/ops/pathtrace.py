@@ -150,53 +150,16 @@ def _compact_capacity(n_pixels: int, fraction: int) -> int:
     return -(-cap // 1024) * 1024
 
 
-def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
-                        sharc_state, sharc_cfg, origin, l_dir, throughput,
-                        prev_roughness, rng, active, start_bounce: int,
-                        accel, cap: int, end_bounce: int | None = None,
-                        di_valid=None, want_aov: bool = False,
-                        return_state: bool = False, pixel_ids=None,
-                        img_hw=None):
-    """Bounces [start_bounce, end_bounce] on a compacted survivor buffer.
-
-    Live paths are packed to the front of a (cap,) buffer; every
-    per-bounce op (intersection sweep, attribute fetch, SHARC query, BSDF
-    sample) then costs O(survivors) instead of O(frame pixels). Survivors
-    beyond `cap` are dropped (counted in the returned overflow) —
-    capacity is sized ~3x the measured survivor count.
-
-    The INPUT space is either the pixel frame ((H, W)-shaped arrays,
-    pixel_ids None) or a previous segment's slot buffer (flat (ns,)
-    arrays + `pixel_ids` mapping each element to its true pixel; pass
-    img_hw for the tile keys). Cascading in slot space avoids the ~350 MB
-    dense round-trip a pixel-space handoff would cost at 1080p — the
-    next segment re-compacts straight from these (cap,) arrays with a few
-    narrow gathers.
-
-    `di_valid` (only meaningful when the segment covers bounce 1)
-    suppresses bounce-1 emission for pixels whose direct light was
-    already added at the primary vertex (Raytracing.hlsl:302).
-    `want_aov` captures the first trace's hit distance (the bounce-1
-    AOV). `return_state` (end_bounce < cfg.bounces) returns the
-    continuation state in SLOT space plus a `mapper` that converts any
-    later (cap,)-space per-path values back to this segment's input
-    space (_slots_to_space).
-
-    Returns a dict: radiance, rays, overflow, counters, and optionally
-    hit_distance / state / mapper. Array outputs are (H, W, ...) for
-    pixel-space input, flat (ns, ...) otherwise.
-    """
-    if end_bounce is None:
-        end_bounce = cfg.bounces
-    pixel_space = pixel_ids is None
-    if img_hw is None:
-        h, w = active.shape
-    else:
-        h, w = img_hw
-    ns = active.size
-    n_px = h * w
-
-    act = active.reshape(ns)
+def _compact_slots(act, l_dir_flat, pixel_ids, cfg, cap: int,
+                   h: int, w: int, pixel_space: bool):
+    """Shared compaction front-end: pack live lanes of `act`
+    into a (cap,) slot buffer, coherence-sort the slots by
+    (direction octant, screen tile), and return the pieces the
+    wavefront segments and the SHARC update trace build on:
+    src (slot -> input position), slot_live, overflow,
+    (keep, pos, perm) for _slots_to_space, and gsel (per-array
+    slot gather with a dead row appended)."""
+    ns = act.shape[0]
     partition_mode = (cfg.compact_sort
                       and cap >= cfg.compact_sort_partition_min)
     if partition_mode and pixel_space:
@@ -252,7 +215,7 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
     # contribution buffer so the final per-pixel read stays monotone.
     perm = None
     if cfg.compact_sort:
-        d = l_dir.reshape(ns, 3)
+        d = l_dir_flat
         octant = ((d[:, 0] < 0).astype(jnp.int32) * 4
                   + (d[:, 1] < 0).astype(jnp.int32) * 2
                   + (d[:, 2] < 0).astype(jnp.int32))
@@ -305,6 +268,67 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
             [x_flat, jnp.asarray(dead, x_flat.dtype).reshape(
                 (1,) + x_flat.shape[1:])])
         return ext[idx]
+
+    return {"src": src, "slot_live": slot_live,
+            "overflow": overflow, "keep": keep, "pos": pos,
+            "perm": perm, "gsel": gsel}
+
+
+def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
+                        sharc_state, sharc_cfg, origin, l_dir, throughput,
+                        prev_roughness, rng, active, start_bounce: int,
+                        accel, cap: int, end_bounce: int | None = None,
+                        di_valid=None, want_aov: bool = False,
+                        return_state: bool = False, pixel_ids=None,
+                        img_hw=None):
+    """Bounces [start_bounce, end_bounce] on a compacted survivor buffer.
+
+    Live paths are packed to the front of a (cap,) buffer; every
+    per-bounce op (intersection sweep, attribute fetch, SHARC query, BSDF
+    sample) then costs O(survivors) instead of O(frame pixels). Survivors
+    beyond `cap` are dropped (counted in the returned overflow) —
+    capacity is sized ~3x the measured survivor count.
+
+    The INPUT space is either the pixel frame ((H, W)-shaped arrays,
+    pixel_ids None) or a previous segment's slot buffer (flat (ns,)
+    arrays + `pixel_ids` mapping each element to its true pixel; pass
+    img_hw for the tile keys). Cascading in slot space avoids the ~350 MB
+    dense round-trip a pixel-space handoff would cost at 1080p — the
+    next segment re-compacts straight from these (cap,) arrays with a few
+    narrow gathers.
+
+    `di_valid` (only meaningful when the segment covers bounce 1)
+    suppresses bounce-1 emission for pixels whose direct light was
+    already added at the primary vertex (Raytracing.hlsl:302).
+    `want_aov` captures the first trace's hit distance (the bounce-1
+    AOV). `return_state` (end_bounce < cfg.bounces) returns the
+    continuation state in SLOT space plus a `mapper` that converts any
+    later (cap,)-space per-path values back to this segment's input
+    space (_slots_to_space).
+
+    Returns a dict: radiance, rays, overflow, counters, and optionally
+    hit_distance / state / mapper. Array outputs are (H, W, ...) for
+    pixel-space input, flat (ns, ...) otherwise.
+    """
+    if end_bounce is None:
+        end_bounce = cfg.bounces
+    pixel_space = pixel_ids is None
+    if img_hw is None:
+        h, w = active.shape
+    else:
+        h, w = img_hw
+    ns = active.size
+    n_px = h * w
+
+    cs = _compact_slots(active.reshape(ns), l_dir.reshape(ns, 3),
+                        pixel_ids, cfg, cap, h, w, pixel_space)
+    src = cs["src"]
+    slot_live = cs["slot_live"]
+    overflow = cs["overflow"]
+    keep, pos, perm = cs["keep"], cs["pos"], cs["perm"]
+    gsel = cs["gsel"]
+    if pixel_ids is None:
+        pixel_ids = jnp.arange(ns, dtype=jnp.int32)
 
     c_origin = gsel(origin.reshape(ns, 3), [[0.0, 0.0, 0.0]])
     c_dir = gsel(l_dir.reshape(ns, 3), [[0.0, 0.0, 1.0]])
@@ -789,12 +813,27 @@ def sharc_update_trace(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
                                  cfg.block_size, accel=accel, table=table,
                                  alpha_rounds=scene.alpha_test_rounds)
 
+    # Bounce >= 1 optionally runs compacted + coherence-sorted (the same
+    # exact-parity machinery as the main trace's compact_from=1 segment;
+    # bounce dirs here are BSDF-scattered too, so unsorted blocks void
+    # the intersection kernel's bundle culls). One compaction after
+    # bounce 0; slots stay fixed for the whole path so the per-bounce
+    # records and the backward scan work in slot space unchanged, and
+    # only level 1 -> 0 crosses back to pixel space (one small gather).
+    use_compact = cfg.compact_from == 1 and cfg.bounces >= 1
+    mapper = None
+    origin_next = None
+
     for bounce in range(cfg.bounces + 1):
         if bounce > 0:
-            origin = intersect.safe_spawn_point(surf.position,
-                                                surf.geometric_normal, l_dir)
+            if origin_next is not None:
+                origin = origin_next
+                origin_next = None
+            else:
+                origin = intersect.safe_spawn_point(
+                    surf.position, surf.geometric_normal, l_dir)
             surf = trace_mod.trace_scene(
-                scene, origin, l_dir, jnp.zeros((h, w)),
+                scene, origin, l_dir, jnp.zeros(active.shape),
                 jnp.where(active, jnp.inf, -1.0), cfg.block_size,
                 accel=accel, table=table,
                 alpha_rounds=scene.alpha_test_rounds)
@@ -817,8 +856,8 @@ def sharc_update_trace(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
                                             surf.tangent, atlas_b, "nearest")
             emission = mat.emission
             l_dir_new = l_dir
-            weight = jnp.zeros((h, w, 3), jnp.float32)
-            valid = jnp.zeros((h, w), bool)
+            weight = jnp.zeros(active.shape + (3,), jnp.float32)
+            valid = jnp.zeros(active.shape, bool)
         else:
             atlas_b = scene.textures if bounce < cfg.texture_bounces \
                 else None
@@ -840,14 +879,33 @@ def sharc_update_trace(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
         active = live & valid
         l_dir = l_dir_new
 
+        if use_compact and bounce == 0:
+            ns = h * w
+            origin0 = intersect.safe_spawn_point(
+                surf.position, surf.geometric_normal, l_dir)
+            cap = _compact_capacity(ns, 1)
+            cs = _compact_slots(active.reshape(ns), l_dir.reshape(ns, 3),
+                                None, cfg, cap, h, w, True)
+            gsel = cs["gsel"]
+            mapper = (cs["keep"], cs["pos"], cs["perm"], cap)
+            origin_next = gsel(origin0.reshape(ns, 3), [[0.0, 0.0, 0.0]])
+            l_dir = gsel(l_dir.reshape(ns, 3), [[0.0, 0.0, 1.0]])
+            rng = gsel(rng.reshape(ns), [0])
+            active = cs["slot_live"]
+
     # Backward scan: L_v = E_v + T_v * L_{v+1} (SharcUpdateHit's internal
     # accumulation, made explicit), then ONE fused scatter for all levels
     # (splat_levels — per-level scatters dominated this pass).
-    radiance_next = jnp.zeros((h, w, 3), jnp.float32)
+    radiance_next = jnp.zeros(emissions[-1].shape, jnp.float32)
     capacity = sharc_state.fingerprint.shape[0]
     level_radiance = [None] * len(slots)
     for b in range(len(slots) - 1, -1, -1):
-        l_here = emissions[b] + seg_weights[b] * radiance_next
+        nxt = radiance_next
+        if nxt.shape != emissions[b].shape:
+            # Slot space (level 1) -> pixel space (level 0) boundary.
+            nxt = _slots_to_space(nxt, 0.0, mapper).reshape(
+                emissions[b].shape)
+        l_here = emissions[b] + seg_weights[b] * nxt
         l_here = jnp.where(jnp.isfinite(l_here), l_here, 0.0)
         level_radiance[b] = l_here
         radiance_next = l_here

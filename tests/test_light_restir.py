@@ -580,3 +580,39 @@ def test_sharc_cached_render_energy_matches_pure_trace():
     rel = np.abs(out.mean((0, 1)) - ref.mean((0, 1))) \
         / np.maximum(ref.mean((0, 1)), 1e-4)
     assert rel.max() < 0.08, (out.mean((0, 1)), ref.mean((0, 1)))
+
+
+def test_sharc_update_compact_matches_dense():
+    """The compacted+sorted SHARC update trace (compact_from=1) must
+    reproduce the dense update's resolved cache: per-path RNG streams are
+    identical, so the only differences are splat summation order
+    (tolerance) — resolved radiance and occupancy must agree."""
+    import dataclasses
+
+    from drts_tpu.models import myscene
+    from drts_tpu.ops import camera as camera_mod, pathtrace, sharc
+
+    w = h = 48
+    host = myscene.build(oscillator_grid=3)
+    scene = host.scene
+    cam = camera_mod.make_camera(host.camera_position, host.camera_forward,
+                                 horizontal_fov_deg=90.0, aspect=1.0)
+    cfg_d = pathtrace.PathTraceConfig(width=w, height=h, bounces=3,
+                                      samples_per_pixel=1, block_size=2304,
+                                      compact_from=2)
+    cfg_c = dataclasses.replace(cfg_d, compact_from=1)
+    scfg = sharc.SHARCConfig(capacity_log2=14, scene_scale=50.0)
+
+    st_d = sharc.init_state(scfg)
+    st_c = sharc.init_state(scfg)
+    for f in range(3):
+        st_d, _ = pathtrace.sharc_update_trace(scene, cam, st_d, scfg,
+                                               cfg_d, f)
+        st_c, _ = pathtrace.sharc_update_trace(scene, cam, st_c, scfg,
+                                               cfg_c, f)
+    occ_d = np.asarray(st_d.sample_count > 0)
+    occ_c = np.asarray(st_c.sample_count > 0)
+    np.testing.assert_array_equal(occ_c, occ_d)
+    np.testing.assert_allclose(np.asarray(st_c.radiance),
+                               np.asarray(st_d.radiance),
+                               rtol=1e-4, atol=1e-5)
