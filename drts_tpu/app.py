@@ -219,10 +219,13 @@ def _interactive_keys(args, sess, mutations, mtime_box, camera_mod,
             dt = 1.0 / 60.0 if scripted else max(now - t_last, 1e-4)
             t_last = now
             # Speed * elapsed, the reference's ProcessInput scaling
-            # (Controls.json Camera.Speed, MyAppData.h:392-414).
+            # (Controls.json Camera.Speed, MyAppData.h:392-414). dt is
+            # clamped above too: a JIT-compile hitch of tens of seconds
+            # must not teleport the camera on the next keypress.
             action = camera_mod.apply_input_key(
                 ctl, k,
-                move_step=controls.camera_movement_speed * max(dt, 1e-2),
+                move_step=controls.camera_movement_speed
+                * min(max(dt, 1e-2), 0.1),
                 turn_step=controls.camera_rotation_speed * np.deg2rad(10.0))
             if action == "quit":
                 break

@@ -326,6 +326,8 @@ def load_controls(path: str) -> ControlsSettings:
             data = json.load(f)
     except (OSError, json.JSONDecodeError):
         data = {}
+    if not isinstance(data, dict):
+        data = {}  # valid JSON, wrong shape: defaults, like a bad file
     return _from_jsonable(ControlsSettings, data).check()
 
 
@@ -342,4 +344,6 @@ def load_settings(path: str) -> GraphicsSettings:
             data = json.load(f)
     except (OSError, json.JSONDecodeError):
         data = {}
+    if not isinstance(data, dict):
+        data = {}  # valid JSON, wrong shape: defaults, like a bad file
     return _from_jsonable(GraphicsSettings, data).check()

@@ -151,7 +151,8 @@ def _compact_capacity(n_pixels: int, fraction: int) -> int:
 
 
 def _compact_slots(act, l_dir_flat, pixel_ids, cfg, cap: int,
-                   h: int, w: int, pixel_space: bool):
+                   h: int, w: int):
+    pixel_space = pixel_ids is None
     """Shared compaction front-end: pack live lanes of `act`
     into a (cap,) slot buffer, coherence-sort the slots by
     (direction octant, screen tile), and return the pieces the
@@ -321,7 +322,7 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
     n_px = h * w
 
     cs = _compact_slots(active.reshape(ns), l_dir.reshape(ns, 3),
-                        pixel_ids, cfg, cap, h, w, pixel_space)
+                        pixel_ids, cfg, cap, h, w)
     src = cs["src"]
     slot_live = cs["slot_live"]
     overflow = cs["overflow"]
@@ -437,7 +438,7 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
     out = {
         "radiance": to_space(contrib, 0.0),
         "rays": rays_add, "overflow": overflow, "counters": counters,
-        "mapper": mapper, "pixel_space": pixel_space,
+        "mapper": mapper,
     }
     if c_hitdist is not None:
         out["hit_distance"] = to_space(c_hitdist[:, None], jnp.inf)[..., 0]
@@ -885,7 +886,7 @@ def sharc_update_trace(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
                 surf.position, surf.geometric_normal, l_dir)
             cap = _compact_capacity(ns, 1)
             cs = _compact_slots(active.reshape(ns), l_dir.reshape(ns, 3),
-                                None, cfg, cap, h, w, True)
+                                None, cfg, cap, h, w)
             gsel = cs["gsel"]
             mapper = (cs["keep"], cs["pos"], cs["perm"], cap)
             origin_next = gsel(origin0.reshape(ns, 3), [[0.0, 0.0, 0.0]])

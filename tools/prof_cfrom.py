@@ -34,16 +34,18 @@ def run(compact_from, fraction=8, iters=6, fraction_first=1,
         gbuf = gbuffer.generate(scene, cam, W, H, cfg.block_size, accel=accel)
         out = pathtrace.trace_image(scene, cam, cfg, fi, gbuf=gbuf,
                                     accel=accel, accel_deep=deep)
-        return out.radiance, out.rays_traced
-    r, rays = frame(scene, cam, 0); jax.block_until_ready(r)
+        return (out.radiance, out.rays_traced,
+                out.counters["wavefront_overflow_paths"])
+    r, rays, ovf = frame(scene, cam, 0); jax.block_until_ready(r)
     t0 = time.perf_counter()
     for i in range(iters):
-        r, rays = frame(scene, cam, i + 1)
+        r, rays, ovf = frame(scene, cam, i + 1)
     jax.block_until_ready(r)
     ms = (time.perf_counter() - t0) / iters * 1e3
     print(json.dumps({"compact_from": compact_from, "fraction": fraction,
                       "fraction_first": fraction_first,
                       "deep16": deep_chunk16, "ms": round(ms, 2),
+                      "overflow_paths": int(ovf),
                       "mray_s": round(float(rays) / ms / 1e3, 1)}),
           flush=True)
 

@@ -26,8 +26,8 @@ from drts_tpu.ops.intersect_pallas import RAY_BLOCK  # noqa: E402
 from drts_tpu.utils import rng as rng_mod  # noqa: E402
 
 
-def bounce1_rays(w, h):
-    host = myscene.build(oscillator_grid=10)
+def bounce1_rays(w, h, host=None):
+    host = host or myscene.build(oscillator_grid=10)
     scene = host.scene
     cam = camera_mod.make_camera(host.camera_position, host.camera_forward,
                                  horizontal_fov_deg=90.0, aspect=w / h)
@@ -104,7 +104,7 @@ CULL_EQUIV = 2.0  # scalar cull cost in "sphere-column" units per pair
 def main(w=960, h=540):
     host = myscene.build(oscillator_grid=10)
     scene = host.scene
-    o, d, live, _, _ = bounce1_rays(w, h)
+    o, d, live, _, _ = bounce1_rays(w, h, host)
     n = o.shape[0]
     print(f"{n} rays, {live.sum()} live ({live.mean():.2%})")
     print(f"modeled work = surviving_pairs*chunk + {CULL_EQUIV}*all_pairs "
@@ -146,7 +146,7 @@ def main(w=960, h=540):
         print(f"-- chunk size {members} ({n_chunks} chunks) --")
         for name, order in orders:
             oo, dd, ll = o[order], d[order], live[order]
-            s, total, live_blocks = survivors(oo, dd, ll, bounds, n_chunks)
+            s, total, _ = survivors(oo, dd, ll, bounds, n_chunks)
             work = s * members + CULL_EQUIV * total
             print(f"  {name:25s} pairs {s:6d}/{total:6d} "
                   f"({s / total:6.2%})  work {work / 1e3:8.1f}k")
