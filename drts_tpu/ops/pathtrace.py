@@ -66,8 +66,9 @@ class PathTraceConfig:
     # rays are BSDF-scattered — pixel-order blocks give the intersection
     # kernel white-noise direction bundles exactly like deep bounces, so
     # the (octant, tile) sort re-arms the bundle-cone culls for ~half of
-    # all rays in a frame. Costs one extra state round-trip through pixel
-    # space between the segments.
+    # all rays in a frame. The deep segment cascades in the bounce-1
+    # segment's slot space (no dense round-trip). Also enables the
+    # compacted+sorted SHARC update trace.
     compact_from: int = 2
     compact_fraction: int = 12
     # Capacity divisor for the bounce-1 segment. Survivors there are all
@@ -92,10 +93,10 @@ class PathTraceConfig:
     # (octant, tile) lax.sort costs O(cap log^2 cap) compare-exchange
     # passes (~230 sweeps at 2M lanes). Capacities >= this threshold use a
     # stable 9-bucket octant partition instead (9 masked cumsums — two
-    # orders of magnitude less traffic); slot order within an octant stays
-    # pixel-row-major, which keeps origins spatially local enough for the
-    # bundle apex. The deep segment (~174k slots) keeps the exact
-    # tile-minor key sort.
+    # orders of magnitude less traffic) over a STATIC tile-major
+    # compaction order, which reproduces the key sort's exact
+    # (octant, tile, pixel) grouping (tools/sim_sort_cull.py). The deep
+    # segment (~174k slots) keeps the key sort.
     compact_sort_partition_min: int = 500_000
 
 
