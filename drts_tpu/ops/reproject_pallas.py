@@ -38,8 +38,11 @@ TILE_W = 384
 MARGIN_Y = 8            # window rows above/below the tile
 MARGIN_X = 64           # window cols left/right (lane-tile padding)
 RADIUS = 3              # max |residual| after the mean offset, in pixels
-WIN_H = TILE_H + 2 * MARGIN_Y
-WIN_W = TILE_W + 2 * MARGIN_X
+ALIGN_Y = 8             # Mosaic requires DMA offsets aligned to the
+ALIGN_X = 128           # (sublane, lane) tiling; the window carries the
+                        # alignment slack and two dynamic rolls undo it
+WIN_H = TILE_H + 2 * MARGIN_Y + ALIGN_Y
+WIN_W = TILE_W + 2 * MARGIN_X + ALIGN_X
 
 
 def _kernel(py_ref, px_ref, src_ref, out_ref, ok_ref, win, sem, *,
@@ -50,8 +53,9 @@ def _kernel(py_ref, px_ref, src_ref, out_ref, ok_ref, win, sem, *,
     prev_y = py_ref[:, :]                        # (TH, TW) source coords
     prev_x = px_ref[:, :]
 
-    ty = jax.lax.broadcasted_iota(jnp.float32, prev_y.shape, 0)
-    tx = jax.lax.broadcasted_iota(jnp.float32, prev_x.shape, 1)
+    # Mosaic only lowers integer iota; cast afterwards.
+    ty = jax.lax.broadcasted_iota(jnp.int32, prev_y.shape, 0).astype(jnp.float32)
+    tx = jax.lax.broadcasted_iota(jnp.int32, prev_x.shape, 1).astype(jnp.float32)
 
     # Tile-mean DISPLACEMENT -> window origin (robust to tiles where only
     # some lanes are valid, e.g. grid padding; sentinel coords < -1e8 mark
@@ -68,12 +72,24 @@ def _kernel(py_ref, px_ref, src_ref, out_ref, ok_ref, win, sem, *,
                   0, w_pad - WIN_W)
 
     if use_dma:
+        # Mosaic proves DMA offsets divisible by the (sublane, lane)
+        # tiling only when they are constructed aligned; fetch the window
+        # at the aligned origin and roll the intra-tile shift (sy, sx)
+        # away afterwards so every tap read stays static.
+        oy_al = pl.multiple_of((oy // ALIGN_Y) * ALIGN_Y, ALIGN_Y)
+        ox_al = pl.multiple_of((ox // ALIGN_X) * ALIGN_X, ALIGN_X)
+        sy = oy - oy_al
+        sx = ox - ox_al
         dma = pltpu.make_async_copy(
-            src_ref.at[:, pl.ds(oy, WIN_H), pl.ds(ox, WIN_W)], win, sem)
+            src_ref.at[:, pl.ds(oy_al, WIN_H), pl.ds(ox_al, WIN_W)],
+            win, sem)
         dma.start()
     else:
-        # Interpret mode: plain windowed read (the interpreter's DMA
-        # semaphores hang under xla_force_host_platform_device_count).
+        # Interpret mode: plain windowed read at the exact origin (the
+        # interpreter's DMA semaphores hang under
+        # xla_force_host_platform_device_count) — sy = sx = 0.
+        sy = jnp.int32(0)
+        sx = jnp.int32(0)
         win[:, :, :] = src_ref[:, pl.ds(oy, WIN_H), pl.ds(ox, WIN_W)]
 
     # Per-lane residual vs its nominal window position.
@@ -100,14 +116,26 @@ def _kernel(py_ref, px_ref, src_ref, out_ref, ok_ref, win, sem, *,
     if use_dma:
         dma.wait()
 
+    if use_dma:
+        ry_shift = (WIN_H - sy) % WIN_H
+        rx_shift = (WIN_W - sx) % WIN_W
+
     for c in range(n_channels):
+        wc = win[c, :, :]
+        if use_dma:
+            # Undo the DMA alignment: rolled[m, n] = win[m + sy, n + sx],
+            # so index m maps back to source row oy + m (exact origin).
+            # Taps read rows [MARGIN_Y-R, MARGIN_Y+TILE_H+R] < WIN_H -
+            # ALIGN_Y and cols < WIN_W - ALIGN_X, so wrapped lanes are
+            # never read.
+            wc = pltpu.roll(pltpu.roll(wc, ry_shift, 0), rx_shift, 1)
         acc = jnp.zeros(prev_y.shape, jnp.float32)
         for iy, dy in enumerate(range(-r, r + 2)):
             row_w = wys[iy]
             y0 = MARGIN_Y + dy
             for ix, dx in enumerate(range(-r, r + 2)):
                 x0 = MARGIN_X + dx
-                s = win[c, y0:y0 + TILE_H, x0:x0 + TILE_W]
+                s = wc[y0:y0 + TILE_H, x0:x0 + TILE_W]
                 acc = acc + (row_w * wxs[ix]) * s
         out_ref[c, :, :] = acc
 

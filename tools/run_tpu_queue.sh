@@ -6,6 +6,9 @@ set -u
 OUT=${1:-/tmp/tpuq}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
+# Tools are run as `python tools/x.py`, which puts tools/ (not the repo
+# root) on sys.path — make `import drts_tpu` resolve regardless.
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 run() {
   name=$1; shift
