@@ -71,6 +71,48 @@ def test_reproject_nearest_packed_bits_exact():
     assert both.sum() > 0.98 * np.asarray(ib).sum()
 
 
+def test_reproject_discontinuous_motion_exact_fallback():
+    """Motion discontinuities (foreground parallax far from the tile
+    mean) must resolve EXACTLY via the compacted gather fallback — the
+    orbit-fidelity regression case: without the fallback every near-
+    object pixel is disoccluded every frame."""
+    rng = np.random.RandomState(7)
+    h, w, c = 48, 400, 5
+    src = jnp.asarray(rng.rand(h, w, c), jnp.float32)
+    # Background: uniform 4px pan. Foreground blob: 17px opposing motion
+    # (well beyond RADIUS from any tile mean).
+    yy, xx = np.mgrid[:h, :w].astype(np.float32)
+    fg = ((yy - 24.0) ** 2 + (xx - 200.0) ** 2) < 15.0 ** 2
+    mx = np.where(fg, -17.3, 4.1).astype(np.float32)
+    my = np.where(fg, 9.7, 0.6).astype(np.float32)
+    motion = jnp.asarray(np.stack([mx, my], axis=-1))
+    for mode in ("bilinear", "nearest"):
+        ref, ib = denoise._reproject(src, motion, mode)
+        out, ok = rp.reproject_packed(src, motion, mode, interpret=True)
+        okn, ibn = np.asarray(ok), np.asarray(ib)
+        # Every in-bounds lane recovered (fallback capacity not exceeded).
+        assert (okn == ibn).all(), mode
+        np.testing.assert_allclose(np.asarray(out)[ibn],
+                                   np.asarray(ref)[ibn], atol=1e-4,
+                                   err_msg=mode)
+
+    # Past the fallback capacity, lanes degrade to ok=False (never wrong
+    # values). Incoherent per-pixel motion defeats both tile windows
+    # (no cluster mean fits), so with a ~128-lane capacity most lanes
+    # must overflow.
+    rng2 = np.random.RandomState(8)
+    scatter_motion = jnp.asarray(
+        rng2.uniform(-30.0, 30.0, (h, w, 2)).astype(np.float32))
+    out2, ok2 = rp.reproject_packed(src, scatter_motion, "nearest",
+                                    interpret=True, exact_fallback=True,
+                                    fallback_fraction=h * w)
+    ref2, ib2 = denoise._reproject(src, scatter_motion, "nearest")
+    both = np.asarray(ok2) & np.asarray(ib2)
+    assert both.sum() < np.asarray(ib2).sum()  # some lanes overflowed
+    np.testing.assert_allclose(np.asarray(out2)[both],
+                               np.asarray(ref2)[both], atol=1e-4)
+
+
 def test_reproject_identity_and_large_global_shift():
     """Identity motion is exact everywhere; a large uniform shift (well
     beyond the tap radius) is absorbed by the window offset."""
