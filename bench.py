@@ -34,13 +34,13 @@ signal.alarm(45 * 60)
 
 
 def bench_trace(width=1920, height=1080, bounces=8, spp=1, iters=8):
-    """Self-selecting A/B over the wavefront compaction start: the
-    bounce-1 coherence-sorted segment (compact_from=1) is exact-parity
-    with the default but its net win is machine-dependent (sorted-sweep
-    savings vs reorder traffic, tools/sim_sort_cull.py). Times both,
-    records both, reports the better one as the headline."""
-    import dataclasses
-
+    """Headline trace throughput at frozen defaults. The compact_from
+    A/B this used to run is settled by hardware: the bounce-1 sorted
+    segment LOSES 5.6x for the sphere path (38.7 vs 6.9 Mray/s, TPU v5e
+    2026-08-18 — the reorder traffic swamps the cull savings predicted
+    by tools/sim_sort_cull.py), so the sphere benches pin compact_from=2
+    while the mesh bench keeps compact_from=1 (measured 1.45x WIN there:
+    per-instance bounds are tight enough for the sort to pay)."""
     import jax
     import numpy as np
 
@@ -53,48 +53,35 @@ def bench_trace(width=1920, height=1080, bounces=8, spp=1, iters=8):
     scene = host.scene
     plan = clusters.build_plan_morton(np.asarray(scene.center),
                                       np.asarray(scene.radius),
-                                      max_members=64)
+                                      max_members=32)
     cam = camera_mod.make_camera(host.camera_position, host.camera_forward,
                                  horizontal_fov_deg=90.0,
                                  aspect=width / height)
-    base_cfg = pathtrace.PathTraceConfig(
+    cfg = pathtrace.PathTraceConfig(
         width=width, height=height, bounces=bounces, samples_per_pixel=spp,
-        russian_roulette=True, block_size=32768)
+        russian_roulette=True, block_size=32768, compact_from=2)
 
-    def make_frame(cfg):
-        @jax.jit
-        def frame(scene, cam, frame_index):
-            accel = clusters.make_morton_accel(plan, scene.center,
-                                               scene.radius,
-                                               sort_origin=cam.position)
-            gbuf = gbuffer.generate(scene, cam, width, height,
-                                    cfg.block_size, accel=accel)
-            out = pathtrace.trace_image(scene, cam, cfg, frame_index,
-                                        gbuf=gbuf, accel=accel)
-            return out.radiance, out.rays_traced
-        return frame
+    @jax.jit
+    def frame(scene, cam, frame_index):
+        accel = clusters.make_morton_accel(plan, scene.center,
+                                           scene.radius,
+                                           sort_origin=cam.position)
+        gbuf = gbuffer.generate(scene, cam, width, height,
+                                cfg.block_size, accel=accel)
+        out = pathtrace.trace_image(scene, cam, cfg, frame_index,
+                                    gbuf=gbuf, accel=accel)
+        return out.radiance, out.rays_traced
 
-    results = {}
-    rays_per_frame = 0.0
-    for cfrom in (2, 1):
-        cfg = dataclasses.replace(base_cfg, compact_from=cfrom)
-        frame = make_frame(cfg)
-        radiance, rays = frame(scene, cam, 0)  # compile + warm
-        jax.block_until_ready(radiance)
-        rays_per_frame = float(rays)
-        start = time.perf_counter()
-        for i in range(iters):
-            radiance, rays = frame(scene, cam, i + 1)
-        jax.block_until_ready(radiance)
-        elapsed = time.perf_counter() - start
-        results[cfrom] = (rays_per_frame * iters / elapsed / 1e6,
-                          elapsed / iters * 1e3)
-
-    best = max(results, key=lambda k: results[k][0])
-    mray_s, frame_ms = results[best]
-    ab = {f"compact_from_{k}": round(v[0], 2) for k, v in results.items()}
-    ab["chosen"] = best
-    return mray_s, frame_ms, rays_per_frame, ab
+    radiance, rays = frame(scene, cam, 0)  # compile + warm
+    jax.block_until_ready(radiance)
+    rays_per_frame = float(rays)
+    start = time.perf_counter()
+    for i in range(iters):
+        radiance, rays = frame(scene, cam, i + 1)
+    jax.block_until_ready(radiance)
+    elapsed = time.perf_counter() - start
+    return (rays_per_frame * iters / elapsed / 1e6,
+            elapsed / iters * 1e3, rays_per_frame)
 
 
 def bench_full_pipeline(width=1920, height=1080, iters=4,
@@ -245,24 +232,20 @@ def main():
 
     # Headline FIRST, so a later failure can't lose it (round-2 lesson).
     try:
-        note("bench: trace (compact_from A/B)...")
-        mray_s, frame_ms, rays_per_frame, ab = bench_trace()
+        note("bench: trace...")
+        mray_s, frame_ms, rays_per_frame = bench_trace()
         record.update(value=round(mray_s, 2),
                       vs_baseline=round(mray_s / 200.0, 4),
                       frame_ms=round(frame_ms, 2),
-                      rays_per_frame=int(rays_per_frame),
-                      trace_ab=ab)
-        note(f"bench: trace {mray_s:.1f} Mray/s ({frame_ms:.1f} ms), "
-             f"A/B {ab}")
+                      rays_per_frame=int(rays_per_frame))
+        note(f"bench: trace {mray_s:.1f} Mray/s ({frame_ms:.1f} ms)")
     except Exception:
         errors.append("trace: " + traceback.format_exc(limit=2))
 
     if not os.environ.get("DRTS_BENCH_FAST"):
         try:
             note("bench: full pipeline...")
-            chosen = record.get("trace_ab", {}).get("chosen", 2)
-            full_ms, passes, counters = bench_full_pipeline(
-                compact_from=chosen)
+            full_ms, passes, counters = bench_full_pipeline()
             record["full_pipeline_ms"] = round(full_ms, 2)
             record["passes_ms"] = passes
             record["counters"] = counters
@@ -274,7 +257,7 @@ def main():
 
         try:
             note("bench: upscaled (reference-default DLSS-SR Auto)...")
-            up_ms = bench_upscaled(compact_from=chosen)
+            up_ms = bench_upscaled()
             record["full_pipeline_upscaled_ms"] = round(up_ms, 2)
             note(f"bench: upscaled pipeline {up_ms:.1f} ms")
         except Exception:

@@ -31,7 +31,7 @@ def reference_render(host, width: int, height: int, spp_total: int = 1024,
     fwd = host.camera_forward if forward is None else tuple(forward)
     plan = clusters.build_plan_morton(np.asarray(scene.center),
                                       np.asarray(scene.radius),
-                                      max_members=64)
+                                      max_members=32)
     jitter_table = jnp.asarray(rng_mod.halton_jitter(64))
     cfg = pathtrace.PathTraceConfig(width=width, height=height,
                                     bounces=bounces, samples_per_pixel=1,

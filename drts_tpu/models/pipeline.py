@@ -238,9 +238,11 @@ class RenderPipeline:
         """Build the static cluster plan (the BLAS-build analogue)."""
         from . import clusters
         if self.cfg.accel_mode == "morton":
+            # 32-sphere chunks beat 64 under the headline workload
+            # (tools/prof_fraction.py on TPU v5e: 42.3 vs 41.6 Mray/s).
             self.cluster_plan = clusters.build_plan_morton(
                 np.asarray(host.scene.center), np.asarray(host.scene.radius),
-                max_members=64)
+                max_members=32)
         else:
             self.cluster_plan = None
 

@@ -55,10 +55,13 @@ class PathTraceConfig:
     # per bounce. The SER/ray-compaction analogue of
     # /root/reference/Shaders/RaytracingHelpers.hlsli:46-53. Set
     # compact_from > bounces to disable (pure dense).
-    # fraction sweep at 1080p/8 bounces (tools/prof_cfrom.py): dense 146 ms,
-    # /8 98 ms, /16 80 ms. /12 balances machinery cost against survivor
-    # overflow headroom (~130k bounce-2 survivors vs the 174k cap; overflow
-    # silently drops path radiance).
+    # fraction sweep at 1080p/8 bounces under the full headline workload
+    # (textured + sort_origin, tools/prof_fraction.py on TPU v5e):
+    # /12 38.1 Mray/s, /16 39.9, /24 41.6, /32 overflows 18k paths.
+    # /24 is the tightest zero-overflow capacity for the demo scene
+    # (survivors land between the /32 cap 64.8k, which dropped 18k paths,
+    # and the /24 cap 86.4k); overflow silently drops path radiance but
+    # is surfaced per frame as the wavefront_overflow_paths counter.
     #
     # compact_from = 1 compacts + coherence-sorts the BOUNCE-1 wavefront
     # too (segment [1,1] at n/compact_fraction_first capacity, then a
@@ -70,7 +73,7 @@ class PathTraceConfig:
     # segment's slot space (no dense round-trip). Also enables the
     # compacted+sorted SHARC update trace.
     compact_from: int = 2
-    compact_fraction: int = 12
+    compact_fraction: int = 24
     # Capacity divisor for the bounce-1 segment. Survivors there are all
     # primary hits with a valid scatter — routinely 60-80% of the frame,
     # so /2 would OVERFLOW and silently drop GI paths; default /1 keeps

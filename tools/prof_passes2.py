@@ -46,7 +46,8 @@ if "sharc" in which:
               jnp.zeros((CAP,), jnp.uint32))
         d = acc[0].astype(jnp.int32)
         s2 = [jnp.clip(s + i + d, 0, CAP - 1) for s in slots]
-        ssum, cnt, fp = sharc_mod.splat_levels(st, s2, fps, rads, acts)
+        ssum, cnt, fp, dropped = sharc_mod.splat_levels(st, s2, fps, rads,
+                                                        acts)
         return acc + jnp.array([jnp.sum(cnt) * 1e-9, 0.0])
     timeloop("splat_9x130k", b_splat, jnp.zeros((2,), jnp.float32))
 
@@ -90,8 +91,9 @@ if "denoise" in which:
     timeloop("atrous_3x1sig", b_atrous, dstate)
 
 if "taa" in which:
-    tstate = taa_mod.TAAState(history=jnp.asarray(rng.rand(H, W, 3),
-                                                  jnp.float32))
+    hist0 = jnp.asarray(rng.rand(H, W, 3), jnp.float32)
+    tstate = taa_mod.TAAState(history=hist0,
+                              packed=taa_mod._pack_rgb16(hist0))
     color = jnp.asarray(rng.rand(H, W, 3), jnp.float32)
     motion = jnp.asarray(rng.randn(H, W, 2) * 1.5, jnp.float32)
 
