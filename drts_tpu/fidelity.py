@@ -113,10 +113,31 @@ def _orbit_poses(host, n_frames: int, deg_per_frame: float = 0.75,
     return poses
 
 
+def _cached_reference(cache_dir, key, render):
+    """Disk-cached converged reference render: the 256-1024 spp ground
+    truths dominate fidelity wall time (~90%) and depend only on
+    (scene seed, pose, resolution, spp) — caching them makes denoiser/
+    TAA tuning sweeps ~8x faster. Integrator changes that alter ground
+    truth need the cache dir cleared (it lives under /tmp, so a fresh
+    machine or reboot starts clean)."""
+    import os
+    if not cache_dir:
+        return render()
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, key + ".npz")
+    if os.path.exists(path):
+        return np.load(path)["ref"]
+    ref = render()
+    np.savez_compressed(path, ref=ref)
+    return ref
+
+
 def run_motion(width: int = 640, height: int = 360,
                spp_reference: int = 256, n_frames: int = 32,
                warmup: int = 24, seed: int = 0, eval_every: int = 4,
-               load_textures: bool = True) -> dict:
+               load_textures: bool = True,
+               ref_cache: str | None = "/tmp/drts_fid_refs",
+               save_dir: str | None = None) -> dict:
     """Moving-camera fidelity: orbit the camera; SSIM of each evaluated
     frame against a per-pose converged reference. Reports min/mean —
     the static-pose headline lets temporal accumulation do all the work;
@@ -158,15 +179,28 @@ def run_motion(width: int = 640, height: int = 360,
         prev = cur
         if i % eval_every != 0:
             continue
-        ref_linear = reference_render(host, width, height, spp_reference,
-                                      position=p, forward=f)
+        key = (f"orbit_s{seed}_t{int(load_textures)}_{width}x{height}"
+               f"_spp{spp_reference}_f{i}")
+        ref_linear = _cached_reference(
+            ref_cache, key,
+            lambda: reference_render(host, width, height, spp_reference,
+                                     position=p, forward=f))
         ref_display = np.asarray(post.tonemap(jnp.asarray(ref_linear)))
         scores.append(float(image_mod.ssim(np.asarray(img), ref_display)))
+        if save_dir is not None:
+            import os
+            os.makedirs(save_dir, exist_ok=True)
+            image_mod.write_png(
+                os.path.join(save_dir, f"rt_{i:03d}_{scores[-1]:.4f}.png"),
+                np.asarray(img))
+            image_mod.write_png(
+                os.path.join(save_dir, f"ref_{i:03d}.png"), ref_display)
 
     return {
         "metric": "ssim_motion_orbit",
         "value": round(float(np.mean(scores)), 4),
         "min": round(float(np.min(scores)), 4),
+        "per_frame": [round(s, 4) for s in scores],
         "unit": "SSIM",
         "frames": n_frames,
         "evaluated": len(scores),
@@ -177,7 +211,8 @@ def run_motion(width: int = 640, height: int = 360,
 
 def run(width: int = 640, height: int = 360, spp_reference: int = 1024,
         frames_realtime: int = 64, seed: int = 0,
-        load_textures: bool = True, save_dir: str | None = None) -> dict:
+        load_textures: bool = True, save_dir: str | None = None,
+        ref_cache: str | None = "/tmp/drts_fid_refs") -> dict:
     """Full fidelity evaluation; returns the metric dict."""
     from .models import myscene
     from .ops import post
@@ -185,7 +220,11 @@ def run(width: int = 640, height: int = 360, spp_reference: int = 1024,
     import jax.numpy as jnp
 
     host = myscene.build(seed=seed, load_textures=load_textures)
-    ref_linear = reference_render(host, width, height, spp_reference)
+    key = (f"static_s{seed}_t{int(load_textures)}_{width}x{height}"
+           f"_spp{spp_reference}")
+    ref_linear = _cached_reference(
+        ref_cache, key,
+        lambda: reference_render(host, width, height, spp_reference))
     ref_display = np.asarray(post.tonemap(jnp.asarray(ref_linear)))
     rt_display, pipe = realtime_render(host, width, height, frames_realtime)
     if save_dir:
@@ -222,7 +261,8 @@ def main():
     args = p.parse_args()
     if args.motion:
         result = run_motion(args.width, args.height,
-                            min(args.spp, 256), args.frames)
+                            min(args.spp, 256), args.frames,
+                            save_dir=args.save)
     else:
         result = run(args.width, args.height, args.spp, args.frames,
                      save_dir=args.save)
