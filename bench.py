@@ -33,6 +33,20 @@ signal.signal(signal.SIGALRM,
 signal.alarm(45 * 60)
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: the bench's programs are large
+    (minutes of compile at 1080p) and byte-identical across runs on the
+    same machine. TPU cache entries are keyed by device kind + HLO, so a
+    shared /tmp dir is safe (the conftest keys its CPU cache by cpuinfo
+    because host-flag-specialized CPU kernels are not)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("DRTS_BENCH_CACHE_DIR",
+                                     "/tmp/drts_jax_bench_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def bench_trace(width=1920, height=1080, bounces=8, spp=1, iters=8):
     """Headline trace throughput at frozen defaults. The compact_from
     A/B this used to run is settled by hardware: the bounce-1 sorted
@@ -217,6 +231,8 @@ def main():
     import traceback
 
     import jax
+
+    _enable_compile_cache()
 
     def note(msg):
         print(msg, file=sys.stderr, flush=True)

@@ -249,6 +249,17 @@ def run(width: int = 640, height: int = 360, spp_reference: int = 1024,
 
 def main():
     import argparse
+    import os
+
+    import jax
+
+    # Same persistent compile cache as bench.py: the orbit sweep re-jits
+    # the identical pipeline program every run.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("DRTS_BENCH_CACHE_DIR",
+                                     "/tmp/drts_jax_bench_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     p = argparse.ArgumentParser("fidelity")
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=360)
