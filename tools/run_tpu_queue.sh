@@ -38,19 +38,16 @@ run fidelity_static python -m drts_tpu.fidelity
 # 4. spatial_offset_mode A/B (frame ms + SSIM shared vs per_pixel).
 run ab_spatial python tools/ab_spatial_offset.py
 
-# 5. Fresh per-op attribution of the full frame.
-run prof_passes python tools/prof_passes2.py
+# 5. restir_initial internals — the new top pass (80.9 ms on 2026-08-19;
+#    overtook the trace). Candidate gather vs visibility-ray split.
+run prof_restir_init python tools/prof_restir_init.py
 
-# 6. compact_from sweep incl. the new bounce-1 compaction+sort segment.
-run prof_cfrom python tools/prof_cfrom.py
-
-# 7. Mesh-path bench: bounce-1 sorting is the hypothesized fix for the
-#    0.94 Mray/s incoherent-block collapse (NEXT.md item 3).
-run bench_mesh_c2 python tools/bench_mesh.py 4 2 2
-run bench_mesh_c1 python tools/bench_mesh.py 4 2 1
-
-# 8. Chunk-size fixed-cost check (sim predicts finer chunks win even for
+# 6. Chunk-size fixed-cost check (sim predicts finer chunks win even for
 #    primaries under a 2-col/pair overhead model — validate on hardware).
 run prof_chunksize python tools/prof_chunksize.py
+
+# Settled by hardware 2026-08-18/19 (removed from the queue): compact_from
+# sweep (spheres pin 2, mesh pins 1 — bench.py docstrings), mesh c1-vs-c2
+# (1.45x c1 win recorded), per-pass attribution (bench.py emits passes_ms).
 
 echo "=== QUEUE DONE — logs in $OUT ==="
