@@ -12,8 +12,18 @@ after identical tone mapping.
 from __future__ import annotations
 
 import json
+import sys
+import time
 
 import numpy as np
+
+
+def _note(msg: str):
+    """Progress to stderr: a fidelity run is many minutes of silent TPU
+    work (compiles + converged references); a watcher must be able to
+    tell alive from wedged (the round-2 bench lesson)."""
+    print(f"fidelity[{time.strftime('%H:%M:%S')}]: {msg}",
+          file=sys.stderr, flush=True)
 
 
 def reference_render(host, width: int, height: int, spp_total: int = 1024,
@@ -57,8 +67,13 @@ def reference_render(host, width: int, height: int, spp_total: int = 1024,
         return jax.lax.fori_loop(0, chunk, body, acc)
 
     acc = jnp.zeros((height, width, 3), jnp.float32)
-    for c in range(-(-spp_total // chunk)):
+    n_chunks = -(-spp_total // chunk)
+    for c in range(n_chunks):
         acc = render_chunk(scene, c * chunk, acc)
+        if c == 0 or c == n_chunks - 1:
+            jax.block_until_ready(acc)
+            _note(f"reference chunk {c + 1}/{n_chunks} "
+                  f"({(c + 1) * chunk} spp)")
     return (np.asarray(acc, np.float64)
             / (-(-spp_total // chunk) * chunk)).astype(np.float32)
 
@@ -137,7 +152,8 @@ def run_motion(width: int = 640, height: int = 360,
                warmup: int = 24, seed: int = 0, eval_every: int = 4,
                load_textures: bool = True,
                ref_cache: str | None = "/tmp/drts_fid_refs",
-               save_dir: str | None = None) -> dict:
+               save_dir: str | None = None,
+               pipeline_overrides: dict | None = None) -> dict:
     """Moving-camera fidelity: orbit the camera; SSIM of each evaluated
     frame against a per-pose converged reference. Reports min/mean —
     the static-pose headline lets temporal accumulation do all the work;
@@ -156,7 +172,8 @@ def run_motion(width: int = 640, height: int = 360,
         render_width=width, render_height=height,
         bounces=8, samples_per_pixel=1, upscaling=False,
         physics_enabled=False, block_size=32768,
-        bloom_enabled=False, sharpen_enabled=False)
+        bloom_enabled=False, sharpen_enabled=False,
+        **(pipeline_overrides or {}))
     pipe = pipeline_mod.RenderPipeline(cfg)
     state = pipe.init_state(host)
 
@@ -168,8 +185,12 @@ def run_motion(width: int = 640, height: int = 360,
     step = jax.jit(lambda s, p, pp: pipe.render_frame(s, p, 1.0 / 60.0,
                                                       prev_pose=pp))
     pose0 = mk_pose(*poses[0])
+    _note(f"motion: compiling pipeline @{width}x{height} + {warmup} "
+          "warmup frames...")
     for _ in range(warmup):
         state, img = step(state, pose0, pose0)
+    jax.block_until_ready(img)
+    _note("motion: warmup done, starting orbit")
 
     scores = []
     prev = pose0
@@ -187,6 +208,7 @@ def run_motion(width: int = 640, height: int = 360,
                                      position=p, forward=f))
         ref_display = np.asarray(post.tonemap(jnp.asarray(ref_linear)))
         scores.append(float(image_mod.ssim(np.asarray(img), ref_display)))
+        _note(f"motion: frame {i}/{n_frames} SSIM {scores[-1]:.4f}")
         if save_dir is not None:
             import os
             os.makedirs(save_dir, exist_ok=True)
@@ -226,6 +248,8 @@ def run(width: int = 640, height: int = 360, spp_reference: int = 1024,
         ref_cache, key,
         lambda: reference_render(host, width, height, spp_reference))
     ref_display = np.asarray(post.tonemap(jnp.asarray(ref_linear)))
+    _note(f"static: reference ready; rendering {frames_realtime} "
+          "real-time frames...")
     rt_display, pipe = realtime_render(host, width, height, frames_realtime)
     if save_dir:
         import os
