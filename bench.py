@@ -34,17 +34,10 @@ signal.alarm(45 * 60)
 
 
 def _enable_compile_cache():
-    """Persistent XLA compile cache: the bench's programs are large
-    (minutes of compile at 1080p) and byte-identical across runs on the
-    same machine. TPU cache entries are keyed by device kind + HLO, so a
-    shared /tmp dir is safe (the conftest keys its CPU cache by cpuinfo
-    because host-flag-specialized CPU kernels are not)."""
-    import jax
+    """Persistent XLA compile cache (user-scoped dir; see utils/cache.py)."""
+    from drts_tpu.utils import cache
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("DRTS_BENCH_CACHE_DIR",
-                                     "/tmp/drts_jax_bench_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    cache.enable_compile_cache()
 
 
 def bench_trace(width=1920, height=1080, bounces=8, spp=1, iters=8):
@@ -133,18 +126,26 @@ def bench_full_pipeline(width=1920, height=1080, iters=4,
     # Loss/cache counters (SURVEY §5.5): wavefront overflow, SHARC splat
     # drops, and per-bounce cache hit rates from the steady-state frame.
     counters = {k: float(v) for k, v in cur.counters.items()}
-    hit_rates = {}
+    hit_rates, gate_rates, entry_rates = {}, {}, {}
     for k in list(counters):
         if k.startswith("sharc_hits_b"):
             b = k[len("sharc_hits_b"):]
             q = counters.get(f"sharc_queries_b{b}", 0.0)
             if q > 0:
                 hit_rates[f"b{b}"] = round(counters[k] / q, 3)
+                gate_rates[f"b{b}"] = round(
+                    counters.get(f"sharc_gate_b{b}", 0.0) / q, 3)
+                entry_rates[f"b{b}"] = round(
+                    counters.get(f"sharc_entry_b{b}", 0.0) / q, 3)
     report = {k: round(v, 1) for k, v in counters.items()
-              if not k.startswith("sharc_hits") and
-              not k.startswith("sharc_queries")}
+              if not k.startswith(("sharc_hits", "sharc_queries",
+                                   "sharc_gate", "sharc_entry"))}
     if hit_rates:
         report["sharc_hit_rate"] = hit_rates
+        # Failure split: gate = footprint heuristic pass rate; entry =
+        # resolved-cache-row-exists rate (VERDICT r3 #1 diagnosis).
+        report["sharc_gate_rate"] = gate_rates
+        report["sharc_entry_rate"] = entry_rates
 
     try:
         passes = pipe.profile_passes(state, pose, iters=iters)

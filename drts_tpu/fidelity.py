@@ -17,6 +17,10 @@ import time
 
 import numpy as np
 
+from .utils import cache as cache_mod
+
+DEFAULT_REF_CACHE = cache_mod.ref_cache_dir()
+
 
 def _note(msg: str):
     """Progress to stderr: a fidelity run is many minutes of silent TPU
@@ -151,7 +155,7 @@ def run_motion(width: int = 640, height: int = 360,
                spp_reference: int = 256, n_frames: int = 32,
                warmup: int = 24, seed: int = 0, eval_every: int = 4,
                load_textures: bool = True,
-               ref_cache: str | None = "/tmp/drts_fid_refs",
+               ref_cache: str | None = DEFAULT_REF_CACHE,
                save_dir: str | None = None,
                pipeline_overrides: dict | None = None) -> dict:
     """Moving-camera fidelity: orbit the camera; SSIM of each evaluated
@@ -187,9 +191,11 @@ def run_motion(width: int = 640, height: int = 360,
     pose0 = mk_pose(*poses[0])
     _note(f"motion: compiling pipeline @{width}x{height} + {warmup} "
           "warmup frames...")
+    img = None
     for _ in range(warmup):
         state, img = step(state, pose0, pose0)
-    jax.block_until_ready(img)
+    if img is not None:  # warmup=0 must not NameError (ADVICE r3)
+        jax.block_until_ready(img)
     _note("motion: warmup done, starting orbit")
 
     scores = []
@@ -234,7 +240,7 @@ def run_motion(width: int = 640, height: int = 360,
 def run(width: int = 640, height: int = 360, spp_reference: int = 1024,
         frames_realtime: int = 64, seed: int = 0,
         load_textures: bool = True, save_dir: str | None = None,
-        ref_cache: str | None = "/tmp/drts_fid_refs") -> dict:
+        ref_cache: str | None = DEFAULT_REF_CACHE) -> dict:
     """Full fidelity evaluation; returns the metric dict."""
     from .models import myscene
     from .ops import post
@@ -273,16 +279,10 @@ def run(width: int = 640, height: int = 360, spp_reference: int = 1024,
 
 def main():
     import argparse
-    import os
-
-    import jax
 
     # Same persistent compile cache as bench.py: the orbit sweep re-jits
     # the identical pipeline program every run.
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("DRTS_BENCH_CACHE_DIR",
-                                     "/tmp/drts_jax_bench_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    cache_mod.enable_compile_cache()
 
     p = argparse.ArgumentParser("fidelity")
     p.add_argument("--width", type=int, default=640)

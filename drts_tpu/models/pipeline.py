@@ -52,6 +52,13 @@ class PipelineConfig:
     denoiser_clamp_gamma: float = 2.5
     denoiser_specular_virtual: bool = True
     upscaling: bool = True
+    # Temporal accumulation/upscale stage gate: "auto" runs TAA whenever
+    # upscaling or a denoiser is active (the reference always has its
+    # upscaler slot filled when either is on, App.cpp:1644-1708); "on" /
+    # "off" force it — "on" lets a denoiser-off ablation keep temporal
+    # accumulation so it bounds the denoiser's contribution, not the
+    # accumulator's (ADVICE r3 medium).
+    taa_mode: str = "auto"
     bloom_enabled: bool = True
     bloom_strength: float = 0.05
     sharpen_enabled: bool = True
@@ -256,7 +263,8 @@ class RenderPipeline:
         if c.sharc_enabled:
             keys.append("sharc_splat_dropped_rows")
             for b in range(1, c.bounces + 1):
-                keys += [f"sharc_hits_b{b}", f"sharc_queries_b{b}"]
+                keys += [f"sharc_hits_b{b}", f"sharc_queries_b{b}",
+                         f"sharc_gate_b{b}", f"sharc_entry_b{b}"]
         return keys
 
     def init_state(self, host: myscene.MySceneHost | None = None,
@@ -505,7 +513,9 @@ class RenderPipeline:
         """TAA upscale (the DLSS-SR/XeSS slot, App.cpp:1644-1708)."""
         c = self.cfg
         taa_state = state.taa
-        if c.upscaling or c.denoiser != "None":
+        use_taa = {"auto": c.upscaling or c.denoiser != "None",
+                   "on": True, "off": False}[c.taa_mode]
+        if use_taa:
             taa_state, color = taa.upscale(
                 state.taa, color, gbuf.motion, cam.jitter,
                 c.output_height, c.output_width, reset,

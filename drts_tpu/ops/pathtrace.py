@@ -124,14 +124,22 @@ class TraceOutput:
 
 
 def _shade_and_scatter(scene, surf, ray_d, rng, atlas=None,
-                       tex_filter="nearest", mat=None):
+                       tex_filter="nearest", mat=None,
+                       min_roughness: float = 0.0):
     """One bounce's material eval + BSDF sample. Returns
     (emission, new_dir, eval/pdf weight, valid, lobe, rng). A precomputed
-    `mat` (e.g. the G-buffer's) skips the texture fetches entirely."""
+    `mat` (e.g. the G-buffer's) skips the texture fetches entirely.
+    `min_roughness` floors the BSDF roughness — the SHARC update trace's
+    RoughnessThreshold clamp (Raytracing.hlsl:309: under SHARC_UPDATE the
+    sample roughness is raised to the threshold so cached paths diffuse
+    out instead of following mirror chains the cache can't represent)."""
     if mat is None:
         mat = shading.evaluate_material(surf.material, surf.uv,
                                         surf.shading_normal, surf.tangent,
                                         atlas, tex_filter)
+    if min_roughness > 0.0:
+        mat = mat.replace(roughness=jnp.maximum(mat.roughness,
+                                                min_roughness))
     sv = bxdf.make_surface_vectors(surf.is_front_face, surf.geometric_normal,
                                    mat.shading_normal)
     bs = bxdf.make_bsdf(mat.base_color, mat.metallic, mat.roughness, mat.ior,
@@ -386,6 +394,12 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
                 use_cache.astype(jnp.float32))
             counters[f"sharc_queries_b{bounce}"] = jnp.sum(
                 c_active.astype(jnp.float32))
+            # Failure split (VERDICT r3 #1 diagnosis): gate = footprint
+            # heuristic passed; entry = a resolved cache row existed.
+            counters[f"sharc_gate_b{bounce}"] = jnp.sum(
+                (c_active & fp_ok).astype(jnp.float32))
+            counters[f"sharc_entry_b{bounce}"] = jnp.sum(
+                (c_active & cache_hit).astype(jnp.float32))
             c_radiance = c_radiance + jnp.where(use_cache[..., None],
                                                 c_thr * cached, 0.0)
             c_active = c_active & ~use_cache
@@ -627,6 +641,12 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
                 counters[f"sharc_queries_b{bounce}"] = counters.get(
                     f"sharc_queries_b{bounce}", 0.0) + jnp.sum(
                     active.astype(jnp.float32))
+                counters[f"sharc_gate_b{bounce}"] = counters.get(
+                    f"sharc_gate_b{bounce}", 0.0) + jnp.sum(
+                    (active & fp_ok).astype(jnp.float32))
+                counters[f"sharc_entry_b{bounce}"] = counters.get(
+                    f"sharc_entry_b{bounce}", 0.0) + jnp.sum(
+                    (active & cache_hit).astype(jnp.float32))
                 sample_radiance = sample_radiance + jnp.where(
                     use_cache[..., None], throughput * cached, 0.0)
                 active = active & ~use_cache
@@ -868,7 +888,9 @@ def sharc_update_trace(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
                 else None
             emission, l_dir_new, weight, valid, lobe, bs, sv, v, rng = \
                 _shade_and_scatter(scene, surf, l_dir, rng, atlas_b,
-                                   "nearest")
+                                   "nearest",
+                                   min_roughness=sharc_cfg
+                                   .roughness_threshold)
 
         if di_small is not None and bounce == 0:
             emission = emission + di_small

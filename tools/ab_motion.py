@@ -4,26 +4,38 @@ Measured 2026-08-19: orbit min SSIM 0.936 / mean 0.9416 at the defaults
 (gamma 2.5, specular-virtual on, history 30) — the specular-virtual +
 variance-clamp work did NOT move the number vs round 2, so the limiter
 is elsewhere. This sweep isolates it. Converged references are
-disk-cached (/tmp/drts_fid_refs), so each variant only pays the
+disk-cached (utils/cache.ref_cache_dir), so each variant only pays the
 real-time orbit (~1-2 min with a warm compile cache).
+
+Variant notes:
+- "nodenoise" disables only the denoise stage but KEEPS TAA
+  (taa_mode="on") — it bounds the 1spp+TAA floor; without the TAA
+  override the pipeline's auto gate would also drop temporal
+  accumulation and measure raw 1spp instead (ADVICE r3 medium).
+- "norestirtemp" disables ReSTIR temporal resampling: if the limiter is
+  the pseudo-previous-surface bias-correction shortcut
+  (ops/restir.py:72-81), motion SSIM should RISE without it.
+- A failed variant prints an error record and the sweep continues
+  (queue policy: never lose the rest of the sweep to one failure).
 
 Usage: python tools/ab_motion.py [variant ...]
 (no args = all variants; names below)
 """
 import json
-import os
 import sys
+import traceback
 
-import jax
+from drts_tpu.utils import cache
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("DRTS_BENCH_CACHE_DIR",
-                                 "/tmp/drts_jax_bench_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+cache.enable_compile_cache()
 
 from drts_tpu import fidelity  # noqa: E402
+from drts_tpu.ops import restir  # noqa: E402
 
 VARIANTS = {
+    # ReSTIR temporal resampling off (spatial + initial only): isolates
+    # the pseudo-previous-surface temporal bias shortcut under motion.
+    "norestirtemp": {"restir": restir.ReSTIRConfig(temporal_enabled=False)},
     "baseline": {},
     "gamma1.5": {"denoiser_clamp_gamma": 1.5},
     "gamma5": {"denoiser_clamp_gamma": 5.0},
@@ -31,18 +43,26 @@ VARIANTS = {
     "nospecvirt": {"denoiser_specular_virtual": False},
     "hist12": {"denoiser_max_history": 12},
     "relax": {"denoiser": "NRDReLAX"},
-    "nodenoise": {"denoiser": "None"},  # isolates denoiser vs TAA/1spp
+    # denoiser off, temporal accumulation ON: the 1spp+TAA floor.
+    "nodenoise": {"denoiser": "None", "taa_mode": "on"},
+    # raw 1spp, no temporal filtering at all (the hard floor).
+    "raw1spp": {"denoiser": "None", "taa_mode": "off"},
 }
 
 
 def main():
     names = sys.argv[1:] or list(VARIANTS)
     for name in names:
-        ov = VARIANTS[name]
-        r = fidelity.run_motion(pipeline_overrides=ov)
-        print(json.dumps({"variant": name, "overrides": ov,
-                          "min": r["min"], "mean": r["value"],
-                          "per_frame": r["per_frame"]}), flush=True)
+        ov = dict(VARIANTS[name])
+        try:
+            r = fidelity.run_motion(pipeline_overrides=ov)
+            print(json.dumps({"variant": name, "overrides": ov,
+                              "min": r["min"], "mean": r["value"],
+                              "per_frame": r["per_frame"]}), flush=True)
+        except Exception:
+            print(json.dumps({"variant": name, "overrides": ov,
+                              "error": traceback.format_exc(limit=3)}),
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -1,7 +1,8 @@
 #!/bin/bash
-# Pending TPU measurement queue (NEXT.md round-3). Run when the tunnel is
-# back: executes every queued measurement with bounded time, tees each to
-# /tmp/tpuq/<name>.log, and never stops on a single failure.
+# Round-4 TPU measurement queue (VERDICT r4 "do this" items 1-3 + the
+# round-3 backlog). Executes every queued measurement with bounded time,
+# tees each to /tmp/tpuq/<name>.log, and never stops on a single failure.
+# One process holds the single tunnel — this serializes all TPU jobs.
 set -u
 OUT=${1:-/tmp/tpuq}
 mkdir -p "$OUT"
@@ -11,9 +12,9 @@ cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 run() {
-  name=$1; shift
+  name=$1; tmo=$2; shift 2
   echo "=== $name: $* ==="
-  timeout 3000 "$@" >"$OUT/$name.log" 2>&1
+  timeout "$tmo" "$@" >"$OUT/$name.log" 2>&1
   echo "--- $name rc=$? (tail) ---"
   tail -5 "$OUT/$name.log"
 }
@@ -23,31 +24,33 @@ timeout 300 python -c "import jax; print(jax.devices())" >"$OUT/probe.log" 2>&1
 if [ $? -ne 0 ]; then echo "TPU PROBE FAILED"; cat "$OUT/probe.log"; exit 3; fi
 echo "TPU UP: $(cat "$OUT/probe.log")"
 
-# 1a. Fast trace-only record FIRST (insurance if the tunnel dies mid-queue).
-run bench_fast env DRTS_BENCH_FAST=1 python bench.py
+# 1. Fast trace-only record FIRST (insurance if the tunnel dies mid-queue;
+#    trace program unchanged -> warm cache).
+run bench_fast 3000 env DRTS_BENCH_FAST=1 python bench.py
 
-# 1b. Headline bench (trace + full pipeline + upscaled + mesh + counters).
-run bench python bench.py
+# 2. restir_initial internals — the top pass (81 ms; VERDICT item #2).
+run prof_restir_init 3000 python tools/prof_restir_init.py
 
-# 2. Denoiser-under-motion fidelity (target: min SSIM >= 0.95 @640x360).
-run fidelity_motion python -m drts_tpu.fidelity --motion
+# 3. Trace per-bounce budget (VERDICT item #1 re-budget).
+run prof_trace_bounces 4500 python tools/prof_trace_bounces.py
 
-# 3. Static fidelity regression (SSIM @ spec).
-run fidelity_static python -m drts_tpu.fidelity
+# 4. SHARC hit-rate sweep: voxel sizing / capacity / min-sample threshold
+#    (VERDICT item #1 diagnosis; reports gate/entry/hit split).
+run ab_sharc 6000 python tools/ab_sharc.py
 
-# 4. spatial_offset_mode A/B (frame ms + SSIM shared vs per_pixel).
-run ab_spatial python tools/ab_spatial_offset.py
+# 5. Orbit-motion limiter sweep (VERDICT item #3). Key variants only —
+#    each pays a pipeline compile; gamma brackets via gamma0 only.
+run ab_motion 7200 python tools/ab_motion.py \
+  baseline nodenoise raw1spp norestirtemp relax hist12 gamma0 nospecvirt
 
-# 5. restir_initial internals — the new top pass (80.9 ms on 2026-08-19;
-#    overtook the trace). Candidate gather vs visibility-ray split.
-run prof_restir_init python tools/prof_restir_init.py
+# 6. spatial_offset_mode A/B (frame ms + SSIM shared vs per_pixel).
+run ab_spatial 3000 python tools/ab_spatial_offset.py
 
-# 6. Chunk-size fixed-cost check (sim predicts finer chunks win even for
-#    primaries under a 2-col/pair overhead model — validate on hardware).
-run prof_chunksize python tools/prof_chunksize.py
+# 7. Chunk-size fixed-cost check (sim predicts finer chunks win).
+run prof_chunksize 3000 python tools/prof_chunksize.py
 
-# Settled by hardware 2026-08-18/19 (removed from the queue): compact_from
-# sweep (spheres pin 2, mesh pins 1 — bench.py docstrings), mesh c1-vs-c2
-# (1.45x c1 win recorded), per-pass attribution (bench.py emits passes_ms).
+# 8. Full bench LAST (recompiles: counter additions changed the pipeline
+#    HLO) — records the new gate/entry rates + upscaled/mesh rows.
+run bench 3600 python bench.py
 
 echo "=== QUEUE DONE — logs in $OUT ==="
