@@ -114,6 +114,13 @@ def cmd_render(args):
             path = os.path.join(args.out_dir, f"frame_{i:04d}.png")
             image_mod.write_png(path, np.asarray(img))
             print(f"wrote {path}")
+        if (args.resume and args.checkpoint_every
+                and (i + 1) % args.checkpoint_every == 0
+                and i + 1 < args.frames):
+            # Periodic cadence (SURVEY §5.3): a preemption loses at most
+            # checkpoint_every frames, not the whole run.
+            ckpt_mod.save_rotating(sess.state, args.resume)
+            print(f"checkpointed frame {int(sess.state.frame_index)}")
     counters = getattr(sess.state, "counters", None)
     summary = metrics.summary()
     if counters:
@@ -123,7 +130,7 @@ def cmd_render(args):
     print("metrics: " + json.dumps(
         {k: round(v, 3) for k, v in sorted(summary.items())}))
     if args.resume:
-        ckpt_mod.save(sess.state, args.resume)
+        ckpt_mod.save_rotating(sess.state, args.resume)
         print(f"checkpointed frame {int(sess.state.frame_index)}")
 
 
@@ -363,6 +370,10 @@ def main(argv=None):
                    help="write per-frame metric records (JSON lines)")
     r.add_argument("--resume", default=None, metavar="CKPT_DIR",
                    help="resume temporal state from / checkpoint to DIR")
+    r.add_argument("--checkpoint-every", type=int, default=16,
+                   metavar="N", help="with --resume: also checkpoint every "
+                   "N frames (preemption loses at most N frames; 0 = only "
+                   "at the end)")
     add_runtime_flags(r)
     r.set_defaults(fn=cmd_render)
 
