@@ -74,6 +74,19 @@ class PathTraceConfig:
     # compacted+sorted SHARC update trace.
     compact_from: int = 2
     compact_fraction: int = 24
+    # Explicit deep-segment capacity in slots (0 = derive from
+    # compact_fraction). Mainly for capacity stress tests and tuning.
+    compact_capacity: int = 0
+    # Overflow handling (VERDICT r3 weak #7): with spill OFF, survivors
+    # beyond the deep segment's capacity silently lose their remaining
+    # bounces' radiance (counted in wavefront_overflow_paths). With spill
+    # ON, a second wave re-runs the deep segment over the dropped lanes
+    # under lax.cond — zero runtime cost on frames with no overflow, one
+    # extra segment dispatch when it triggers; only paths beyond 2x
+    # capacity then drop (still counted). OFF by default until the
+    # compile-time/branch cost is measured on hardware (a TPU lax.cond
+    # that flattens to a select would pay the segment every frame).
+    overflow_spill: bool = False
     # Capacity divisor for the bounce-1 segment. Survivors there are all
     # primary hits with a valid scatter — routinely 60-80% of the frame,
     # so /2 would OVERFLOW and silently drop GI paths; default /1 keeps
@@ -101,6 +114,12 @@ class PathTraceConfig:
     # (octant, tile, pixel) grouping (tools/sim_sort_cull.py). The deep
     # segment (~174k slots) keeps the key sort.
     compact_sort_partition_min: int = 500_000
+    # First bounce that queries the SHARC cache (reference queries from
+    # bounce 1, Raytracing.hlsl:261-291). Bounce-1 queries run DENSE over
+    # the full frame (~13 ms at 1080p: cache_key + packed-mirror gather on
+    # 2M lanes) for a measured ~12% hit rate; 2 restricts queries to the
+    # compacted deep segment (~86k lanes) where they are nearly free.
+    sharc_query_from: int = 1
 
 
 @struct.dataclass
@@ -163,7 +182,7 @@ def _compact_capacity(n_pixels: int, fraction: int) -> int:
 
 
 def _compact_slots(act, l_dir_flat, pixel_ids, cfg, cap: int,
-                   h: int, w: int):
+                   h: int, w: int, wave: int = 0):
     pixel_space = pixel_ids is None
     """Shared compaction front-end: pack live lanes of `act`
     into a (cap,) slot buffer, coherence-sort the slots by
@@ -171,7 +190,12 @@ def _compact_slots(act, l_dir_flat, pixel_ids, cfg, cap: int,
     wavefront segments and the SHARC update trace build on:
     src (slot -> input position), slot_live, overflow,
     (keep, pos, perm) for _slots_to_space, and gsel (per-array
-    slot gather with a dead row appended)."""
+    slot gather with a dead row appended).
+
+    `wave` selects the capacity window [wave*cap, (wave+1)*cap) of the
+    live-lane sequence: wave 0 is the normal compaction; wave 1 packs
+    the lanes wave 0 had to drop (the overflow-spill pass). `overflow`
+    counts live lanes beyond THIS wave's window."""
     ns = act.shape[0]
     partition_mode = (cfg.compact_sort
                       and cap >= cfg.compact_sort_partition_min)
@@ -199,19 +223,35 @@ def _compact_slots(act, l_dir_flat, pixel_ids, cfg, cap: int,
     if pixel_ids is None:
         pixel_ids = jnp.arange(ns, dtype=jnp.int32)
 
-    pos_src = jnp.cumsum(act_src.astype(jnp.int32)) - 1
-    keep_src = act_src & (pos_src < cap)
-    overflow = jnp.sum(act.astype(jnp.int32)) \
-        - jnp.sum(keep_src.astype(jnp.int32))
+    live_count = jnp.cumsum(act_src.astype(jnp.int32))
+    pos_src = live_count - 1 - wave * cap
+    keep_src = act_src & (pos_src >= 0) & (pos_src < cap)
+    overflow = jnp.sum((act_src & (pos_src >= cap)).astype(jnp.int32))
 
     # Source table: slot s -> input-space position (ns = empty slot).
-    # Dead lanes get the out-of-range slot `cap` and are DROPPED by the
-    # scatter instead of colliding on a dump slot: with unique indices XLA
-    # lowers this to a fast permuting store (the colliding-dump-slot form
-    # measured ~30 ms/frame at 1080p — it serializes on the collisions).
-    slot_of_src = jnp.where(keep_src, pos_src, cap)
-    src = jnp.full((cap,), ns, jnp.int32).at[slot_of_src].set(
-        order_ids, mode="drop", unique_indices=True)
+    if cap * 4 <= ns:
+        # Gather form: slot s holds the first input position whose live
+        # count reaches s+1 — a binary search over the monotone cumsum.
+        # The scatter form below processes ALL ns input rows (TPU scatter
+        # runs ~0.3 GB/s by rows processed; measured ~30 ms of the deep
+        # segment's 32 ms entry cost at 1080p), while the binary search
+        # costs cap * log2(ns) streaming gathers — at the deep segment's
+        # cap = ns/24 that is ~25x less traffic. Equal output by
+        # construction; crossover near cap ~ ns/4.
+        s_query = (jnp.arange(cap, dtype=jnp.int32) + 1
+                   + jnp.int32(wave * cap))
+        idx = jnp.searchsorted(live_count, s_query, side="left")
+        ext = jnp.concatenate([order_ids,
+                               jnp.asarray([ns], jnp.int32)])
+        src = ext[jnp.minimum(idx, ns)]
+    else:
+        # Scatter form: dead lanes get the out-of-range slot `cap` and are
+        # DROPPED instead of colliding on a dump slot: with unique indices
+        # XLA lowers this to a fast permuting store (the colliding-dump-
+        # slot form serializes on the collisions).
+        slot_of_src = jnp.where(keep_src, pos_src, cap)
+        src = jnp.full((cap,), ns, jnp.int32).at[slot_of_src].set(
+            order_ids, mode="drop", unique_indices=True)
 
     # Input-space-order (keep, pos) for the final contribution gathers.
     if tm is not None:
@@ -293,7 +333,7 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
                         accel, cap: int, end_bounce: int | None = None,
                         di_valid=None, want_aov: bool = False,
                         return_state: bool = False, pixel_ids=None,
-                        img_hw=None):
+                        img_hw=None, wave: int = 0):
     """Bounces [start_bounce, end_bounce] on a compacted survivor buffer.
 
     Live paths are packed to the front of a (cap,) buffer; every
@@ -334,7 +374,7 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
     n_px = h * w
 
     cs = _compact_slots(active.reshape(ns), l_dir.reshape(ns, 3),
-                        pixel_ids, cfg, cap, h, w)
+                        pixel_ids, cfg, cap, h, w, wave=wave)
     src = cs["src"]
     slot_live = cs["slot_live"]
     overflow = cs["overflow"]
@@ -379,7 +419,7 @@ def _trace_deep_compact(scene, table, cam, cfg: PathTraceConfig,
                                             c_thr * env_color, 0.0)
         c_active = c_active & surf.valid
 
-        if sharc_state is not None:
+        if sharc_state is not None and bounce >= cfg.sharc_query_from:
             front_flat = jnp.where(surf.is_front_face[..., None],
                                    surf.geometric_normal,
                                    -surf.geometric_normal)
@@ -487,6 +527,45 @@ def _slots_to_space(slot_vals, fill, mapper):
     return vals[jnp.where(keep, pos, cap)]
 
 
+def _deep_with_spill(scene, table, cam, cfg, sharc_state, sharc_cfg,
+                     origin, l_dir, throughput, prev_roughness, rng, active,
+                     start_bounce, accel, cap, pixel_ids=None, img_hw=None):
+    """Terminal deep segment with optional overflow spill (see
+    PathTraceConfig.overflow_spill): wave 0 always runs; when it
+    overflows and spill is on, wave 1 re-runs the segment over the
+    dropped lanes under lax.cond (no runtime cost on clean frames).
+    Returns the merged segment dict."""
+    seg = _trace_deep_compact(scene, table, cam, cfg, sharc_state,
+                              sharc_cfg, origin, l_dir, throughput,
+                              prev_roughness, rng, active, start_bounce,
+                              accel, cap, pixel_ids=pixel_ids,
+                              img_hw=img_hw)
+    if not cfg.overflow_spill:
+        return seg
+
+    def spill(_):
+        s2 = _trace_deep_compact(scene, table, cam, cfg, sharc_state,
+                                 sharc_cfg, origin, l_dir, throughput,
+                                 prev_roughness, rng, active, start_bounce,
+                                 accel, cap, pixel_ids=pixel_ids,
+                                 img_hw=img_hw, wave=1)
+        return (s2["radiance"], s2["rays"], s2["overflow"], s2["counters"])
+
+    def no_spill(_):
+        return (jnp.zeros_like(seg["radiance"]), jnp.float32(0.0),
+                seg["overflow"],
+                jax.tree.map(jnp.zeros_like, seg["counters"]))
+
+    rad2, rays2, overflow_out, cnt2 = jax.lax.cond(
+        seg["overflow"] > 0, spill, no_spill, None)
+    seg["radiance"] = seg["radiance"] + rad2
+    seg["rays"] = seg["rays"] + rays2
+    seg["overflow"] = overflow_out
+    seg["counters"] = {k: seg["counters"][k] + cnt2[k]
+                       for k in seg["counters"]}
+    return seg
+
+
 def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
                 cfg: PathTraceConfig, frame_index,
                 gbuf=None, sharc_state=None, sharc_cfg=None,
@@ -573,7 +652,8 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
     # compacted buffer. Bounces 0-1 stay dense (AOVs, DI handoff, textures).
     use_compact = 1 <= cfg.compact_from <= cfg.bounces
     dense_last = cfg.compact_from - 1 if use_compact else cfg.bounces
-    cap = _compact_capacity(h * w, cfg.compact_fraction)
+    cap = cfg.compact_capacity or _compact_capacity(h * w,
+                                                    cfg.compact_fraction)
     cap_first = _compact_capacity(h * w, cfg.compact_fraction_first)
     counters = {"wavefront_overflow_paths": jnp.float32(0.0)}
 
@@ -624,7 +704,8 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
 
             # SHARC query: early-terminate into the cache once the ray
             # footprint exceeds the voxel size (Raytracing.hlsl:261-291).
-            if sharc_state is not None and bounce > 0:
+            if sharc_state is not None and bounce >= max(
+                    cfg.sharc_query_from, 1):
                 front_flat = jnp.where(surf.is_front_face[..., None],
                                        surf.geometric_normal,
                                        -surf.geometric_normal)
@@ -742,7 +823,7 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
                     # Deep segment cascades in segment A's SLOT space —
                     # no dense round-trip (see _trace_deep_compact doc).
                     st = seg["state"]
-                    fold(_trace_deep_compact(
+                    fold(_deep_with_spill(
                         scene, table, cam, cfg, sharc_state, sharc_cfg,
                         st["origin"], st["dir"], st["throughput"],
                         st["roughness"], st["rng"], st["active"],
@@ -750,7 +831,7 @@ def trace_image(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
                         pixel_ids=st["pixel_ids"], img_hw=(h, w)),
                         through=seg)
             else:
-                fold(_trace_deep_compact(
+                fold(_deep_with_spill(
                     scene, table, cam, cfg, sharc_state, sharc_cfg,
                     origin, l_dir, throughput, prev_roughness, rng, active,
                     cfg.compact_from, accel_deep or accel, cap))

@@ -269,3 +269,42 @@ def test_compact_wavefront_overflow_drops_not_corrupts():
     r = np.asarray(out.radiance)
     assert np.isfinite(r).all()
     assert r.min() >= 0.0
+
+
+def test_overflow_spill_recovers_dropped_radiance():
+    """VERDICT r4 item #8: with overflow_spill on, a capacity the
+    survivors exceed no longer silently darkens GI — the second wave
+    processes the dropped lanes and the result matches the masked-dense
+    integrator exactly (same per-path RNG streams)."""
+    # 128x128: the 64px viewport leaves < 64 bounce-2 survivors in this
+    # scene — too few to exercise overflow at any aligned capacity.
+    host, cam, _ = _small_setup(width=128, height=128)
+    dense = pathtrace.PathTraceConfig(width=128, height=128, bounces=4,
+                                      block_size=4096, compact_from=99)
+    # Self-calibrating capacity: a probe run at the smallest capacity
+    # reports survivors - cap in the overflow counter, from which we pick
+    # a capacity where wave 0 overflows but 2x covers all survivors — so
+    # the test can't rot into vacuity if the scene changes.
+    probe = dataclasses.replace(dense, compact_from=2, compact_capacity=64)
+    out_p = pathtrace.trace_image(host.scene, cam, probe, 3)
+    survivors = 64 + int(out_p.counters["wavefront_overflow_paths"])
+    assert survivors > 96, "probe scene too empty for an overflow test"
+    cap = max(64, ((survivors - 1) // 2) // 64 * 64 + 64)
+    assert cap < survivors <= 2 * cap
+    tight = dataclasses.replace(dense, compact_from=2,
+                                compact_capacity=cap)
+    spill = dataclasses.replace(tight, overflow_spill=True)
+    out_d = pathtrace.trace_image(host.scene, cam, dense, 3)
+    out_t = pathtrace.trace_image(host.scene, cam, tight, 3)
+    out_s = pathtrace.trace_image(host.scene, cam, spill, 3)
+    drop_t = float(out_t.counters["wavefront_overflow_paths"])
+    drop_s = float(out_s.counters["wavefront_overflow_paths"])
+    assert drop_t > 0.0            # wave 0 really overflowed
+    assert drop_s == 0.0           # wave 1 caught everything
+    # Dropped paths lose radiance; spilled paths restore dense parity.
+    assert (np.asarray(out_t.radiance).sum()
+            < np.asarray(out_d.radiance).sum())
+    np.testing.assert_allclose(np.asarray(out_s.radiance),
+                               np.asarray(out_d.radiance),
+                               rtol=1e-4, atol=1e-5)
+    assert float(out_s.rays_traced) == float(out_d.rays_traced)
