@@ -136,6 +136,10 @@ class ReSTIRDISettings:
     spatial_bias_correction: str = "basic"
     # Same 3-way switch for temporal reuse (MyAppData.h:226-239).
     temporal_bias_correction: str = "basic"
+    # "pseudo" | "real" previous-surface reconstruction for the pairwise/
+    # raytraced temporal modes (ops/restir.ReSTIRConfig
+    # .temporal_prev_surface; RTXDIAppBridge.hlsli:293-348 previousFrame).
+    temporal_prev_surface: str = "pseudo"
     # "per_pixel" | "shared" neighbor addressing (see
     # ops/restir.ReSTIRConfig.spatial_offset_mode).
     spatial_offset_mode: str = "per_pixel"
@@ -162,6 +166,10 @@ class ReSTIRDISettings:
                 if self.temporal_bias_correction in ("basic", "pairwise",
                                                      "raytraced")
                 else "basic"),
+            temporal_prev_surface=(
+                self.temporal_prev_surface
+                if self.temporal_prev_surface in ("pseudo", "real")
+                else "pseudo"),
             spatial_offset_mode=(
                 self.spatial_offset_mode
                 if self.spatial_offset_mode in ("per_pixel", "shared")

@@ -86,6 +86,10 @@ class PipelineConfig:
     # ops/pathtrace.PathTraceConfig.compact_from; 1 adds the coherence-
     # sorted bounce-1 segment — exact parity, machine-dependent net win).
     compact_from: int = 2
+    # First SHARC-query bounce (ops/pathtrace.PathTraceConfig
+    # .sharc_query_from; 1 = reference parity, 2 skips the dense
+    # full-frame bounce-1 query).
+    sharc_query_from: int = 1
     halton_period: int = 64
     # ReSTIR DI (App.cpp:1187-1229 PrepareReSTIRDI + RTXDI::Render chain).
     restir_enabled: bool = True
@@ -139,6 +143,7 @@ class PipelineConfig:
                 spatial_radius=r.spatial_radius,
                 spatial_bias_correction=r.spatial_bias_correction,
                 temporal_bias_correction=r.temporal_bias_correction,
+                temporal_prev_surface=r.temporal_prev_surface,
                 spatial_offset_mode=r.spatial_offset_mode),
             sharc_enabled=s.rtxgi == config_mod.RTXGITechnique.SHARC,
             sharc=sharc_mod.SHARCConfig(
@@ -189,6 +194,11 @@ class FrameState:
     reservoirs: restir.Reservoirs
     prev_depth: jnp.ndarray      # (RH, RW) previous-frame linear depth
     prev_normal: jnp.ndarray     # (RH, RW, 3) previous-frame shading normal
+    # Previous-frame packed surface rows (restir.pack_prev_material) for
+    # REAL previous-surface temporal bias correction; a (1, 1, 7)
+    # placeholder when the config doesn't use it (pytree shape is static
+    # per pipeline instance).
+    prev_surface_rows: jnp.ndarray
     sharc: sharc_mod.SHARCState
     earth_gravity: jnp.ndarray   # scalar bool toggles (MyScene.ixx userData)
     star_gravity: jnp.ndarray
@@ -253,6 +263,15 @@ class RenderPipeline:
         else:
             self.cluster_plan = None
 
+    def _use_real_prev_surface(self) -> bool:
+        """Whether FrameState carries real previous-frame surface rows for
+        temporal pairwise bias correction (restir.pack_prev_material)."""
+        c = self.cfg
+        return (c.restir_enabled and c.restir.temporal_enabled
+                and c.restir.temporal_bias_correction in ("pairwise",
+                                                          "raytraced")
+                and c.restir.temporal_prev_surface == "real")
+
     def _counter_keys(self):
         c = self.cfg
         keys = ["wavefront_overflow_paths"]
@@ -285,6 +304,10 @@ class RenderPipeline:
                                 jnp.float32),
             prev_normal=jnp.zeros((c.render_height, c.render_width, 3),
                                   jnp.float32),
+            prev_surface_rows=jnp.zeros(
+                (c.render_height, c.render_width, 7)
+                if self._use_real_prev_surface() else (1, 1, 7),
+                jnp.float32),
             sharc=sharc_mod.init_state(c.sharc),
             earth_gravity=jnp.asarray(False),
             star_gravity=jnp.asarray(False),
@@ -308,6 +331,7 @@ class RenderPipeline:
             taa=taa.init_state(c.output_height, c.output_width),
             reservoirs=restir.init_reservoirs(c.render_height,
                                               c.render_width),
+            prev_surface_rows=jnp.zeros_like(state.prev_surface_rows),
             sharc=sharc_mod.init_state(c.sharc))
 
     # -- per-frame ----------------------------------------------------------
@@ -394,14 +418,20 @@ class RenderPipeline:
         return surface, cur
 
     def _restir_temporal(self, state, cur, surface, lights, gbuf, reset,
-                         frame_index, scene=None, accel=None):
+                         frame_index, scene=None, accel=None, cam=None):
         hist = jax.tree.map(lambda x: jnp.where(reset, jnp.zeros_like(x), x),
                             state.reservoirs)
+        prev_material = None
+        prev_cam_pos = None
+        if self._use_real_prev_surface():
+            prev_material = jnp.where(reset, 0.0, state.prev_surface_rows)
+            prev_cam_pos = cam.prev_position if cam is not None else None
         return restir.temporal_resampling(
             cur, hist, surface, lights, gbuf.motion,
             state.prev_depth, state.prev_normal, self.cfg.restir,
             frame_index, scene=scene, accel=accel,
-            block_size=self.cfg.block_size)
+            block_size=self.cfg.block_size, prev_material=prev_material,
+            prev_camera_position=prev_cam_pos)
 
     def _restir_spatial(self, cur, surface, lights, frame_index,
                         scene=None, accel=None):
@@ -422,7 +452,8 @@ class RenderPipeline:
             russian_roulette=c.russian_roulette,
             throughput_threshold=c.throughput_threshold,
             block_size=c.block_size,
-            compact_from=c.compact_from)
+            compact_from=c.compact_from,
+            sharc_query_from=c.sharc_query_from)
 
     def _stage_sharc(self, state, scene, cam, di_total, accel, frame_index):
         """SHARC update trace + resolve at downscaled res
@@ -601,9 +632,10 @@ class RenderPipeline:
             if c.restir.temporal_enabled:
                 cur = run(
                     "restir_temporal",
-                    lambda st, cu, su, li, g, s2, a2: self._restir_temporal(
-                        st, cu, su, li, g, reset, fi, s2, a2),
-                    state, cur, surface, lights, gbuf, scene, accel)
+                    lambda st, cu, su, li, g, s2, a2, cm:
+                    self._restir_temporal(st, cu, su, li, g, reset, fi, s2,
+                                          a2, cm),
+                    state, cur, surface, lights, gbuf, scene, accel, cam)
             if c.restir.spatial_enabled:
                 cur = run(
                     "restir_spatial",
@@ -733,6 +765,9 @@ class RenderPipeline:
             prev_depth=jnp.where(jnp.isfinite(gbuf.linear_depth),
                                  gbuf.linear_depth, 1e8),
             prev_normal=out.primary_normal,
+            prev_surface_rows=(restir.pack_prev_material(gbuf)
+                               if self._use_real_prev_surface()
+                               else state.prev_surface_rows),
             sharc=sharc_state,
             earth_gravity=state.earth_gravity,
             star_gravity=state.star_gravity,

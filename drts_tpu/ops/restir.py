@@ -72,13 +72,19 @@ class ReSTIRConfig:
     # Temporal-reuse MIS mode (the reference exposes the same
     # Basic/Pairwise/Raytraced switch for temporal resampling,
     # /root/reference/Source/MyAppData.h:226-239). The pairwise cross
-    # terms need the PREVIOUS surface; it is approximated by the current
-    # surface with the reprojected previous shading normal (full
-    # reconstruction would need the previous G-buffer the reference keeps,
-    # RTXDIAppBridge.hlsli:293-348) — the depth/normal history gates bound
-    # the approximation error, and the unbiasedness tests bound the
-    # result.
+    # terms need the PREVIOUS surface — see temporal_prev_surface.
     temporal_bias_correction: str = "basic"
+    # How the pairwise/raytraced temporal modes reconstruct the previous
+    # surface (RAB_GetGBufferSurface previousFrame=true,
+    # RTXDIAppBridge.hlsli:293-348):
+    #   "pseudo" — the current surface's BSDF with the reprojected
+    #              previous shading normal (no extra state; the
+    #              depth/normal history gates bound the error),
+    #   "real"   — the previous frame's ACTUAL position + material rows,
+    #              packed by pack_prev_material and reprojected alongside
+    #              the reservoir rows (the reference's previous-G-buffer
+    #              path; needs the pipeline to carry prev_surface_rows).
+    temporal_prev_surface: str = "pseudo"
     # Spatial neighbor addressing. "per_pixel" draws an independent disc
     # offset per pixel per round (RTXDI's per-pixel start into the
     # neighbor-offset buffer) — on TPU each round is then a random row
@@ -455,9 +461,11 @@ def initial_sampling(surface: Surface, scene: SphereScene,
                 axis=-1)
         krows = light_mod.fetch_rows(lights, cand_b)
         # Occluder test: anything (sphere or mesh, alpha-aware) closer
-        # than the light surface, excluding the light itself.
+        # than the light surface, excluding the light itself. Lanes whose
+        # BRDF ray found no light are dead here — their occlusion bit is
+        # never read (is_emissive is already false).
         occ_b = _occluded(origin, l_dir, light_t, scene, krows.aux,
-                          block_size, accel)
+                          block_size, accel, live=ray_live & hit_light)
         is_emissive = hit_light & (krows.power > 0) & ~occ_b
         uv_b, inside_cone = _uv_from_direction(krows, surface.position,
                                                l_dir)
@@ -502,13 +510,16 @@ def initial_sampling(surface: Surface, scene: SphereScene,
                                * jnp.maximum(res_phat, 1e-20)), 0.0)
 
     # Initial visibility ray (DIInitialSampling final visibility test).
+    # Dead where the reservoir is already worthless (sky pixels, empty
+    # streams): the any-hit pass only pays for lanes whose bit is read.
     _, direction, dist, _, _, _, _, rows = _target_pdf(surface, lights,
                                                        res_idx, res_uv)
     origin = intersect.safe_spawn_point(surface.position,
                                         surface.sv.front_geometric_normal,
                                         direction)
     occluded = _occluded(origin, direction, dist, scene, rows.aux,
-                         block_size, accel)
+                         block_size, accel,
+                         live=surface.valid & (w_out > 0))
     w_out = jnp.where(occluded | ~surface.valid, 0.0, w_out)
 
     return Reservoirs(light_index=res_idx, uv=res_uv, w_sum=w_sum,
@@ -538,15 +549,25 @@ def _intersect_tri_lights(lights: light_mod.Lights, origin, direction,
 
 
 def _occluded(origin, direction, light_dist, scene, exclude_obj,
-              block_size: int, accel=None):
+              block_size: int, accel=None, live=None):
     """Visibility ray toward the selected light (RAB_GetConservativeVisibility,
     RTXDIAppBridge.hlsli:418-459): blocked if anything (sphere or mesh) is
     hit closer than the light surface. `exclude_obj` is the light's OBJECT
     id (rows.aux from a compact fetch), excluded from the occluder set.
-    Runs the specialized any-hit kernel on TPU."""
+    Runs the specialized any-hit kernel on TPU.
+
+    `live` masks lanes whose result the caller will discard (no light hit,
+    zero reservoir weight, invalid surface): they get a dead t-range so the
+    kernel's whole-block skips and its live-lane-only distance culls
+    (tmax_max) never pay for them — lanes with light_dist=inf otherwise
+    sweep the entire scene for an answer nobody reads (measured ~25 ms for
+    the BRDF-candidate pass at 1080p, where most lanes miss every light)."""
     from . import trace as trace_mod
+    max_dist = jnp.maximum(light_dist - 1e-3, 0.0)
+    if live is not None:
+        max_dist = jnp.where(live, max_dist, -1.0)
     return trace_mod.occluded_scene(
-        scene, origin, direction, jnp.maximum(light_dist - 1e-3, 0.0),
+        scene, origin, direction, max_dist,
         exclude_obj, block_size, accel=accel)
 
 
@@ -618,17 +639,67 @@ def _fetch_packed(packed, iy, ix):
     return _unpack_fetched(flat[iy * w + ix])
 
 
+def pack_prev_material(gbuf):
+    """(H, W, 7) rows carrying what RAB_GetGBufferSurface(previousFrame)
+    reads from the previous G-buffer (RTXDIAppBridge.hlsli:293-348):
+    world position (f32 x3) + f16 pairs [r|g, b|metallic, roughness|ior,
+    transmission|valid]. The pipeline stores this from each frame's
+    G-buffer; temporal_resampling reprojects it alongside the reservoir
+    rows (one shared windowed fetch) to rebuild the REAL previous surface
+    for pairwise temporal bias correction (temporal_prev_surface="real")."""
+    mat = gbuf.mat
+    surf = gbuf.surf
+    return jnp.concatenate([
+        surf.position,
+        m.pack2f16(mat.base_color[..., 0], mat.base_color[..., 1])[..., None],
+        m.pack2f16(mat.base_color[..., 2], mat.metallic)[..., None],
+        m.pack2f16(mat.roughness, mat.ior)[..., None],
+        m.pack2f16(mat.transmission,
+                   surf.valid.astype(jnp.float32))[..., None],
+    ], axis=-1)
+
+
+def _prev_surface_from_rows(mrows, pn, pd, hist_ok, prev_camera_position,
+                            fallback_view):
+    """Rebuild the previous-frame Surface from reprojected
+    pack_prev_material rows (the previousFrame branch of
+    RAB_GetGBufferSurface, incl. its MinRoughness=0.05 validity gate)."""
+    pos_p = mrows[..., 0:3]
+    cr, cg = m.unpack2f16(mrows[..., 3])
+    cb, metal = m.unpack2f16(mrows[..., 4])
+    rough, ior = m.unpack2f16(mrows[..., 5])
+    trans, pvalid_f = m.unpack2f16(mrows[..., 6])
+    valid_p = hist_ok & (pvalid_f > 0.5) & (rough >= 0.05)
+    if prev_camera_position is not None:
+        view_p = m.normalize(prev_camera_position - pos_p)
+    else:
+        view_p = fallback_view
+    front_p = m.dot(pn, view_p) > 0
+    sv_p = bxdf.make_surface_vectors(front_p, pn, pn)
+    bs_p = bxdf.make_bsdf(jnp.stack([cr, cg, cb], axis=-1), metal, rough,
+                          ior, trans, front_p)
+    return Surface(valid=valid_p, position=pos_p, view=view_p, bsdf=bs_p,
+                   sv=sv_p,
+                   lobe_weights=bxdf.lobe_weights(bs_p, sv_p, view_p),
+                   depth=pd, normal=pn)
+
+
 def temporal_resampling(cur: Reservoirs, prev: Reservoirs, surface: Surface,
                         lights: light_mod.Lights, motion, prev_depth,
                         prev_normal, cfg: ReSTIRConfig,
                         frame_index, scene=None, accel=None,
-                        block_size: int = 16384) -> Reservoirs:
+                        block_size: int = 16384, prev_material=None,
+                        prev_camera_position=None) -> Reservoirs:
     h, w = surface.depth.shape
     py = jnp.arange(h, dtype=jnp.float32)[:, None] + jnp.zeros((1, w))
     px = jnp.arange(w, dtype=jnp.float32)[None, :] + jnp.zeros((h, 1))
 
     pairwise = cfg.temporal_bias_correction in ("pairwise", "raytraced")
+    real_prev = (pairwise and cfg.temporal_prev_surface == "real"
+                 and prev_material is not None)
     extra = prev.phat[..., None] if pairwise else None
+    if real_prev:
+        extra = jnp.concatenate([extra, prev_material], axis=-1)
     packed = _pack_reservoirs(prev, prev_depth, prev_normal, extra)
     from . import intersect as intersect_mod
     window_ok = None
@@ -689,12 +760,20 @@ def temporal_resampling(cur: Reservoirs, prev: Reservoirs, surface: Surface,
         raytraced = (cfg.temporal_bias_correction == "raytraced"
                      and scene is not None)
         p_phat_prev = jnp.where(hist_ok, rest[..., 0], 0.0)
-        sv_p = bxdf.make_surface_vectors(jnp.ones_like(hist_ok), pn, pn)
-        psurf = Surface(valid=hist_ok, position=surface.position,
-                        view=surface.view, bsdf=surface.bsdf, sv=sv_p,
-                        lobe_weights=bxdf.lobe_weights(surface.bsdf, sv_p,
-                                                       surface.view),
-                        depth=pd, normal=pn)
+        if real_prev:
+            psurf = _prev_surface_from_rows(rest[..., 1:8], pn, pd, hist_ok,
+                                            prev_camera_position,
+                                            surface.view)
+        else:
+            # Pseudo-previous surface: current BSDF + reprojected normal
+            # (see ReSTIRConfig.temporal_prev_surface).
+            sv_p = bxdf.make_surface_vectors(jnp.ones_like(hist_ok), pn, pn)
+            psurf = Surface(valid=hist_ok, position=surface.position,
+                            view=surface.view, bsdf=surface.bsdf, sv=sv_p,
+                            lobe_weights=bxdf.lobe_weights(surface.bsdf,
+                                                           sv_p,
+                                                           surface.view),
+                            depth=pd, normal=pn)
         phat_c_xi = p_phat                     # current surface, history x
         phat_i_xc = _target_pdf(psurf, lights, cur.light_index, cur.uv)[0]
         if raytraced:
@@ -704,7 +783,8 @@ def temporal_resampling(cur: Reservoirs, prev: Reservoirs, surface: Surface,
                 surface.position, surface.sv.front_geometric_normal,
                 direction)
             occ = _occluded(origin, direction, dist, scene, rows_v.aux,
-                            block_size, accel)
+                            block_size, accel,
+                            live=hist_ok & (phat_c_xi > 0))
             phat_c_xi = jnp.where(occ, 0.0, phat_c_xi)
         m_c = cur.m_count
         a_xc = p_m * phat_i_xc
@@ -876,7 +956,7 @@ def _spatial_pairwise(cur: Reservoirs, surface: Surface,
             from_surface.position, from_surface.sv.front_geometric_normal,
             direction)
         occ = _occluded(origin, direction, dist, scene, rows.aux, block_size,
-                        accel)
+                        accel, live=from_surface.valid)
         return (~occ).astype(jnp.float32)
 
     # Pass 1: cross-evaluations + the canonical MIS weight.
@@ -963,7 +1043,9 @@ def final_shading(res: Reservoirs, surface: Surface, scene: SphereScene,
                                         surface.sv.front_geometric_normal,
                                         direction)
     occluded = _occluded(origin, direction, dist, scene, rows.aux,
-                         block_size, accel)
+                         block_size, accel,
+                         live=surface.valid & (res.w_out > 0)
+                         & (p_hat > 0))
     # uv-measure integrand (f * Le * dω/duv) times the reservoir weight.
     weight = jnp.where(surface.valid & ~occluded & (p_hat > 0),
                        res.w_out * inv_cone, 0.0)[..., None]

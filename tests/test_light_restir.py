@@ -436,6 +436,54 @@ def test_temporal_bias_correction_modes_match_brute_force():
         assert rel.max() < 0.03, (mode, di[lit].mean(0), ref[lit].mean(0))
 
 
+def test_temporal_real_prev_surface_matches_brute_force():
+    """temporal_prev_surface="real" (the reference's previous-G-buffer
+    surface reconstruction, RTXDIAppBridge.hlsli:293-348 previousFrame
+    branch): the packed pack_prev_material rows rebuild a usable previous
+    surface, and the 48-frame temporal chain with REAL cross-surface
+    evaluations converges to the brute-force DI within the pairwise
+    bound (static camera: real must agree with pseudo AND with truth)."""
+    scene = _two_light_scene()
+    ref = _brute_force_di_cached(scene, samples=400)
+    cam = camera_mod.make_camera((0.0, 1.0, -6.0), (0.0, -0.15, 1.0),
+                                 aspect=1.0)
+    gbuf = gbuffer.generate(scene, cam, 48, 48, 4096)
+    lights = light_mod.prepare(scene)
+    surface = restir.make_surface(gbuf)
+    depth = jnp.where(jnp.isfinite(gbuf.linear_depth), gbuf.linear_depth,
+                      1e8)
+    motion = jnp.zeros((48, 48, 2))
+    prev_mat = restir.pack_prev_material(gbuf)
+    cfg = restir.ReSTIRConfig(local_light_samples=8,
+                              boiling_filter_strength=0.0,
+                              spatial_enabled=False,
+                              temporal_bias_correction="pairwise",
+                              temporal_prev_surface="real")
+
+    def one_frame(f, carry):
+        total, res = carry
+        grid = restir.build_regir_grid(lights, cam.position, cfg, f)
+        cur = restir.initial_sampling(surface, scene, lights, grid,
+                                      cfg, f, 4096)
+        res = restir.temporal_resampling(
+            cur, res, surface, lights, motion, depth,
+            gbuf.mat.shading_normal, cfg, f, scene=scene,
+            block_size=4096, prev_material=prev_mat,
+            prev_camera_position=cam.position)
+        d, s = restir.final_shading(res, surface, scene, lights, 4096)
+        return total + d + s, res
+
+    total, _ = jax.jit(lambda: jax.lax.fori_loop(
+        0, 48, one_frame,
+        (jnp.zeros((48, 48, 3)), restir.init_reservoirs(48, 48))))()
+    di = np.asarray(total / 48)
+    valid = np.asarray(gbuf.surf.valid)
+    lit = valid & (ref.sum(-1) > 1e-3)
+    rel = np.abs(di[lit].mean(0) - ref[lit].mean(0)) / (
+        ref[lit].mean(0) + 1e-6)
+    assert rel.max() < 0.03, (di[lit].mean(0), ref[lit].mean(0))
+
+
 def test_hdr_color_rotation_variants():
     """All three ColorPrimaryRotation variants (App.cpp:2216-2225) encode:
     each matrix preserves the white point (rows sum to 1) and the HDR
