@@ -52,6 +52,78 @@ class TriMesh:
     tri_tbl: jnp.ndarray = None     # (F_pad, 9) [v0 e1 e2]
     tri_bounds: jnp.ndarray = None  # (4, C_pad)
     n_chunks: int = struct.field(pytree_node=False, default=0)
+    # Radius of the largest origin-centered ball guaranteed to lie INSIDE
+    # the mesh (0 when the mesh is open / origin is outside — disables the
+    # guaranteed-hit tmax clamp in the instanced Pallas path). Build-time
+    # validated: closed 2-manifold + origin-inside + exact point-triangle
+    # distance (_inscribed_radius). Static: gates the pre-pass at trace
+    # time without a traced scalar.
+    inscribed_radius: float = struct.field(pytree_node=False, default=0.0)
+
+
+def _inscribed_radius(v0, e1, e2, faces) -> float:
+    """Largest r such that the origin-centered ball of radius r lies inside
+    the mesh — the guarantee behind the instanced-path tmax clamp: a ray
+    segment passing through instance i's inscribed ball MUST hit instance
+    i's surface before exiting its bounding sphere. Returns 0 (clamp
+    disabled) unless the mesh is a closed oriented 2-manifold with the
+    origin inside. Build-time numpy, O(F)."""
+    f = faces.shape[0]
+    if f == 0:
+        return 0.0
+    # Closed oriented manifold: every directed edge appears exactly once
+    # and pairs with its reverse.
+    de = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                         faces[:, [2, 0]]])
+    key = de[:, 0].astype(np.int64) * (de.max() + 1) + de[:, 1]
+    rkey = de[:, 1].astype(np.int64) * (de.max() + 1) + de[:, 0]
+    if len(np.unique(key)) != len(key):
+        return 0.0
+    if not np.isin(rkey, key).all():
+        return 0.0
+    # Origin inside: crossing parity along an arbitrary direction.
+    d = np.array([0.57735027, 0.577350029, 0.5773504], np.float64)
+    pv = np.cross(d, e2.astype(np.float64))
+    det = np.einsum("fi,fi->f", pv, e1.astype(np.float64))
+    ok = np.abs(det) > 1e-12
+    inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+    tv = -v0.astype(np.float64)
+    u = np.einsum("fi,fi->f", tv, pv) * inv
+    qv = np.cross(tv, e1.astype(np.float64))
+    vbar = qv @ d * inv
+    t = np.einsum("fi,fi->f", qv, e2.astype(np.float64)) * inv
+    crossings = ok & (u >= 0) & (vbar >= 0) & (u + vbar <= 1) & (t > 0)
+    if int(crossings.sum()) % 2 == 0:
+        return 0.0
+    # Exact origin-to-triangle distance: min over the interior critical
+    # point (when inside the bary domain) and the three clamped edges.
+    v0d = v0.astype(np.float64)
+    e1d = e1.astype(np.float64)
+    e2d = e2.astype(np.float64)
+    a = np.einsum("fi,fi->f", e1d, e1d)
+    b = np.einsum("fi,fi->f", e1d, e2d)
+    c = np.einsum("fi,fi->f", e2d, e2d)
+    dd = np.einsum("fi,fi->f", e1d, v0d)
+    e = np.einsum("fi,fi->f", e2d, v0d)
+    det2 = a * c - b * b
+    good = det2 > 1e-18
+    s = np.where(good, (b * e - c * dd) / np.where(good, det2, 1.0), -1.0)
+    tt = np.where(good, (b * dd - a * e) / np.where(good, det2, 1.0), -1.0)
+    inside = good & (s >= 0) & (tt >= 0) & (s + tt <= 1)
+    p_in = v0d + s[:, None] * e1d + tt[:, None] * e2d
+    d2_in = np.where(inside, np.einsum("fi,fi->f", p_in, p_in), np.inf)
+
+    def edge_d2(av, dv):
+        dvdv = np.einsum("fi,fi->f", dv, dv)
+        tcl = np.clip(-np.einsum("fi,fi->f", av, dv)
+                      / np.maximum(dvdv, 1e-18), 0.0, 1.0)
+        p = av + tcl[:, None] * dv
+        return np.einsum("fi,fi->f", p, p)
+
+    d2 = np.minimum(d2_in, edge_d2(v0d, e1d))
+    d2 = np.minimum(d2, edge_d2(v0d, e2d))
+    d2 = np.minimum(d2, edge_d2(v0d + e1d, e2d - e1d))
+    return float(max(np.sqrt(d2.min()) * (1.0 - 1e-5), 0.0))
 
 
 def make_mesh(positions, normals, uvs, faces, tangents=None) -> TriMesh:
@@ -71,6 +143,8 @@ def make_mesh(positions, normals, uvs, faces, tangents=None) -> TriMesh:
     order, tri_tbl, tri_bounds, n_chunks = tp.build_mesh_tables(
         np.asarray(v0), np.asarray(e1), np.asarray(e2))
     order_j = jnp.asarray(order)
+    r_ins = _inscribed_radius(np.asarray(v0), np.asarray(e1),
+                              np.asarray(e2), np.asarray(faces))
     return TriMesh(
         positions=positions,
         normals=jnp.asarray(normals, jnp.float32),
@@ -80,7 +154,8 @@ def make_mesh(positions, normals, uvs, faces, tangents=None) -> TriMesh:
         v0=v0[order_j], e1=e1[order_j], e2=e2[order_j],
         bound_radius=jnp.max(m.length(positions)),
         tri_tbl=jnp.asarray(tri_tbl), tri_bounds=jnp.asarray(tri_bounds),
-        n_chunks=n_chunks)
+        n_chunks=n_chunks,
+        inscribed_radius=r_ins)
 
 
 @struct.dataclass
@@ -227,6 +302,45 @@ def intersect_instances(origin, direction, t_min, t_max, mesh: TriMesh,
     return best
 
 
+def _bounds_prepass(origin, direction, t_min, t_max, mesh: TriMesh,
+                    inst_position, inst_scale, any_hit: bool = False):
+    """Per-lane t-range tightening BEFORE the instanced-mesh kernel, using
+    the cheap analytic-sphere sweeps over the M instance bounds (the
+    TLAS-level work RT cores do per ray; our kernel's culls are per ray
+    BLOCK, so one stray lane with an unbounded range forces the whole
+    block to sweep all instances — the measured mesh-path pathology):
+
+    1. kill: a lane whose segment misses every instance bounding sphere
+       cannot hit the mesh — it gets a dead range (tmax < tmin), shrinking
+       the kernel's live set and its tmax_max/t_done culls.
+    2. clamp (closest-hit only, inscribed_radius > 0): a lane passing
+       through instance i's inscribed ball is GUARANTEED a surface hit
+       before exiting i's bounding sphere, so tmax clamps to
+       t_entry + 2 r_bound — the per-lane early-out RT-core traversal gets
+       from front-to-back BVH order.
+
+    Returns the tightened t_max, broadcast to the lead shape.
+    """
+    from . import intersect
+    lead = origin.shape[:-1]
+    t_min_b = jnp.broadcast_to(t_min, lead)
+    t_max_b = jnp.broadcast_to(t_max, lead)
+    r_bound = mesh.bound_radius * inst_scale
+    reach = intersect.intersect_spheres_any(
+        origin, direction, jnp.maximum(t_min_b, 0.0), t_max_b,
+        inst_position, r_bound, 16384)
+    t_max_new = jnp.where(reach, t_max_b,
+                          jnp.minimum(t_min_b, 0.0) - 1.0)
+    if any_hit or mesh.inscribed_radius <= 0.0:
+        return t_max_new
+    r_ins = mesh.inscribed_radius * inst_scale
+    hit_i = intersect.intersect_spheres(origin, direction, t_min_b,
+                                        t_max_new, inst_position, r_ins,
+                                        16384, attributes=False)
+    clamp = hit_i.t + 2.0 * r_bound[hit_i.index] * 1.0001 + 1e-4
+    return jnp.where(hit_i.hit, jnp.minimum(t_max_new, clamp), t_max_new)
+
+
 def _pack_for_mesh_kernel(origin, direction, t_min, t_max, mesh,
                           inst_position, inst_rotation, inst_scale):
     """Shared preamble of both Pallas mesh entries (closest-hit and
@@ -284,6 +398,8 @@ def intersect_instances_any(origin, direction, t_min, t_max, mesh: TriMesh,
     if intersect.pallas_enabled() and mesh.tri_tbl is not None:
         from . import trimesh_pallas as tp
 
+        t_max = _bounds_prepass(origin, direction, t_min, t_max, mesh,
+                                inst_position, inst_scale, any_hit=True)
         rays, unflat, inst_tbl, inst_bounds, _, n_ic, interp = \
             _pack_for_mesh_kernel(origin, direction, t_min, t_max, mesh,
                                   inst_position, inst_rotation, inst_scale)
@@ -308,6 +424,8 @@ def _intersect_instances_pallas(origin, direction, t_min, t_max,
     from . import trimesh_pallas as tp
     from ..models import scene as scene_mod
 
+    t_max = _bounds_prepass(origin, direction, t_min, t_max, mesh,
+                            inst_position, inst_scale)
     rays, unflat, inst_tbl, inst_bounds, order, n_ic, interp = \
         _pack_for_mesh_kernel(origin, direction, t_min, t_max, mesh,
                               inst_position, inst_rotation, inst_scale)

@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .intersect_pallas import (INF_BITS, RAY_BLOCK, _bundle_summary,
-                               _pos_bits, _t_done)
+                               _pos_bits)
 
 TRI_CHUNK = 64        # triangle sublanes per inner step (multiple of 8)
 INST_CHUNK = 16       # instances per TLAS chunk (scalar cull granularity)
@@ -83,6 +83,17 @@ def _mesh_kernel(rays_ref, inst_ref, ibounds_ref, tbounds_ref, tri_ref,
         (mx, my, mz, orad, axw, ayw, azw, cmin, sin_c,
          coherent) = _bundle_summary(ox, oy, oz, dx, dy, dz, live)
 
+        def t_done_now():
+            # Block 'done' distance: per-lane min(best hit, tmax) — the
+            # caller's bounds pre-pass (trimesh._bounds_prepass) gives
+            # every lane a finite tmax, so far instances cull even before
+            # any triangle hit lands (plain _t_done carries inf until the
+            # first hit, which forced full TLAS sweeps on blocks with any
+            # unresolved lane).
+            t_best = jax.lax.bitcast_convert_type(
+                best_s[:, :] & trunc_mask, jnp.float32)
+            return jnp.max(jnp.where(live, jnp.minimum(t_best, tmax), 0.0))
+
         def visit_inst(k, _):
             px = inst_ref[0, k]
             py = inst_ref[1, k]
@@ -104,7 +115,7 @@ def _mesh_kernel(rays_ref, inst_ref, ibounds_ref, tbounds_ref, tri_ref,
             perp = jnp.sqrt(jnp.maximum(d2 - along * along, 0.0))
             outside_cone = perp * cmin - along * sin_c > er
             behind = along < -er
-            t_done = _t_done(best_s[:, :], live, trunc_mask)
+            t_done = t_done_now()
             too_far = jnp.sqrt(d2) - er > t_done
             possible = (brw > 0.0) & jnp.logical_not(
                 (coherent & (outside_cone | behind)) | too_far)
@@ -136,7 +147,6 @@ def _mesh_kernel(rays_ref, inst_ref, ibounds_ref, tbounds_ref, tri_ref,
                 mlx, mly, mlz = mlx * inv_s, mly * inv_s, mlz * inv_s
                 alx, aly, alz = rot_scalar(axw, ayw, azw)
                 orad_l = orad * inv_s
-                t_done_l = t_done * inv_s
 
                 def visit_chunk(c, _):
                     bx = tbounds_ref[0, c]
@@ -151,7 +161,9 @@ def _mesh_kernel(rays_ref, inst_ref, ibounds_ref, tbounds_ref, tri_ref,
                         dd2 - along2 * along2, 0.0))
                     out2 = perp2 * cmin - along2 * sin_c > er2
                     behind2 = along2 < -er2
-                    far2 = jnp.sqrt(dd2) - er2 > t_done_l
+                    # Refreshed per chunk: hits landed by earlier chunks
+                    # tighten the remaining sweep immediately.
+                    far2 = jnp.sqrt(dd2) - er2 > t_done_now() * inv_s
                     possible2 = jnp.logical_not(
                         (coherent & (out2 | behind2)) | far2)
 
@@ -219,8 +231,7 @@ def _mesh_kernel(rays_ref, inst_ref, ibounds_ref, tbounds_ref, tri_ref,
             perpc = jnp.sqrt(jnp.maximum(dc2 - alongc * alongc, 0.0))
             outc = perpc * cmin - alongc * sin_c > erc
             behindc = alongc < -erc
-            farc = jnp.sqrt(dc2) - erc > _t_done(best_s[:, :], live,
-                                                 trunc_mask)
+            farc = jnp.sqrt(dc2) - erc > t_done_now()
             possible_c = (bcr > 0.0) & jnp.logical_not(
                 (coherent & (outc | behindc)) | farc)
 
