@@ -260,6 +260,28 @@ def splat_levels(state_accum, slots_list, fps_list, radiance_list,
     # Dead lanes (w=0) must not claim slots; route them to the drop index.
     slots = jnp.where(w > 0, slots, capacity)
 
+    # Compact LIVE rows BEFORE the sort: bounce rays in an open scene
+    # mostly terminate into the sky, so the level-stacked stream is
+    # ~80-90% dead rows — sorting them costs O(n log^2 n) compare-exchange
+    # sweeps for rows the scatter drops anyway. A searchsorted gather over
+    # the live-count cumsum (the pathtrace._compact_slots recipe) shrinks
+    # the sort to cap = n/3; live rows beyond that are dropped and counted
+    # with the same `dropped` metric as the post-dedup cap.
+    n0 = slots.shape[0]
+    # Small streams skip the shrink (a tiny sort is free; a /3 cap could
+    # truncate an all-live test stream).
+    cap_live = n0 if n0 <= 16384 else -(-n0 // 3 // 1024) * 1024
+    live = slots < capacity
+    live_count = jnp.cumsum(live.astype(jnp.int32))
+    dropped_pre = jnp.maximum(live_count[-1] - cap_live, 0)
+    q = jnp.arange(cap_live, dtype=jnp.int32) + 1
+    idx = jnp.minimum(jnp.searchsorted(live_count, q, side="left"), n0)
+    slots = jnp.concatenate(
+        [slots, jnp.asarray([capacity], jnp.int32)])[idx]
+    payload = jnp.concatenate(
+        [payload, jnp.zeros((1, payload.shape[1]), payload.dtype)])[idx]
+    fp = jnp.concatenate([fp, jnp.zeros((1,), fp.dtype)])[idx]
+
     # Sort rows by slot: duplicates become adjacent (so the exact
     # tree-merge collapses them — a voxel spans ~10-25 update pixels at
     # typical distances).
@@ -302,7 +324,7 @@ def splat_levels(state_accum, slots_list, fps_list, radiance_list,
                                 indices_are_sorted=True)
     acc_fp = acc_fp.at[c_slots].max(c_fp, mode="drop",
                                     indices_are_sorted=True)
-    return acc4[:, 0:3], acc4[:, 3], acc_fp, dropped
+    return acc4[:, 0:3], acc4[:, 3], acc_fp, dropped + dropped_pre
 
 
 def resolve(state: SHARCState, frame_sum, frame_count, frame_fp,
