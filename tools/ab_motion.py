@@ -47,6 +47,13 @@ VARIANTS = {
     "nodenoise": {"denoiser": "None", "taa_mode": "on"},
     # raw 1spp, no temporal filtering at all (the hard floor).
     "raw1spp": {"denoiser": "None", "taa_mode": "off"},
+    # Pairwise temporal MIS with the pseudo-previous surface vs the REAL
+    # previous-frame surface rows (temporal_prev_surface="real") — does
+    # unbiased temporal reuse under motion move orbit SSIM?
+    "pairwise": {"restir": restir.ReSTIRConfig(
+        temporal_bias_correction="pairwise")},
+    "pairwise_real": {"restir": restir.ReSTIRConfig(
+        temporal_bias_correction="pairwise", temporal_prev_surface="real")},
 }
 
 
@@ -54,13 +61,14 @@ def main():
     names = sys.argv[1:] or list(VARIANTS)
     for name in names:
         ov = dict(VARIANTS[name])
+        ov_str = {k: repr(v) for k, v in ov.items()}  # dataclass-safe
         try:
             r = fidelity.run_motion(pipeline_overrides=ov)
-            print(json.dumps({"variant": name, "overrides": ov,
+            print(json.dumps({"variant": name, "overrides": ov_str,
                               "min": r["min"], "mean": r["value"],
                               "per_frame": r["per_frame"]}), flush=True)
         except Exception:
-            print(json.dumps({"variant": name, "overrides": ov,
+            print(json.dumps({"variant": name, "overrides": ov_str,
                               "error": traceback.format_exc(limit=3)}),
                   flush=True)
 
