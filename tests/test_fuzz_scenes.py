@@ -38,6 +38,32 @@ def _random_scene(seed: int, k: int):
         env=sky.make_environment_light())
 
 
+def test_demo_scene_poses_zero_overflow():
+    """VERDICT r4 item #8: the default deep-segment capacity (n/24) must
+    hold ZERO overflow across camera poses of the demo scene, not just
+    the headline pose — overflow silently drops GI radiance when the
+    spill is off. Poses orbit and dive into the sphere field (worst
+    case: the frame filled with close geometry maximizes survivors)."""
+    from drts_tpu.models import myscene
+
+    host = myscene.build(oscillator_grid=3)
+    rng = np.random.RandomState(11)
+    poses = [((0.0, 0.0, -15.0), (0.0, 0.0, 1.0)),   # reference default
+             ((0.0, 6.0, -6.0), (0.0, -0.7, 0.7)),   # looking down
+             ((0.0, 0.5, -3.0), (0.0, 0.0, 1.0))]    # inside the field
+    for _ in range(2):
+        p = rng.randn(3) * np.array([6.0, 2.0, 6.0]) + [0.0, 1.0, -8.0]
+        f = -p / np.linalg.norm(p)
+        poses.append((tuple(p), tuple(f)))
+    cfg = pathtrace.PathTraceConfig(width=96, height=96, bounces=8,
+                                    block_size=4096)  # default fractions
+    for i, (pos, fwd) in enumerate(poses):
+        cam = camera_mod.make_camera(pos, fwd, aspect=1.0)
+        out = pathtrace.trace_image(host.scene, cam, cfg, i)
+        assert float(out.counters["wavefront_overflow_paths"]) == 0.0, \
+            (i, pos)
+
+
 @pytest.mark.parametrize("seed,k", [(0, 1), (1, 3), (2, 17), (3, 64)])
 def test_random_scene_trace_finite(seed, k):
     scene = _random_scene(seed, k)
