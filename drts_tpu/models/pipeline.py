@@ -59,6 +59,18 @@ class PipelineConfig:
     # accumulation so it bounds the denoiser's contribution, not the
     # accumulator's (ADVICE r3 medium).
     taa_mode: str = "auto"
+    # History resample filter ("bilinear" | "catmull"): Catmull-Rom is the
+    # DLSS-class anti-blur history filter (ops/taa.TAAConfig) — candidate
+    # fix for the orbit-motion SSIM plateau (ab_motion r4: raw 1spp scores
+    # 0.916 vs baseline 0.936 — the temporal stack barely accumulates
+    # under motion, consistent with resample blur/rejection).
+    taa_history_filter: str = "bilinear"
+    # TAA neighborhood variance-clip box size in std-devs (ops/taa
+    # .TAAConfig.clip_gamma). The 1-sigma default pins history to the
+    # current frame's local range — sweep candidate for the same orbit
+    # plateau (a tight clip re-rejects well-reprojected history whenever
+    # subpixel motion shifts the neighborhood statistics).
+    taa_clip_gamma: float = 1.0
     bloom_enabled: bool = True
     bloom_strength: float = 0.05
     sharpen_enabled: bool = True
@@ -550,6 +562,8 @@ class RenderPipeline:
             taa_state, color = taa.upscale(
                 state.taa, color, gbuf.motion, cam.jitter,
                 c.output_height, c.output_width, reset,
+                cfg=taa.TAAConfig(history_filter=c.taa_history_filter,
+                                  clip_gamma=c.taa_clip_gamma),
                 confidence=confidence)
         elif (c.output_height, c.output_width) != (c.render_height,
                                                    c.render_width):

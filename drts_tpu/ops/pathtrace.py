@@ -80,13 +80,13 @@ class PathTraceConfig:
     # Overflow handling (VERDICT r3 weak #7): with spill OFF, survivors
     # beyond the deep segment's capacity silently lose their remaining
     # bounces' radiance (counted in wavefront_overflow_paths). With spill
-    # ON, a second wave re-runs the deep segment over the dropped lanes
-    # under lax.cond — zero runtime cost on frames with no overflow, one
-    # extra segment dispatch when it triggers; only paths beyond 2x
-    # capacity then drop (still counted). OFF by default until the
-    # compile-time/branch cost is measured on hardware (a TPU lax.cond
-    # that flattens to a select would pay the segment every frame).
-    overflow_spill: bool = False
+    # ON (default), a second wave re-runs the deep segment over the
+    # dropped lanes under lax.cond — zero runtime cost on frames with no
+    # overflow, one extra segment dispatch when it triggers; only paths
+    # beyond 2x capacity then drop (still counted). Default ON because
+    # close-in camera poses DO overflow the demo-tuned /24 capacity
+    # (tests/test_fuzz_scenes.py poses), and a counter is not a fix.
+    overflow_spill: bool = True
     # Capacity divisor for the bounce-1 segment. Survivors there are all
     # primary hits with a valid scatter — routinely 60-80% of the frame,
     # so /2 would OVERFLOW and silently drop GI paths; default /1 keeps

@@ -39,11 +39,12 @@ def _random_scene(seed: int, k: int):
 
 
 def test_demo_scene_poses_zero_overflow():
-    """VERDICT r4 item #8: the default deep-segment capacity (n/24) must
-    hold ZERO overflow across camera poses of the demo scene, not just
-    the headline pose — overflow silently drops GI radiance when the
-    spill is off. Poses orbit and dive into the sphere field (worst
-    case: the frame filled with close geometry maximizes survivors)."""
+    """VERDICT r4 item #8: with the DEFAULT config (deep capacity n/24 +
+    overflow spill), no pose of the demo scene may drop path radiance —
+    the counter must read zero. Poses orbit and dive into the sphere
+    field (worst case: the frame filled with close geometry maximizes
+    survivors; the close poses DO overflow wave 0, which is exactly why
+    the spill defaults on — wave 1 recovers them)."""
     from drts_tpu.models import myscene
 
     host = myscene.build(oscillator_grid=3)

@@ -54,6 +54,15 @@ VARIANTS = {
         temporal_bias_correction="pairwise")},
     "pairwise_real": {"restir": restir.ReSTIRConfig(
         temporal_bias_correction="pairwise", temporal_prev_surface="real")},
+    # Round-4 orbit-plateau candidates (ab_motion r4 found raw1spp=0.916
+    # vs baseline=0.936 — the temporal stack barely accumulates under
+    # motion): Catmull-Rom history resampling (anti-blur) and a wider /
+    # effectively-off TAA variance clip (anti-rejection).
+    "catmull": {"taa_history_filter": "catmull"},
+    "taaclip2.5": {"taa_clip_gamma": 2.5},
+    "taaclip8": {"taa_clip_gamma": 8.0},
+    "catmull_clip2.5": {"taa_history_filter": "catmull",
+                        "taa_clip_gamma": 2.5},
 }
 
 

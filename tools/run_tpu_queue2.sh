@@ -57,10 +57,11 @@ print('mesh 8-bounce:', bench.bench_mesh(bounces=8, iters=2))
 # 7. Full bench: new headline + per-pass attribution + counters.
 run bench 5400 python bench.py
 
-# 8. Temporal pairwise pseudo vs REAL previous surface under motion
-#    (+ norestirtemp re-run in case stage 1 lost its record).
-run ab_motion2 7200 python tools/ab_motion.py pairwise pairwise_real \
-  norestirtemp
+# 8. Orbit-plateau candidates: TAA clip width + Catmull-Rom history
+#    (ab_motion r4: raw1spp 0.916 vs baseline 0.936 — accumulation, not
+#    the denoiser, is the limiter), then the pairwise/real-prev pair.
+run ab_motion2 10800 python tools/ab_motion.py taaclip2.5 catmull \
+  catmull_clip2.5 taaclip8 pairwise pairwise_real
 
 # 9. De-circularized fidelity artifacts (VERDICT item #6): static SSIM
 #    at the BASELINE's 1080p, and the independent-tracer cross-check.
