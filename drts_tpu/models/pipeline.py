@@ -100,8 +100,12 @@ class PipelineConfig:
     compact_from: int = 2
     # First SHARC-query bounce (ops/pathtrace.PathTraceConfig
     # .sharc_query_from; 1 = reference parity, 2 skips the dense
-    # full-frame bounce-1 query).
-    sharc_query_from: int = 1
+    # full-frame bounce-1 query). Default 2: the dense b1 query measured
+    # 16 ms at 1080p (trace_b8_sharc_empty - trace_b8, stage-2 r4) while
+    # b1 cache hits are 12% of the ~1.4% of lanes that hit geometry at
+    # b1 (~7k hits/frame) — the worst trade in the frame. The op-level
+    # default stays 1 (reference semantics); this is a product setting.
+    sharc_query_from: int = 2
     halton_period: int = 64
     # ReSTIR DI (App.cpp:1187-1229 PrepareReSTIRDI + RTXDI::Render chain).
     restir_enabled: bool = True

@@ -229,29 +229,16 @@ def _compact_slots(act, l_dir_flat, pixel_ids, cfg, cap: int,
     overflow = jnp.sum((act_src & (pos_src >= cap)).astype(jnp.int32))
 
     # Source table: slot s -> input-space position (ns = empty slot).
-    if cap * 4 <= ns:
-        # Gather form: slot s holds the first input position whose live
-        # count reaches s+1 — a binary search over the monotone cumsum.
-        # The scatter form below processes ALL ns input rows (TPU scatter
-        # runs ~0.3 GB/s by rows processed; measured ~30 ms of the deep
-        # segment's 32 ms entry cost at 1080p), while the binary search
-        # costs cap * log2(ns) streaming gathers — at the deep segment's
-        # cap = ns/24 that is ~25x less traffic. Equal output by
-        # construction; crossover near cap ~ ns/4.
-        s_query = (jnp.arange(cap, dtype=jnp.int32) + 1
-                   + jnp.int32(wave * cap))
-        idx = jnp.searchsorted(live_count, s_query, side="left")
-        ext = jnp.concatenate([order_ids,
-                               jnp.asarray([ns], jnp.int32)])
-        src = ext[jnp.minimum(idx, ns)]
-    else:
-        # Scatter form: dead lanes get the out-of-range slot `cap` and are
-        # DROPPED instead of colliding on a dump slot: with unique indices
-        # XLA lowers this to a fast permuting store (the colliding-dump-
-        # slot form serializes on the collisions).
-        slot_of_src = jnp.where(keep_src, pos_src, cap)
-        src = jnp.full((cap,), ns, jnp.int32).at[slot_of_src].set(
-            order_ids, mode="drop", unique_indices=True)
+    # Permuting-store scatter (unique indices, drop mode — the fast XLA
+    # lowering): dead lanes get the out-of-range slot `cap` and are
+    # DROPPED instead of colliding on a dump slot (the colliding form
+    # serializes on the collisions). A searchsorted-over-cumsum gather
+    # variant was tried in r4 and measured SLOWER (binary search =
+    # cap*log2(ns) RANDOM gathers at ~0.3-3 GB/s; prof_trace_bounces
+    # b2-b1 38 ms vs 32 ms scatter).
+    slot_of_src = jnp.where(keep_src, pos_src, cap)
+    src = jnp.full((cap,), ns, jnp.int32).at[slot_of_src].set(
+        order_ids, mode="drop", unique_indices=True)
 
     # Input-space-order (keep, pos) for the final contribution gathers.
     if tm is not None:

@@ -272,15 +272,21 @@ def splat_levels(state_accum, slots_list, fps_list, radiance_list,
     # truncate an all-live test stream).
     cap_live = n0 if n0 <= 16384 else -(-n0 // 3 // 1024) * 1024
     live = slots < capacity
-    live_count = jnp.cumsum(live.astype(jnp.int32))
-    dropped_pre = jnp.maximum(live_count[-1] - cap_live, 0)
-    q = jnp.arange(cap_live, dtype=jnp.int32) + 1
-    idx = jnp.minimum(jnp.searchsorted(live_count, q, side="left"), n0)
+    pos = jnp.cumsum(live.astype(jnp.int32)) - 1
+    dropped_pre = jnp.maximum(pos[-1] + 1 - cap_live, 0)
+    # Permuting-store scatter (unique indices, drop mode — the fast XLA
+    # lowering), NOT searchsorted: binary search over the cumsum costs
+    # cap*log2(n) RANDOM gathers, measured ~as slow as the sort it saves
+    # (TPU random gathers run ~0.3-3 GB/s; prof_sharc_update r4).
+    dest = jnp.where(live & (pos < cap_live), pos, cap_live)
+    idx = jnp.full((cap_live,), n0, jnp.int32).at[dest].set(
+        jnp.arange(n0, dtype=jnp.int32), mode="drop", unique_indices=True)
+    take = jnp.minimum(idx, n0)
     slots = jnp.concatenate(
-        [slots, jnp.asarray([capacity], jnp.int32)])[idx]
+        [slots, jnp.asarray([capacity], jnp.int32)])[take]
     payload = jnp.concatenate(
-        [payload, jnp.zeros((1, payload.shape[1]), payload.dtype)])[idx]
-    fp = jnp.concatenate([fp, jnp.zeros((1,), fp.dtype)])[idx]
+        [payload, jnp.zeros((1, payload.shape[1]), payload.dtype)])[take]
+    fp = jnp.concatenate([fp, jnp.zeros((1,), fp.dtype)])[take]
 
     # Sort rows by slot: duplicates become adjacent (so the exact
     # tree-merge collapses them — a voxel spans ~10-25 update pixels at

@@ -21,6 +21,8 @@ adopt the sphere kernel's layout when triangle content becomes a hot path.
 
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,6 +31,10 @@ from flax import struct
 from ..utils import math as m
 
 INF = jnp.float32(jnp.inf)
+
+# Instance-coherence ray reorder before the Pallas closest-hit kernel
+# (see _pack_for_mesh_kernel sort_key). DRTS_MESH_SORT=0 for A/B.
+MESH_SORT = _os.environ.get("DRTS_MESH_SORT", "1") != "0"
 
 
 @struct.dataclass
@@ -319,34 +325,57 @@ def _bounds_prepass(origin, direction, t_min, t_max, mesh: TriMesh,
        t_entry + 2 r_bound — the per-lane early-out RT-core traversal gets
        from front-to-back BVH order.
 
-    Returns the tightened t_max, broadcast to the lead shape.
+    Returns (tightened t_max, candidate instance id) — the candidate is
+    the ray's nearest bounding-sphere hit (M = miss), the sort key for
+    the instance-coherence reorder (see _intersect_instances_pallas).
     """
     from . import intersect
     lead = origin.shape[:-1]
+    mcount = inst_position.shape[0]
     t_min_b = jnp.broadcast_to(t_min, lead)
     t_max_b = jnp.broadcast_to(t_max, lead)
     r_bound = mesh.bound_radius * inst_scale
-    reach = intersect.intersect_spheres_any(
-        origin, direction, jnp.maximum(t_min_b, 0.0), t_max_b,
-        inst_position, r_bound, 16384)
-    t_max_new = jnp.where(reach, t_max_b,
+    if any_hit:
+        reach = intersect.intersect_spheres_any(
+            origin, direction, jnp.maximum(t_min_b, 0.0), t_max_b,
+            inst_position, r_bound, 16384)
+        t_max_new = jnp.where(reach, t_max_b,
+                              jnp.minimum(t_min_b, 0.0) - 1.0)
+        return t_max_new, None
+    hit_b = intersect.intersect_spheres(origin, direction,
+                                        jnp.maximum(t_min_b, 0.0), t_max_b,
+                                        inst_position, r_bound, 16384,
+                                        attributes=False)
+    t_max_new = jnp.where(hit_b.hit, t_max_b,
                           jnp.minimum(t_min_b, 0.0) - 1.0)
-    if any_hit or mesh.inscribed_radius <= 0.0:
-        return t_max_new
+    cand = jnp.where(hit_b.hit, hit_b.index, mcount)
+    if mesh.inscribed_radius <= 0.0:
+        return t_max_new, cand
     r_ins = mesh.inscribed_radius * inst_scale
     hit_i = intersect.intersect_spheres(origin, direction, t_min_b,
                                         t_max_new, inst_position, r_ins,
                                         16384, attributes=False)
     clamp = hit_i.t + 2.0 * r_bound[hit_i.index] * 1.0001 + 1e-4
-    return jnp.where(hit_i.hit, jnp.minimum(t_max_new, clamp), t_max_new)
+    t_max_new = jnp.where(hit_i.hit, jnp.minimum(t_max_new, clamp),
+                          t_max_new)
+    return t_max_new, cand
 
 
 def _pack_for_mesh_kernel(origin, direction, t_min, t_max, mesh,
-                          inst_position, inst_rotation, inst_scale):
+                          inst_position, inst_rotation, inst_scale,
+                          sort_key=None):
     """Shared preamble of both Pallas mesh entries (closest-hit and
     any-hit): screen-tile ray packing, live-centroid sort origin, and the
     per-frame TLAS tables. Returns (rays, n, unflat, inst_tbl,
-    inst_bounds, order, n_ic, interp)."""
+    inst_bounds, order, n_ic, interp).
+
+    sort_key (optional, lead-shaped i32): reorder rays so equal keys are
+    adjacent before blocking — the TPU analogue of NVIDIA SER's
+    reorder-by-hit. Keyed by the bounds pre-pass's nearest-instance
+    candidate, a RAY_BLOCK's lanes then agree on the instance chunks they
+    need, so the kernel's per-block TLAS culls skip the rest (an
+    incoherent bounce block otherwise forces a sweep of every chunk its
+    scattered lanes touch). `unflat` undoes the permutation."""
     from . import intersect
     from . import intersect_pallas as ip
     from . import trimesh_pallas as tp
@@ -359,6 +388,8 @@ def _pack_for_mesh_kernel(origin, direction, t_min, t_max, mesh,
         d = intersect._tile_order(direction)
         tmn = intersect._tile_order(jnp.broadcast_to(t_min, lead))
         tmx = intersect._tile_order(jnp.broadcast_to(t_max, lead))
+        key = (intersect._tile_order(sort_key)
+               if sort_key is not None else None)
     else:
         n0 = 1
         for s in lead:
@@ -367,6 +398,11 @@ def _pack_for_mesh_kernel(origin, direction, t_min, t_max, mesh,
         d = direction.reshape(n0, 3)
         tmn = jnp.broadcast_to(t_min, lead).reshape(n0)
         tmx = jnp.broadcast_to(t_max, lead).reshape(n0)
+        key = sort_key.reshape(n0) if sort_key is not None else None
+    if key is not None:
+        # Stable argsort keeps screen-tile locality within equal keys.
+        perm = jnp.argsort(key, stable=True).astype(jnp.int32)
+        o, d, tmn, tmx = o[perm], d[perm], tmn[perm], tmx[perm]
     rays, n = ip.pack_rays(o, d, tmn, tmx)
 
     # Near-to-far TLAS chunk order anchored at the live-ray origin
@@ -380,9 +416,12 @@ def _pack_for_mesh_kernel(origin, direction, t_min, t_max, mesh,
         sort_origin=sort_origin)
 
     def unflat(x):
+        x = x[:n]
+        if key is not None:
+            x = jnp.zeros_like(x).at[perm].set(x, unique_indices=True)
         if tiled:
-            return intersect._tile_unorder(x[:n], *lead)
-        return x[:n].reshape(lead)
+            return intersect._tile_unorder(x, *lead)
+        return x.reshape(lead)
 
     return rays, unflat, inst_tbl, inst_bounds, order, n_ic, interp
 
@@ -398,8 +437,8 @@ def intersect_instances_any(origin, direction, t_min, t_max, mesh: TriMesh,
     if intersect.pallas_enabled() and mesh.tri_tbl is not None:
         from . import trimesh_pallas as tp
 
-        t_max = _bounds_prepass(origin, direction, t_min, t_max, mesh,
-                                inst_position, inst_scale, any_hit=True)
+        t_max, _ = _bounds_prepass(origin, direction, t_min, t_max, mesh,
+                                   inst_position, inst_scale, any_hit=True)
         rays, unflat, inst_tbl, inst_bounds, _, n_ic, interp = \
             _pack_for_mesh_kernel(origin, direction, t_min, t_max, mesh,
                                   inst_position, inst_rotation, inst_scale)
@@ -424,11 +463,12 @@ def _intersect_instances_pallas(origin, direction, t_min, t_max,
     from . import trimesh_pallas as tp
     from ..models import scene as scene_mod
 
-    t_max = _bounds_prepass(origin, direction, t_min, t_max, mesh,
-                            inst_position, inst_scale)
+    t_max, cand = _bounds_prepass(origin, direction, t_min, t_max, mesh,
+                                  inst_position, inst_scale)
     rays, unflat, inst_tbl, inst_bounds, order, n_ic, interp = \
         _pack_for_mesh_kernel(origin, direction, t_min, t_max, mesh,
-                              inst_position, inst_rotation, inst_scale)
+                              inst_position, inst_rotation, inst_scale,
+                              sort_key=None if not MESH_SORT else cand)
     t_p, face_p, inst_p = tp.intersect_mesh_instances(
         rays, inst_tbl, inst_bounds, mesh.tri_bounds, mesh.tri_tbl,
         n_ic, tp.INST_CHUNK, mesh.n_chunks,

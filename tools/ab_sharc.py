@@ -67,7 +67,10 @@ def run(name, sharc_over, width=960, height=540, settle=12, iters=4):
             }
     return {"variant": name, "overrides": sharc_over,
             "frame_ms": round(ms, 2), "per_bounce": per_bounce,
-            "splat_dropped": c.get("sharc_splat_dropped_rows", 0.0)}
+            "splat_dropped": c.get("sharc_splat_dropped_rows", 0.0),
+            # r4: the 960x540 stage-1 run reported q_b2..8 = 0 — if the
+            # deep segment dropped its lanes this would show here.
+            "overflow": c.get("wavefront_overflow_paths", 0.0)}
 
 
 def main():
