@@ -87,6 +87,12 @@ class PathTraceConfig:
     # close-in camera poses DO overflow the demo-tuned /24 capacity
     # (tests/test_fuzz_scenes.py poses), and a counter is not a fix.
     overflow_spill: bool = True
+    # src-table builder for the compaction front-end (_compact_slots):
+    # "scatter" (permuting-store scatter over all ns rows),
+    # "blocked_onehot" (segmented cumsum + per-block one-hot MXU matmul),
+    # "two_level" (segmented cumsum + 2-level binary search). Identical
+    # output; TPU cost differs (scatter is row-serial on all ns lanes).
+    compact_impl: str = "scatter"
     # Capacity divisor for the bounce-1 segment. Survivors there are all
     # primary hits with a valid scatter — routinely 60-80% of the frame,
     # so /2 would OVERFLOW and silently drop GI paths; default /1 keeps
@@ -181,6 +187,84 @@ def _compact_capacity(n_pixels: int, fraction: int) -> int:
     return -(-cap // 1024) * 1024
 
 
+_BLOCKED_LB = 512  # lanes per compaction block (see _src_table_blocked)
+
+
+def _src_table_blocked(act_src, order_ids, cap: int, wave: int, impl: str):
+    """src-table builders that sidestep the 2M-row XLA scatter (TPU
+    scatters run row-serial, ~0.3 GB/s by rows processed — the measured
+    ~32 ms deep-segment entry). Both split the lane stream into
+    `_BLOCKED_LB`-lane blocks and compute per-block live ranks with a
+    SEGMENTED cumsum, then resolve each output slot to (block, rank):
+
+    - "blocked_onehot": per-block one-hot(rank) @ positions batched MXU
+      matmul (exact for int payloads < 2^24 at HIGHEST precision, the
+      `light._onehot_fetch` recipe) -> semi table (B, LB); output slots
+      then need one cheap (cap,) gather.
+    - "two_level": 2-level binary search — searchsorted over the B block
+      offsets, then log2(LB) manual bisection gathers into the block's
+      cumsum row. cap*(1+log2(LB)) random 4-byte gathers instead of the
+      full-stream scatter.
+
+    Returns (src (cap,), keep_src (ns,), pos_src (ns,), overflow) —
+    identical by construction to the scatter form (asserted in
+    tests/test_intersect_scene.py)."""
+    ns = act_src.shape[0]
+    assert ns < (1 << 24), "f32-exact one-hot payload limit"
+    lb = _BLOCKED_LB
+    b = -(-ns // lb)
+    pad = b * lb - ns
+    a = jnp.pad(act_src.astype(jnp.int32), (0, pad)).reshape(b, lb)
+    c = jnp.cumsum(a, axis=1)                      # inclusive local count
+    counts = c[:, -1]
+    cum_counts = jnp.cumsum(counts)
+    off = cum_counts - counts                      # exclusive global offset
+    total = cum_counts[-1]
+
+    # Input-space window membership (same contract as the scatter form).
+    gpos = (c - 1 + off[:, None]).reshape(-1)[:ns] - wave * cap
+    keep_src = act_src & (gpos >= 0) & (gpos < cap)
+    pos_src = gpos
+    overflow = jnp.maximum(total - (wave + 1) * cap, 0)
+
+    s_query = jnp.arange(cap, dtype=jnp.int32) + wave * cap   # global rank
+    bi = jnp.minimum(jnp.searchsorted(cum_counts, s_query, side="right"),
+                     b - 1).astype(jnp.int32)
+    valid = s_query < total
+
+    if impl == "blocked_onehot":
+        lrank = c - a                              # exclusive local rank
+        j = jnp.arange(lb, dtype=jnp.int32)
+        # oh[b, rank, lane] = live & (lrank[b, lane] == rank)
+        oh = ((a > 0)[:, None, :]
+              & (lrank[:, None, :] == j[None, :, None]))
+        vals = jnp.pad(order_ids, (0, pad),
+                       constant_values=0).reshape(b, lb)
+        semi = jax.lax.dot_general(
+            oh.astype(jnp.float32),                   # (b, rank, lane)
+            vals.astype(jnp.float32)[..., None],      # (b, lane, 1)
+            (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST)[..., 0]
+        semi_i = jnp.round(semi).astype(jnp.int32)
+        flat_at = jnp.clip(bi * lb + (s_query - off[bi]), 0, b * lb - 1)
+        src = jnp.where(valid, semi_i.reshape(-1)[flat_at], ns)
+    else:  # two_level
+        target = s_query + 1 - off[bi]             # 1-based rank in block
+        c_flat = c.reshape(-1)
+        lo = jnp.zeros((cap,), jnp.int32)
+        hi = jnp.full((cap,), lb - 1, jnp.int32)
+        for _ in range(lb.bit_length() - 1):       # log2(LB) bisections
+            mid = (lo + hi) // 2
+            ge = c_flat[bi * lb + mid] >= target
+            hi = jnp.where(ge, mid, hi)
+            lo = jnp.where(ge, lo, mid + 1)
+        ext = jnp.concatenate([order_ids,
+                               jnp.zeros((pad,), jnp.int32)])
+        src = jnp.where(valid, ext[jnp.minimum(bi * lb + lo,
+                                               b * lb - 1)], ns)
+    return src, keep_src, pos_src, overflow
+
+
 def _compact_slots(act, l_dir_flat, pixel_ids, cfg, cap: int,
                    h: int, w: int, wave: int = 0):
     pixel_space = pixel_ids is None
@@ -223,22 +307,26 @@ def _compact_slots(act, l_dir_flat, pixel_ids, cfg, cap: int,
     if pixel_ids is None:
         pixel_ids = jnp.arange(ns, dtype=jnp.int32)
 
-    live_count = jnp.cumsum(act_src.astype(jnp.int32))
-    pos_src = live_count - 1 - wave * cap
-    keep_src = act_src & (pos_src >= 0) & (pos_src < cap)
-    overflow = jnp.sum((act_src & (pos_src >= cap)).astype(jnp.int32))
+    if cfg.compact_impl == "scatter":
+        live_count = jnp.cumsum(act_src.astype(jnp.int32))
+        pos_src = live_count - 1 - wave * cap
+        keep_src = act_src & (pos_src >= 0) & (pos_src < cap)
+        overflow = jnp.sum((act_src & (pos_src >= cap)).astype(jnp.int32))
 
-    # Source table: slot s -> input-space position (ns = empty slot).
-    # Permuting-store scatter (unique indices, drop mode — the fast XLA
-    # lowering): dead lanes get the out-of-range slot `cap` and are
-    # DROPPED instead of colliding on a dump slot (the colliding form
-    # serializes on the collisions). A searchsorted-over-cumsum gather
-    # variant was tried in r4 and measured SLOWER (binary search =
-    # cap*log2(ns) RANDOM gathers at ~0.3-3 GB/s; prof_trace_bounces
-    # b2-b1 38 ms vs 32 ms scatter).
-    slot_of_src = jnp.where(keep_src, pos_src, cap)
-    src = jnp.full((cap,), ns, jnp.int32).at[slot_of_src].set(
-        order_ids, mode="drop", unique_indices=True)
+        # Source table: slot s -> input-space position (ns = empty slot).
+        # Permuting-store scatter (unique indices, drop mode — the fast
+        # XLA lowering): dead lanes get the out-of-range slot `cap` and
+        # are DROPPED instead of colliding on a dump slot (the colliding
+        # form serializes on the collisions). A searchsorted-over-cumsum
+        # gather variant was tried in r4 and measured SLOWER (binary
+        # search = cap*log2(ns) RANDOM gathers at ~0.3-3 GB/s;
+        # prof_trace_bounces b2-b1 38 ms vs 32 ms scatter).
+        slot_of_src = jnp.where(keep_src, pos_src, cap)
+        src = jnp.full((cap,), ns, jnp.int32).at[slot_of_src].set(
+            order_ids, mode="drop", unique_indices=True)
+    else:
+        src, keep_src, pos_src, overflow = _src_table_blocked(
+            act_src, order_ids, cap, wave, cfg.compact_impl)
 
     # Input-space-order (keep, pos) for the final contribution gathers.
     if tm is not None:

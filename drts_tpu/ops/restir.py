@@ -97,6 +97,12 @@ class ReSTIRConfig:
     # weights normalize the stream); the cost is cross-pixel error
     # correlation, which the rotation decorrelates over frames.
     spatial_offset_mode: str = "per_pixel"
+    # Evaluate the local-light candidates as ONE batched (n_l, H, W)
+    # target-pdf call instead of n_l sequential (H, W) calls. Bit-identical
+    # results (same RNG draws, same reservoir update order) — only the
+    # schedule changes: surface fields stream from HBM once for all
+    # candidates and the one-hot row fetch becomes a single taller matmul.
+    candidate_batch: bool = False
 
 
 @struct.dataclass
@@ -375,11 +381,11 @@ def initial_sampling(surface: Surface, scene: SphereScene,
     m_total = float(n_l + n_b)
 
     n_valid = jnp.sum((lights.compact[:, 7] > 0).astype(jnp.float32))
-    for _ in range(n_l):
-        u2, rng = rng_mod.next_floats(rng, 2)
-        uv, rng = rng_mod.next_floats(rng, 2)
-        u_slot, u_keep = u2[..., 0], u2[..., 1]
 
+    def pick_candidate(u_slot):
+        """Candidate light id + RIS source weight from one uniform (works
+        on (H, W) draws or a stacked (n_l, H, W) batch — everything
+        broadcasts)."""
         if cfg.local_light_mode == "Power_RIS":
             # Fresh power-proportional draw per candidate (the reference's
             # presampled-tile Power RIS collapsed to CDF inversion).
@@ -397,32 +403,66 @@ def initial_sampling(surface: Surface, scene: SphereScene,
             # masked adds, because arithmetic on packed bit patterns can
             # canonicalize NaN payloads).
             slot = jnp.minimum((u_slot * s).astype(jnp.int32), s - 1)
-            row = rows_all[..., 0]
+            row = jnp.broadcast_to(rows_all[..., 0], u_slot.shape)
             for i in range(1, s):
                 row = jnp.where(slot == i, rows_all[..., i], row)
             cand_f, w_cand = m.unpack2f16(row)
             cand = jnp.round(cand_f).astype(jnp.int32)
+        return cand, w_cand
 
-        # Balance-heuristic MIS against the BRDF-sampling technique
-        # (DIInitialSampling's light/BRDF candidate mix): each candidate's
-        # RIS weight is p_hat over the count-weighted mixture density
-        # (x M to match the W = w_sum/(M p_hat) storage convention).
+    def candidate_weight(surf, cand, uv, w_cand):
+        """Balance-heuristic MIS against the BRDF-sampling technique
+        (DIInitialSampling's light/BRDF candidate mix): each candidate's
+        RIS weight is p_hat over the count-weighted mixture density
+        (x M to match the W = w_sum/(M p_hat) storage convention)."""
         if n_b > 0:
             p_self = 1.0 / jnp.maximum(w_cand, 1e-20)
-            p_hat, p_other = _target_pdf_with_bsdf(surface, lights, cand,
-                                                   uv)
+            p_hat, p_other = _target_pdf_with_bsdf(surf, lights, cand, uv)
             wi = m_total * p_hat / jnp.maximum(
                 n_l * p_self + n_b * p_other, 1e-20)
             wi = jnp.where(w_cand > 0, wi, 0.0)
         else:
-            p_hat = _target_pdf(surface, lights, cand, uv)[0]
+            p_hat = _target_pdf(surf, lights, cand, uv)[0]
             wi = p_hat * w_cand
-        w_sum = w_sum + wi
-        m_count = m_count + 1.0
-        take = (u_keep * w_sum) < wi
-        res_idx = jnp.where(take, cand, res_idx)
-        res_uv = jnp.where(take[..., None], uv, res_uv)
-        res_phat = jnp.where(take, p_hat, res_phat)
+        return p_hat, wi
+
+    if cfg.candidate_batch and n_l > 0:
+        # One batched (n_l, H, W) evaluation: identical draws, update
+        # order, and arithmetic as the sequential loop (bit-equal output)
+        # — but surface fields stream once for all candidates and the n_l
+        # one-hot row fetches fuse into a single taller matmul.
+        u_slots, u_keeps, uvs = [], [], []
+        for _ in range(n_l):
+            u2, rng = rng_mod.next_floats(rng, 2)
+            uv, rng = rng_mod.next_floats(rng, 2)
+            u_slots.append(u2[..., 0])
+            u_keeps.append(u2[..., 1])
+            uvs.append(uv)
+        cand_all, w_cand_all = pick_candidate(jnp.stack(u_slots))
+        surf_b = jax.tree.map(lambda x: x[None], surface)
+        p_hat_all, wi_all = candidate_weight(surf_b, cand_all,
+                                             jnp.stack(uvs), w_cand_all)
+        for i in range(n_l):
+            wi = wi_all[i]
+            w_sum = w_sum + wi
+            m_count = m_count + 1.0
+            take = (u_keeps[i] * w_sum) < wi
+            res_idx = jnp.where(take, cand_all[i], res_idx)
+            res_uv = jnp.where(take[..., None], uvs[i], res_uv)
+            res_phat = jnp.where(take, p_hat_all[i], res_phat)
+    else:
+        for _ in range(n_l):
+            u2, rng = rng_mod.next_floats(rng, 2)
+            uv, rng = rng_mod.next_floats(rng, 2)
+            u_slot, u_keep = u2[..., 0], u2[..., 1]
+            cand, w_cand = pick_candidate(u_slot)
+            p_hat, wi = candidate_weight(surface, cand, uv, w_cand)
+            w_sum = w_sum + wi
+            m_count = m_count + 1.0
+            take = (u_keep * w_sum) < wi
+            res_idx = jnp.where(take, cand, res_idx)
+            res_uv = jnp.where(take[..., None], uv, res_uv)
+            res_phat = jnp.where(take, p_hat, res_phat)
 
     # BRDF-ray candidates (DIInitialSampling.hlsl BRDF samples): sample the
     # BSDF, find the nearest LIGHT along the ray (a 128-light sweep — 3.5x

@@ -664,3 +664,34 @@ def test_sharc_update_compact_matches_dense():
     np.testing.assert_allclose(np.asarray(st_c.radiance),
                                np.asarray(st_d.radiance),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_candidate_batch_bit_equal():
+    """candidate_batch=True is a pure schedule change: identical RNG
+    draws, update order, and arithmetic as the sequential candidate loop,
+    so reservoir outputs must be bit-identical in BOTH local-light modes
+    (ReGIR grid and Power-CDF) and with/without BRDF-candidate MIS."""
+    import dataclasses
+
+    scene = _two_light_scene()
+    cam = camera_mod.make_camera((0.0, 1.0, -6.0), (0.0, -0.15, 1.0),
+                                 aspect=1.0)
+    gbuf = gbuffer.generate(scene, cam, 32, 32, 1024)
+    lights = light_mod.prepare(scene)
+    surface = restir.make_surface(gbuf)
+    for mode, n_b in (("ReGIR_RIS", 1), ("Power_RIS", 0)):
+        cfg = restir.ReSTIRConfig(local_light_samples=4, brdf_samples=n_b,
+                                  local_light_mode=mode,
+                                  spatial_enabled=False)
+        grid = (restir.build_regir_grid(lights, cam.position, cfg, 0)
+                if mode == "ReGIR_RIS" else None)
+        seq = restir.initial_sampling(surface, scene, lights, grid, cfg,
+                                      0, 1024)
+        bat = restir.initial_sampling(
+            surface, scene, lights, grid,
+            dataclasses.replace(cfg, candidate_batch=True), 0, 1024)
+        for name in ("light_index", "uv", "w_sum", "m_count", "phat",
+                     "w_out"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(seq, name)),
+                np.asarray(getattr(bat, name)), err_msg=f"{mode}.{name}")

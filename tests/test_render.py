@@ -279,8 +279,13 @@ def test_overflow_spill_recovers_dropped_radiance():
     # 128x128: the 64px viewport leaves < 64 bounce-2 survivors in this
     # scene — too few to exercise overflow at any aligned capacity.
     host, cam, _ = _small_setup(width=128, height=128)
+    # Spill is pinned OFF in the base config: the probe's self-calibration
+    # and the `tight` drop baseline both need the raw wave-0 overflow
+    # counter (with the now-default spill ON, wave 1 absorbs it and the
+    # counter reports only the residual past 2x capacity).
     dense = pathtrace.PathTraceConfig(width=128, height=128, bounces=4,
-                                      block_size=4096, compact_from=99)
+                                      block_size=4096, compact_from=99,
+                                      overflow_spill=False)
     # Self-calibrating capacity: a probe run at the smallest capacity
     # reports survivors - cap in the overflow counter, from which we pick
     # a capacity where wave 0 overflows but 2x covers all survivors — so

@@ -43,7 +43,7 @@ def timeit(name, fn, *args, iters=10):
 # 1. the raw wide-row gather
 timeit("gather_448x8_2M", jax.jit(lambda t, i: t[i]), lights.table, idx)
 
-# 2. one-hot matmul替代
+# 2. one-hot matmul replacement
 @jax.jit
 def onehot_fetch(table, i):
     k = table.shape[0]
@@ -71,13 +71,18 @@ timeit("target_pdf_with_bsdf", jax.jit(lambda s, l, i, u:
        uv)
 
 # 5. full initial_sampling variants
-def init_n(n_l, n_b):
-    c = restir.ReSTIRConfig(local_light_samples=n_l, brdf_samples=n_b)
+def init_n(n_l, n_b, batch=False):
+    c = restir.ReSTIRConfig(local_light_samples=n_l, brdf_samples=n_b,
+                            candidate_batch=batch)
     return jax.jit(lambda su, sc, li, gr: restir.initial_sampling(
         su, sc, li, gr, c, 0, 32768, accel=accel))
 
 timeit("initial_8l_1b", init_n(8, 1), surface, scene, lights, grid, iters=4)
+timeit("initial_8l_1b_batched", init_n(8, 1, True), surface, scene, lights,
+       grid, iters=4)
 timeit("initial_8l_0b", init_n(8, 0), surface, scene, lights, grid, iters=4)
+timeit("initial_8l_0b_batched", init_n(8, 0, True), surface, scene, lights,
+       grid, iters=4)
 timeit("initial_0l_1b", init_n(0, 1), surface, scene, lights, grid, iters=4)
 timeit("initial_0l_0b", init_n(0, 0), surface, scene, lights, grid, iters=4)
 timeit("initial_1l_0b", init_n(1, 0), surface, scene, lights, grid, iters=4)
