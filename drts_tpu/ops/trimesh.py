@@ -36,6 +36,14 @@ INF = jnp.float32(jnp.inf)
 # (see _pack_for_mesh_kernel sort_key). DRTS_MESH_SORT=0 for A/B.
 MESH_SORT = _os.environ.get("DRTS_MESH_SORT", "1") != "0"
 
+# Candidate-iteration closest hit (front-to-back bound enumeration +
+# dense shared-BLAS sweeps, trimesh_pallas.intersect_mesh_instances_cand)
+# instead of the serial per-block instance walk. DRTS_MESH_CAND=0 for A/B;
+# DRTS_MESH_CAND_ITERS overrides the candidate count before the exact
+# backstop kernel takes the stragglers.
+MESH_CAND = _os.environ.get("DRTS_MESH_CAND", "1") != "0"
+MESH_CAND_ITERS = int(_os.environ.get("DRTS_MESH_CAND_ITERS", "6"))
+
 
 @struct.dataclass
 class TriMesh:
@@ -442,10 +450,17 @@ def intersect_instances_any(origin, direction, t_min, t_max, mesh: TriMesh,
         rays, unflat, inst_tbl, inst_bounds, _, n_ic, interp = \
             _pack_for_mesh_kernel(origin, direction, t_min, t_max, mesh,
                                   inst_position, inst_rotation, inst_scale)
-        occ = tp.intersect_mesh_instances_any(
-            rays, inst_tbl, inst_bounds, mesh.tri_bounds, mesh.tri_tbl,
-            n_ic, tp.INST_CHUNK, mesh.n_chunks,
-            mesh.tri_tbl.shape[0] // mesh.n_chunks, interpret=interp)
+        if MESH_CAND:
+            occ = tp.intersect_mesh_instances_any_cand(
+                rays, inst_tbl, inst_bounds, mesh.tri_bounds,
+                mesh.tri_tbl, n_ic, tp.INST_CHUNK, mesh.n_chunks,
+                mesh.tri_tbl.shape[0] // mesh.n_chunks,
+                iters=max(MESH_CAND_ITERS - 2, 2), interpret=interp)
+        else:
+            occ = tp.intersect_mesh_instances_any(
+                rays, inst_tbl, inst_bounds, mesh.tri_bounds,
+                mesh.tri_tbl, n_ic, tp.INST_CHUNK, mesh.n_chunks,
+                mesh.tri_tbl.shape[0] // mesh.n_chunks, interpret=interp)
         return unflat(occ)
 
     return intersect_instances(origin, direction, t_min, t_max, mesh,
@@ -469,10 +484,17 @@ def _intersect_instances_pallas(origin, direction, t_min, t_max,
         _pack_for_mesh_kernel(origin, direction, t_min, t_max, mesh,
                               inst_position, inst_rotation, inst_scale,
                               sort_key=None if not MESH_SORT else cand)
-    t_p, face_p, inst_p = tp.intersect_mesh_instances(
-        rays, inst_tbl, inst_bounds, mesh.tri_bounds, mesh.tri_tbl,
-        n_ic, tp.INST_CHUNK, mesh.n_chunks,
-        mesh.tri_tbl.shape[0] // mesh.n_chunks, interpret=interp)
+    if MESH_CAND:
+        t_p, face_p, inst_p = tp.intersect_mesh_instances_cand(
+            rays, inst_tbl, inst_bounds, mesh.tri_bounds, mesh.tri_tbl,
+            n_ic, tp.INST_CHUNK, mesh.n_chunks,
+            mesh.tri_tbl.shape[0] // mesh.n_chunks,
+            iters=MESH_CAND_ITERS, interpret=interp)
+    else:
+        t_p, face_p, inst_p = tp.intersect_mesh_instances(
+            rays, inst_tbl, inst_bounds, mesh.tri_bounds, mesh.tri_tbl,
+            n_ic, tp.INST_CHUNK, mesh.n_chunks,
+            mesh.tri_tbl.shape[0] // mesh.n_chunks, interpret=interp)
     # Kernel instance ids are sorted-table positions; map back.
     inst_p = jnp.maximum(order[jnp.minimum(inst_p, order.shape[0] - 1)], 0)
 

@@ -517,6 +517,546 @@ def intersect_mesh_instances_any(rays_planar, inst_tbl, inst_bounds,
     return occ[0] > 0
 
 
+BSCAN_CHUNK = 128     # instance sublanes per bound-scan inner step
+
+
+def _bound_scan_kernel(rays_ref, prev_ref, tblT_ref, out_ref, *,
+                       n_chunks: int, chunk: int, pos_bits: int):
+    """Next-candidate TLAS scan: for every ray, the MINIMUM packed
+    (truncated clamped-entry-t | instance position) key strictly greater
+    than the ray's cursor (prev_ref), over all instance bounding spheres
+    whose [entry, exit] interval overlaps the ray's [tmin, tmax].
+
+    This is the enumeration step of front-to-back TLAS traversal done the
+    TPU way: each call advances every ray's cursor to its next-nearest
+    bound, the caller traces that ONE instance's shared BLAS densely, and
+    repeats — replacing the serial per-block instance walk of _mesh_kernel
+    (the reference's RT-core front-to-back BVH order,
+    Shaders/RaytracingHelpers.hlsli:57-133). Clamped entry = max(entry, 0)
+    keeps the f32 bit pattern order-monotone (tmin >= 0 rays only);
+    origin-inside bounds tie at 0 and order by instance position.
+    tblT rows: [cx cy cz ccrr] with ccrr = |c|^2 - r^2 (+1e30 on padding,
+    so disc < 0 -> NaN fails the interval test)."""
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+    tmin = rays_ref[6:7, :]
+    tmax = rays_ref[7:8, :]
+    trunc_mask = ~((1 << pos_bits) - 1)
+
+    out_ref[:, :] = jnp.full(ox.shape, INF_BITS, jnp.int32)
+
+    @pl.when(jnp.any(tmax >= tmin))
+    def _():
+        od = ox * dx + oy * dy + oz * dz
+        oo = ox * ox + oy * oy + oz * oz
+        prev = prev_ref[:, :]
+        best = jnp.full(ox.shape, INF_BITS, jnp.int32)
+        for c in range(n_chunks):
+            s0 = c * chunk
+            cxT = tblT_ref[s0:s0 + chunk, 0:1]
+            cyT = tblT_ref[s0:s0 + chunk, 1:2]
+            czT = tblT_ref[s0:s0 + chunk, 2:3]
+            ccrrT = tblT_ref[s0:s0 + chunk, 3:4]
+            b = od - (cxT * dx + cyT * dy + czT * dz)
+            c0 = oo - 2.0 * (cxT * ox + cyT * oy + czT * oz) + ccrrT
+            sq = jnp.sqrt(b * b - c0)          # NaN when disc < 0
+            entry = -b - sq
+            exit_t = sq - b
+            ok = (exit_t >= tmin) & (entry <= tmax)   # NaN fails both
+            ce = jnp.maximum(entry, 0.0)
+            pos = jax.lax.broadcasted_iota(jnp.int32, b.shape, 0) + s0
+            key = (jax.lax.bitcast_convert_type(ce, jnp.int32)
+                   & trunc_mask) | pos
+            key = jnp.where(ok & (key > prev), key, INF_BITS)
+            best = jnp.minimum(best, jnp.min(key, axis=0, keepdims=True))
+        out_ref[:, :] = best
+
+
+@functools.partial(jax.jit, static_argnames=("n_chunks", "chunk",
+                                             "interpret"))
+def bound_scan(rays_planar, bscan_tblT, n_chunks: int, chunk: int,
+               prev_key, interpret=False):
+    """Per-ray next-candidate key over the instance bounds (see
+    _bound_scan_kernel). rays_planar (8, N); bscan_tblT (M_pad, 4);
+    prev_key (1, N) i32 cursor (-1 starts enumeration). Returns (1, N)
+    packed keys; INF_BITS = no further candidate."""
+    n = rays_planar.shape[1]
+    assert n % RAY_BLOCK == 0, n
+    grid = (n // RAY_BLOCK,)
+    m_pad = bscan_tblT.shape[0]
+    return pl.pallas_call(
+        functools.partial(_bound_scan_kernel, n_chunks=n_chunks,
+                          chunk=chunk, pos_bits=_pos_bits(m_pad)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.int32),
+        interpret=interpret,
+    )(rays_planar, prev_key, bscan_tblT)
+
+
+def _shared_blas_kernel(rays_ref, cand_ref, best_in_ref, binst_in_ref,
+                        inst_ref, tbounds_ref, tri_ref,
+                        best_out_ref, binst_out_ref, bobj_s, *,
+                        m_pad: int, n_chunks: int, chunk: int,
+                        pos_bits: int):
+    """One candidate-instance BLAS sweep per lane: every live lane tests
+    the SHARED object-space triangle table against its own candidate
+    instance (cand_ref, sorted-table position; >= m_pad = dead). The block
+    loops over its distinct candidate ids (kmin..kmax — one or two after
+    the candidate sort) and, per id, transforms the whole block into that
+    instance's object frame with UNIT direction (t in object units,
+    rescaled to world for the packed best), then runs the chunk-culled
+    Moller-Trumbore sweep of _mesh_kernel.
+
+    best/binst thread through calls: packed world (truncated t | face) and
+    winning instance position. pos_bits is the FACE packing width."""
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+    tmin = rays_ref[6:7, :]
+    tmax = rays_ref[7:8, :]
+    trunc_mask = ~((1 << pos_bits) - 1)
+
+    cand = cand_ref[:, :]
+    best0 = best_in_ref[:, :]
+    binst0 = binst_in_ref[:, :]
+    best_out_ref[:, :] = best0
+    binst_out_ref[:, :] = binst0
+
+    t_best_w = jax.lax.bitcast_convert_type(best0 & trunc_mask,
+                                            jnp.float32)
+    tmax_eff = jnp.minimum(tmax, t_best_w)
+    live = (tmax_eff >= tmin) & (cand >= 0) & (cand < m_pad)
+
+    @pl.when(jnp.any(live))
+    def _():
+        kmin = jnp.min(jnp.where(live, cand, m_pad))
+        kmax = jnp.max(jnp.where(live, cand, -1))
+
+        def visit_cand(k, _):
+            sel = live & (cand == k)
+
+            @pl.when(jnp.any(sel))
+            def _():
+                px = inst_ref[0, k]
+                py = inst_ref[1, k]
+                pz = inst_ref[2, k]
+                qx = inst_ref[3, k]
+                qy = inst_ref[4, k]
+                qz = inst_ref[5, k]
+                qw = inst_ref[6, k]
+                inv_s = inst_ref[7, k]
+                s_w = 1.0 / inv_s
+
+                # Object frame, UNIT direction: positions scale by 1/s so
+                # the sweep's t is in object units (t_world = t_obj * s).
+                olx, oly, olz = _quat_conj_rotate_rows(
+                    qx, qy, qz, qw, ox - px, oy - py, oz - pz)
+                olx, oly, olz = olx * inv_s, oly * inv_s, olz * inv_s
+                dlx, dly, dlz = _quat_conj_rotate_rows(
+                    qx, qy, qz, qw, dx, dy, dz)
+                tmn_l = jnp.where(sel, tmin * inv_s, 0.0)
+                tmx_l = jnp.where(sel, tmax_eff * inv_s, -1.0)
+
+                bundle = _bundle_summary(olx, oly, olz, dlx, dly, dlz, sel)
+                (mx, my, mz, orad, axl, ayl, azl, cmin, sin_c,
+                 coherent) = bundle
+
+                bobj_s[:, :] = jnp.full(ox.shape, INF_BITS, jnp.int32)
+                for c in range(n_chunks):
+                    bx = tbounds_ref[0, c]
+                    by = tbounds_ref[1, c]
+                    bz = tbounds_ref[2, c]
+                    br = tbounds_ref[3, c]
+                    wx, wy, wz = bx - mx, by - my, bz - mz
+                    er = br + orad
+                    along = wx * axl + wy * ayl + wz * azl
+                    d2 = wx * wx + wy * wy + wz * wz
+                    perp = jnp.sqrt(jnp.maximum(d2 - along * along, 0.0))
+                    outside = perp * cmin - along * sin_c > er
+                    behind = along < -er
+                    t_hit = jax.lax.bitcast_convert_type(
+                        bobj_s[:, :] & trunc_mask, jnp.float32)
+                    t_done = jnp.max(jnp.where(
+                        sel, jnp.minimum(t_hit, tmx_l), 0.0))
+                    far = jnp.sqrt(d2) - er > t_done
+                    possible = jnp.logical_not(
+                        (coherent & (outside | behind)) | far)
+
+                    @pl.when(possible)
+                    def _():
+                        bobj_s[:, :] = jnp.minimum(bobj_s[:, :], _mt_chunk(
+                            tri_ref, c * chunk, chunk, olx, oly, olz,
+                            dlx, dly, dlz, tmn_l, tmx_l, trunc_mask))
+
+                best_obj = bobj_s[:, :]
+                t_obj = jax.lax.bitcast_convert_type(
+                    best_obj & trunc_mask, jnp.float32)
+                t_w = t_obj * s_w
+                packed_w = (jax.lax.bitcast_convert_type(t_w, jnp.int32)
+                            & trunc_mask) | (best_obj & ~trunc_mask)
+                packed_w = jnp.where(best_obj < INF_BITS, packed_w,
+                                     INF_BITS)
+                better = sel & (packed_w < best_out_ref[:, :])
+                best_out_ref[:, :] = jnp.where(better, packed_w,
+                                               best_out_ref[:, :])
+                binst_out_ref[:, :] = jnp.where(better, k,
+                                                binst_out_ref[:, :])
+            return 0
+
+        jax.lax.fori_loop(kmin, kmax + 1, visit_cand, 0)
+
+
+def _mt_chunk(tri_ref, s0, chunk, olx, oly, olz, dlx, dly, dlz,
+              tmn_l, tmx_l, trunc_mask):
+    """One (chunk, rays) two-sided Moller-Trumbore sweep -> packed
+    (truncated t | face position) column min (the _mesh_kernel inner
+    body, factored for the shared-BLAS kernel)."""
+    s0 = pl.multiple_of(s0, chunk)
+    tri = tri_ref[pl.ds(s0, chunk), :]
+    v0x = tri[:, 0:1]
+    v0y = tri[:, 1:2]
+    v0z = tri[:, 2:3]
+    e1x = tri[:, 3:4]
+    e1y = tri[:, 4:5]
+    e1z = tri[:, 5:6]
+    e2x = tri[:, 6:7]
+    e2y = tri[:, 7:8]
+    e2z = tri[:, 8:9]
+    pvx = dly * e2z - dlz * e2y
+    pvy = dlz * e2x - dlx * e2z
+    pvz = dlx * e2y - dly * e2x
+    det = pvx * e1x + pvy * e1y + pvz * e1z
+    inv = 1.0 / det
+    tvx = olx - v0x
+    tvy = oly - v0y
+    tvz = olz - v0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dlx * qvx + dly * qvy + dlz * qvz) * inv
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+    ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+          & (t >= tmn_l) & (t <= tmx_l))
+    pos = jax.lax.broadcasted_iota(jnp.int32, det.shape, 0) + s0
+    ti = (jax.lax.bitcast_convert_type(t, jnp.int32) & trunc_mask) | pos
+    ti = jnp.where(ok, ti, INF_BITS)
+    return jnp.min(ti, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("m_pad", "n_chunks", "chunk",
+                                             "interpret"))
+def shared_blas_sweep(rays_planar, cand, best_in, binst_in, inst_tbl,
+                      tri_bounds, tri_tbl, m_pad: int, n_chunks: int,
+                      chunk: int, interpret=False):
+    """One candidate iteration: trace each lane's candidate instance's
+    shared BLAS (see _shared_blas_kernel). Returns (best_packed_world,
+    best_inst_pos), both (1, N) i32, folded over the incoming best."""
+    n = rays_planar.shape[1]
+    assert n % RAY_BLOCK == 0, n
+    grid = (n // RAY_BLOCK,)
+    f_pad = tri_tbl.shape[0]
+    return pl.pallas_call(
+        functools.partial(_shared_blas_kernel, m_pad=m_pad,
+                          n_chunks=n_chunks, chunk=chunk,
+                          pos_bits=_pos_bits(f_pad)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, inst_tbl.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, tri_bounds.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((f_pad, 9), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((1, n), jnp.int32),
+                   jax.ShapeDtypeStruct((1, n), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((1, RAY_BLOCK), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=45 * n * tri_tbl.shape[0],
+            bytes_accessed=(8 + 5) * n * 4,
+            transcendentals=n * n_chunks),
+        interpret=interpret,
+    )(rays_planar, cand, best_in, binst_in, inst_tbl, tri_bounds, tri_tbl)
+
+
+def _shared_blas_any_kernel(rays_ref, cand_ref, occ_in_ref, inst_ref,
+                            tbounds_ref, tri_ref, occ_out_ref, *,
+                            m_pad: int, n_chunks: int, chunk: int):
+    """Any-hit variant of _shared_blas_kernel: per lane, does the lane's
+    candidate instance block its shadow segment? No winner bookkeeping —
+    a per-lane occluded bit (folded over occ_in), and triangle chunks are
+    skipped once every selected lane is blocked."""
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+    tmin = rays_ref[6:7, :]
+    tmax = rays_ref[7:8, :]
+
+    cand = cand_ref[:, :]
+    occ0 = occ_in_ref[:, :]
+    occ_out_ref[:, :] = occ0
+    live = (tmax >= tmin) & (cand >= 0) & (cand < m_pad) & (occ0 == 0)
+
+    @pl.when(jnp.any(live))
+    def _():
+        kmin = jnp.min(jnp.where(live, cand, m_pad))
+        kmax = jnp.max(jnp.where(live, cand, -1))
+
+        def visit_cand(k, _):
+            sel = live & (cand == k)
+
+            @pl.when(jnp.any(sel))
+            def _():
+                px = inst_ref[0, k]
+                py = inst_ref[1, k]
+                pz = inst_ref[2, k]
+                qx = inst_ref[3, k]
+                qy = inst_ref[4, k]
+                qz = inst_ref[5, k]
+                qw = inst_ref[6, k]
+                inv_s = inst_ref[7, k]
+
+                olx, oly, olz = _quat_conj_rotate_rows(
+                    qx, qy, qz, qw, ox - px, oy - py, oz - pz)
+                olx, oly, olz = olx * inv_s, oly * inv_s, olz * inv_s
+                dlx, dly, dlz = _quat_conj_rotate_rows(
+                    qx, qy, qz, qw, dx, dy, dz)
+                tmn_l = jnp.where(sel, tmin * inv_s, 0.0)
+                tmx_l = jnp.where(sel, tmax * inv_s, -1.0)
+
+                (mx, my, mz, orad, axl, ayl, azl, cmin, sin_c,
+                 coherent) = _bundle_summary(olx, oly, olz, dlx, dly, dlz,
+                                             sel)
+                tmax_max = jnp.max(jnp.where(sel, tmx_l, 0.0))
+
+                for c in range(n_chunks):
+                    bx = tbounds_ref[0, c]
+                    by = tbounds_ref[1, c]
+                    bz = tbounds_ref[2, c]
+                    br = tbounds_ref[3, c]
+                    wx, wy, wz = bx - mx, by - my, bz - mz
+                    er = br + orad
+                    along = wx * axl + wy * ayl + wz * azl
+                    d2 = wx * wx + wy * wy + wz * wz
+                    perp = jnp.sqrt(jnp.maximum(d2 - along * along, 0.0))
+                    outside = perp * cmin - along * sin_c > er
+                    behind = along < -er
+                    far = jnp.sqrt(d2) - er > tmax_max
+                    unresolved = jnp.any(sel & (occ_out_ref[:, :] == 0))
+                    possible = unresolved & jnp.logical_not(
+                        (coherent & (outside | behind)) | far)
+
+                    @pl.when(possible)
+                    def _():
+                        hit = _mt_chunk(
+                            tri_ref, c * chunk, chunk, olx, oly, olz,
+                            dlx, dly, dlz, tmn_l, tmx_l, -1) < INF_BITS
+                        occ_out_ref[:, :] = jnp.where(
+                            sel & hit, 1, occ_out_ref[:, :])
+            return 0
+
+        jax.lax.fori_loop(kmin, kmax + 1, visit_cand, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("m_pad", "n_chunks", "chunk",
+                                             "interpret"))
+def shared_blas_any(rays_planar, cand, occ_in, inst_tbl, tri_bounds,
+                    tri_tbl, m_pad: int, n_chunks: int, chunk: int,
+                    interpret=False):
+    """One any-hit candidate iteration (see _shared_blas_any_kernel)."""
+    n = rays_planar.shape[1]
+    assert n % RAY_BLOCK == 0, n
+    grid = (n // RAY_BLOCK,)
+    f_pad = tri_tbl.shape[0]
+    return pl.pallas_call(
+        functools.partial(_shared_blas_any_kernel, m_pad=m_pad,
+                          n_chunks=n_chunks, chunk=chunk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, inst_tbl.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, tri_bounds.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((f_pad, 9), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=45 * n * tri_tbl.shape[0],
+            bytes_accessed=(8 + 3) * n * 4,
+            transcendentals=n * n_chunks),
+        interpret=interpret,
+    )(rays_planar, cand, occ_in, inst_tbl, tri_bounds, tri_tbl)
+
+
+def intersect_mesh_instances_any_cand(rays_planar, inst_tbl, inst_bounds,
+                                      tri_bounds, tri_tbl, n_ichunks: int,
+                                      inst_chunk: int, n_chunks: int,
+                                      chunk: int, iters: int = 4,
+                                      interpret=False):
+    """Candidate-iteration any-hit: enumerate each shadow ray's
+    overlapping instance bounds front-to-back, test ONE shared-BLAS
+    candidate per iteration, stop the lane at the first block. Exact
+    backstop = the serial any-hit kernel for lanes with candidates left.
+    Returns occluded (N,) bool."""
+    n = rays_planar.shape[1]
+    bscan = make_bscan_table(inst_tbl)
+    m_pad = bscan.shape[0]
+    m_tbl = inst_tbl.shape[1]
+    pos_mask = (1 << _pos_bits(m_pad)) - 1
+
+    cursor = jnp.full((1, n), -1, jnp.int32)
+    occ = jnp.zeros((1, n), jnp.int32)
+    rays_cur = rays_planar
+
+    def kill_occluded(occ):
+        # Occluded lanes leave the enumeration: dead t-range.
+        return rays_planar.at[7:8, :].set(
+            jnp.where(occ > 0, rays_planar[6:7, :] - 1.0,
+                      rays_planar[7:8, :]))
+
+    for _ in range(iters):
+        key = bound_scan(rays_cur, bscan, m_pad // BSCAN_CHUNK,
+                         BSCAN_CHUNK, cursor, interpret=interpret)
+        cand = jnp.where(key < INF_BITS, key & pos_mask, m_tbl)
+        occ = shared_blas_any(rays_cur, cand, occ, inst_tbl, tri_bounds,
+                              tri_tbl, m_tbl, n_chunks, chunk,
+                              interpret=interpret)
+        cursor = key
+        rays_cur = kill_occluded(occ)
+
+    key = bound_scan(rays_cur, bscan, m_pad // BSCAN_CHUNK, BSCAN_CHUNK,
+                     cursor, interpret=interpret)
+    unresolved = (key < INF_BITS) & (occ == 0)
+    rays_fb = rays_cur.at[7:8, :].set(
+        jnp.where(unresolved, rays_cur[7:8, :], rays_cur[6:7, :] - 1.0))
+    occ_fb = intersect_mesh_instances_any(
+        rays_fb, inst_tbl, inst_bounds, tri_bounds, tri_tbl, n_ichunks,
+        inst_chunk, n_chunks, chunk, interpret=interpret)
+    return (occ[0] > 0) | occ_fb
+
+
+def make_bscan_table(inst_tbl):
+    """Bound-scan table from the per-frame TLAS instance table: transposed
+    (M_pad128, 4) rows [cx cy cz ccrr], ccrr = |c|^2 - r^2 with +1e30 on
+    padded rows (brw = 0) so their discriminant is negative. Jit-safe."""
+    m = inst_tbl.shape[1]
+    m_pad = -(-m // BSCAN_CHUNK) * BSCAN_CHUNK
+    cx, cy, cz = inst_tbl[0], inst_tbl[1], inst_tbl[2]
+    r = inst_tbl[8]
+    ccrr = jnp.where(r > 0.0, cx * cx + cy * cy + cz * cz - r * r, 1e30)
+    tbl = jnp.stack([cx, cy, cz, ccrr], axis=1)           # (M, 4)
+    return jnp.pad(tbl, ((0, m_pad - m), (0, 0)),
+                   constant_values=0.0).at[m:, 3].set(1e30)
+
+
+def intersect_mesh_instances_cand(rays_planar, inst_tbl, inst_bounds,
+                                  tri_bounds, tri_tbl, n_ichunks: int,
+                                  inst_chunk: int, n_chunks: int,
+                                  chunk: int, iters: int = 6,
+                                  interpret=False):
+    """Candidate-iteration instanced closest hit: front-to-back TLAS
+    enumeration (bound_scan) + dense shared-BLAS sweeps, with the serial
+    per-block instance walk (intersect_mesh_instances) only as the exact
+    backstop for rays still unresolved after `iters` candidates.
+
+    Same contract as intersect_mesh_instances: returns (t_world (N,),
+    face (N,), inst_pos (N,)) with inst_pos a SORTED-table position."""
+    n = rays_planar.shape[1]
+    bscan = make_bscan_table(inst_tbl)
+    m_pad = bscan.shape[0]
+    m_tbl = inst_tbl.shape[1]
+    pos_mask = (1 << _pos_bits(m_pad)) - 1
+
+    tmax0 = rays_planar[7:8, :]
+    trunc_f = ~((1 << _pos_bits(tri_tbl.shape[0])) - 1)
+
+    def tighten(best):
+        t_b = jax.lax.bitcast_convert_type(best & trunc_f, jnp.float32)
+        return rays_planar.at[7:8, :].set(jnp.minimum(tmax0, t_b))
+
+    cursor = jnp.full((1, n), -1, jnp.int32)
+    best = jnp.full((1, n), INF_BITS, jnp.int32)
+    binst = jnp.zeros((1, n), jnp.int32)
+    rays_cur = rays_planar
+    for _ in range(iters):
+        key = bound_scan(rays_cur, bscan, m_pad // BSCAN_CHUNK,
+                         BSCAN_CHUNK, cursor, interpret=interpret)
+        # Dead marker m_tbl also guards the SMEM instance reads: valid
+        # keys only ever name real (brw > 0) rows < m_tbl.
+        cand = jnp.where(key < INF_BITS, key & pos_mask, m_tbl)
+        best, binst = shared_blas_sweep(
+            rays_cur, cand, best, binst, inst_tbl, tri_bounds, tri_tbl,
+            m_tbl, n_chunks, chunk, interpret=interpret)
+        cursor = key
+        rays_cur = tighten(best)
+
+    # Exact backstop: rays with a remaining overlapping bound run the
+    # full serial kernel on their tightened range (dead-block culls make
+    # this near-free when the set is empty).
+    key = bound_scan(rays_cur, bscan, m_pad // BSCAN_CHUNK, BSCAN_CHUNK,
+                     cursor, interpret=interpret)
+    unresolved = key < INF_BITS
+    rays_fb = rays_cur.at[7:8, :].set(
+        jnp.where(unresolved, rays_cur[7:8, :], rays_cur[6:7, :] - 1.0))
+    t_fb, face_fb, inst_fb = intersect_mesh_instances(
+        rays_fb, inst_tbl, inst_bounds, tri_bounds, tri_tbl, n_ichunks,
+        inst_chunk, n_chunks, chunk, interpret=interpret)
+
+    t_w = jax.lax.bitcast_convert_type(best & trunc_f, jnp.float32)[0]
+    face = (best & ~trunc_f)[0]
+    fb_better = unresolved[0] & (t_fb < t_w)
+    t_w = jnp.where(fb_better, t_fb, jnp.where(best[0] < INF_BITS,
+                                               t_w, jnp.inf))
+    face = jnp.where(fb_better, face_fb, face)
+    inst = jnp.where(fb_better, inst_fb,
+                     jnp.minimum(binst[0], m_tbl - 1))
+    return t_w, face, inst
+
+
 def build_mesh_tables(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
                       chunk: int = TRI_CHUNK):
     """Host-side BLAS build: Morton-order faces by centroid, pad to a chunk

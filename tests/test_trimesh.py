@@ -223,3 +223,99 @@ def test_as_mesh_scene_renders():
              == np.asarray(out_s.primary_valid)).mean()
     assert agree > 0.85
     assert abs(r.mean() - rs.mean()) / max(rs.mean(), 1e-6) < 0.25
+
+
+def _cand_vs_serial_scene(seed, k=24, n=4096, ground=True):
+    """Random instanced scene exercising the candidate-iteration path's
+    hard cases: a huge ground-like instance whose bound contains most ray
+    origins (clamped-entry ties), overlapping bounds, and rays spawned on
+    instance surfaces (secondary-bounce geometry)."""
+    rng = np.random.RandomState(seed)
+    mesh = _unit_geosphere(3)
+    pos = rng.randn(k, 3).astype(np.float32) * 6
+    scale = (0.4 + rng.rand(k) * 1.4).astype(np.float32)
+    if ground:
+        pos[0] = [0.0, -100.0, 0.0]
+        scale[0] = 99.0  # bound contains every origin below
+    rot = m.normalize(jnp.asarray(rng.randn(k, 4), jnp.float32))
+    o = rng.randn(n, 3).astype(np.float32) * 8
+    # Half the rays start ON a random instance surface (inside its bound).
+    half = n // 2
+    which = rng.randint(0, k, half)
+    dir_out = rng.randn(half, 3)
+    dir_out /= np.linalg.norm(dir_out, axis=1, keepdims=True)
+    o[:half] = pos[which] + dir_out * scale[which][:, None] * 1.001
+    d = m.normalize(jnp.asarray(rng.randn(n, 3), jnp.float32))
+    return (mesh, jnp.asarray(pos), rot, jnp.asarray(scale),
+            jnp.asarray(o), d)
+
+
+def _run_cand_vs_serial(monkeypatch, iters):
+    mesh, pos, rot, scale, o, d = _cand_vs_serial_scene(7)
+    n = o.shape[0]
+    tmin = jnp.zeros(n)
+    tmax = jnp.full((n,), 1e9)
+    old = intersect.BACKEND
+    intersect.BACKEND = "interpret"
+    try:
+        monkeypatch.setattr(trimesh, "MESH_CAND", False)
+        serial = trimesh.intersect_instances(o, d, tmin, tmax, mesh, pos,
+                                             rot, scale)
+        monkeypatch.setattr(trimesh, "MESH_CAND", True)
+        monkeypatch.setattr(trimesh, "MESH_CAND_ITERS", iters)
+        cand = trimesh.intersect_instances(o, d, tmin, tmax, mesh, pos,
+                                           rot, scale)
+    finally:
+        intersect.BACKEND = old
+    hit_s = np.asarray(serial.hit)
+    hit_c = np.asarray(cand.hit)
+    assert (hit_s == hit_c).mean() > 0.999, (hit_s != hit_c).sum()
+    both = hit_s & hit_c
+    np.testing.assert_allclose(np.asarray(cand.t)[both],
+                               np.asarray(serial.t)[both], rtol=1e-3,
+                               atol=1e-4)
+    same = (np.asarray(serial.instance)[both]
+            == np.asarray(cand.instance)[both])
+    assert same.mean() > 0.99, same.mean()
+
+
+def test_candidate_path_matches_serial(monkeypatch):
+    """Candidate-iteration closest hit (bound_scan + shared-BLAS sweeps,
+    trimesh_pallas.intersect_mesh_instances_cand) must match the serial
+    instanced kernel on a scene with a ground-like giant bound,
+    overlapping bounds, and surface-spawned rays."""
+    _run_cand_vs_serial(monkeypatch, 6)
+
+
+def test_candidate_path_backstop(monkeypatch):
+    """iters=1 forces most enumeration through the exact backstop kernel:
+    the merge of candidate-phase and backstop results must stay correct."""
+    _run_cand_vs_serial(monkeypatch, 1)
+
+
+def test_candidate_anyhit_matches_serial(monkeypatch):
+    """Candidate-iteration any-hit must classify occlusion exactly like
+    the serial any-hit kernel, including range-bounded shadow segments
+    and lanes starting inside the ground-like giant bound."""
+    rng = np.random.RandomState(13)
+    mesh, pos, rot, scale, o, d = _cand_vs_serial_scene(13)
+    n = o.shape[0]
+    tmin = jnp.zeros(n)
+    # Mixed ranges: some unbounded, some short (unoccluded), some dead.
+    tmax = jnp.asarray(np.where(rng.rand(n) < 0.2, 0.5,
+                                np.where(rng.rand(n) < 0.1, -1.0, 1e9)),
+                       jnp.float32)
+    old = intersect.BACKEND
+    intersect.BACKEND = "interpret"
+    try:
+        monkeypatch.setattr(trimesh, "MESH_CAND", False)
+        occ_s = np.asarray(trimesh.intersect_instances_any(
+            o, d, tmin, tmax, mesh, pos, rot, scale))
+        monkeypatch.setattr(trimesh, "MESH_CAND", True)
+        monkeypatch.setattr(trimesh, "MESH_CAND_ITERS", 4)
+        occ_c = np.asarray(trimesh.intersect_instances_any(
+            o, d, tmin, tmax, mesh, pos, rot, scale))
+    finally:
+        intersect.BACKEND = old
+    assert (occ_s == occ_c).mean() > 0.999, (occ_s != occ_c).sum()
+    assert not occ_c[np.asarray(tmax) < 0].any()
