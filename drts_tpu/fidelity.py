@@ -240,7 +240,8 @@ def run_motion(width: int = 640, height: int = 360,
 def run(width: int = 640, height: int = 360, spp_reference: int = 1024,
         frames_realtime: int = 64, seed: int = 0,
         load_textures: bool = True, save_dir: str | None = None,
-        ref_cache: str | None = DEFAULT_REF_CACHE) -> dict:
+        ref_cache: str | None = DEFAULT_REF_CACHE,
+        crosscheck_spp: int = 0) -> dict:
     """Full fidelity evaluation; returns the metric dict."""
     from .models import myscene
     from .ops import post
@@ -266,7 +267,7 @@ def run(width: int = 640, height: int = 360, spp_reference: int = 1024,
                             rt_display)
 
     score = image_mod.ssim(rt_display, ref_display)
-    return {
+    result = {
         "metric": "ssim_vs_reference",
         "value": round(float(score), 4),
         "unit": "SSIM",
@@ -275,6 +276,17 @@ def run(width: int = 640, height: int = 360, spp_reference: int = 1024,
         "realtime_frames": frames_realtime,
         "resolution": f"{width}x{height}",
     }
+    if crosscheck_spp:
+        # De-circularized ground truth (round-4 VERDICT #6): a full-frame
+        # render checked against the INDEPENDENT numpy tracer
+        # (drts_tpu/crosscheck.py shares no transport code with the JAX
+        # integrator), so integrator-wide bias cannot pass silently
+        # through the self-referential converged reference above.
+        from . import crosscheck
+        _note("crosscheck: independent-tracer full-frame comparison...")
+        result["crosscheck"] = crosscheck.run(width=160, height=90,
+                                              spp=crosscheck_spp)
+    return result
 
 
 def main():
@@ -293,6 +305,9 @@ def main():
                    help="moving-camera orbit sequence (min/mean SSIM)")
     p.add_argument("--save", default=None,
                    help="directory to dump reference/realtime PNGs")
+    p.add_argument("--crosscheck-spp", type=int, default=0,
+                   help="also run the independent-tracer full-frame "
+                        "crosscheck at 160x90 with this many spp")
     args = p.parse_args()
     if args.motion:
         result = run_motion(args.width, args.height,
@@ -300,7 +315,8 @@ def main():
                             save_dir=args.save)
     else:
         result = run(args.width, args.height, args.spp, args.frames,
-                     save_dir=args.save)
+                     save_dir=args.save,
+                     crosscheck_spp=args.crosscheck_spp)
     print(json.dumps(result))
 
 

@@ -40,6 +40,18 @@ INF = float("inf")    # python literal — jnp constants can't be captured
                       # by a pallas kernel body
 INF_BITS = 0x7F800000  # bitcast(+inf): packed-miss sentinel (_slim_tail)
 
+# MXU-kernel matmul precision (DRTS_MXU_PREC=default|high|highest).
+# Round-2 measured the rank-8 matmuls SLOWER than the VPU sweep at
+# HIGHEST (bf16x6 passes); HIGH (bf16x3, ~f32-accurate: rel err ~1e-6,
+# far below the packed encoding's 2^-14 truncation) halves that cost.
+import os as _os  # noqa: E402
+
+_MXU_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[_os.environ.get("DRTS_MXU_PREC", "high")]
+
 
 def _pos_bits(n_cols: int) -> int:
     """Mantissa bits claimed by the table position in the packed t|pos
@@ -355,7 +367,7 @@ def _morton_mxu_kernel(rays_ref, bounds_ref, table_ref, a_ref, packed_ref,
                     a_ref[2 * chunk * c:2 * chunk * (c + 1), :], x,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)   # (2*chunk, R)
+                    precision=_MXU_PRECISION)              # (2*chunk, R)
                 b2 = y[:chunk]
                 c2 = y[chunk:] + oo
                 s0 = c * chunk
@@ -542,7 +554,7 @@ def _anyhit_mxu_kernel(rays_ref, bounds_ref, table_ref, a_ref, occ_ref,
                     a_ref[2 * chunk * c:2 * chunk * (c + 1), :], x,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)   # (2*chunk, R)
+                    precision=_MXU_PRECISION)              # (2*chunk, R)
                 b2 = y[:chunk]
                 c2 = y[chunk:] + oo
                 s0 = c * chunk
