@@ -227,6 +227,38 @@ def bench_upscaled(width=1920, height=1080, iters=4, compact_from=2):
     return (time.perf_counter() - start) / iters * 1e3
 
 
+def bench_mesh_pipeline(width=1920, height=1080, iters=2):
+    """Full render graph (ReSTIR + SHARC + denoise + TAA upscale) on the
+    ALL-MESH demo scene at the reference's default config (540p -> 1080p
+    DLSS-SR-Auto upscale, 8 bounces) — the apples-to-apples frame time for
+    the reference's actual geosphere-BLAS workload (round-4 VERDICT #4)."""
+    import jax
+
+    from drts_tpu.models import myscene, pipeline
+
+    cfg = pipeline.PipelineConfig(
+        output_width=width, output_height=height,
+        render_width=width // 2, render_height=height // 2,
+        bounces=8, samples_per_pixel=1, block_size=32768,
+        compact_from=1, physics_enabled=False)
+    pipe = pipeline.RenderPipeline(cfg)
+    host = myscene.as_mesh_scene(
+        myscene.build(oscillator_grid=10, load_textures=True),
+        tessellation=4)
+    state = pipe.init_state(host)
+    pose = pipe.default_camera_pose(host)
+
+    step = jax.jit(lambda s, p: pipe.render_frame(s, p, 1.0 / 60.0))
+    state, image = step(state, pose)
+    jax.block_until_ready(image)
+    start = time.perf_counter()
+    cur = state
+    for _ in range(iters):
+        cur, image = step(cur, pose)
+    jax.block_until_ready(image)
+    return (time.perf_counter() - start) / iters * 1e3
+
+
 def main():
     import sys
     import traceback
@@ -288,6 +320,24 @@ def main():
             note(f"bench: mesh trace {mesh_mray:.2f} Mray/s ({mesh_ms:.1f} ms)")
         except Exception:
             errors.append("mesh: " + traceback.format_exc(limit=2))
+
+        try:
+            note("bench: mesh trace @8 bounces (reference default)...")
+            mesh8_mray, mesh8_ms = bench_mesh(bounces=8, iters=2)
+            record["mesh_trace_8b_mray_s"] = round(mesh8_mray, 2)
+            record["mesh_trace_8b_ms"] = round(mesh8_ms, 2)
+            note(f"bench: mesh trace 8b {mesh8_mray:.2f} Mray/s "
+                 f"({mesh8_ms:.1f} ms)")
+        except Exception:
+            errors.append("mesh8: " + traceback.format_exc(limit=2))
+
+        try:
+            note("bench: mesh full pipeline (reference-default upscale)...")
+            mesh_pipe_ms = bench_mesh_pipeline()
+            record["mesh_pipeline_upscaled_ms"] = round(mesh_pipe_ms, 2)
+            note(f"bench: mesh pipeline {mesh_pipe_ms:.1f} ms")
+        except Exception:
+            errors.append("mesh_pipeline: " + traceback.format_exc(limit=2))
 
     if errors:
         record["errors"] = errors

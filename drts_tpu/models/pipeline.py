@@ -71,6 +71,9 @@ class PipelineConfig:
     # plateau (a tight clip re-rejects well-reprojected history whenever
     # subpixel motion shifts the neighborhood statistics).
     taa_clip_gamma: float = 1.0
+    # TAA current-frame blend weight floor (ops/taa.TAAConfig.blend_alpha):
+    # lower = longer effective accumulation under motion.
+    taa_blend_alpha: float = 0.1
     bloom_enabled: bool = True
     bloom_strength: float = 0.05
     sharpen_enabled: bool = True
@@ -270,7 +273,12 @@ class RenderPipeline:
     def build_plan(self, host: myscene.MySceneHost) -> None:
         """Build the static cluster plan (the BLAS-build analogue)."""
         from . import clusters
-        if self.cfg.accel_mode == "morton":
+        if host.scene.center.shape[0] == 0:
+            # All-mesh scene (myscene.as_mesh_scene): no sphere accel —
+            # the trace skips the sphere sweep entirely and the mesh path
+            # builds its own TLAS tables per frame.
+            self.cluster_plan = None
+        elif self.cfg.accel_mode == "morton":
             # 32-sphere chunks beat 64 under the headline workload
             # (tools/prof_fraction.py on TPU v5e: 42.3 vs 41.6 Mray/s).
             self.cluster_plan = clusters.build_plan_morton(
@@ -392,8 +400,15 @@ class RenderPipeline:
                                   state.star_gravity)
         else:
             bodies = state.bodies
-        scene = scene_mod.advance_pose(state.scene, bodies.position,
-                                       bodies.rotation)
+        if (state.scene.center.shape[0] == 0
+                and state.scene.mesh_instances is not None):
+            # All-mesh scene (myscene.as_mesh_scene): physics poses refit
+            # the mesh-instance TLAS, not the (empty) sphere table.
+            scene = myscene.sync_mesh_pose(state.scene, bodies.position,
+                                           bodies.rotation)
+        else:
+            scene = scene_mod.advance_pose(state.scene, bodies.position,
+                                           bodies.rotation)
         cam = self._camera(state, pose, prev_pose)
 
         from ..ops import intersect
@@ -567,7 +582,8 @@ class RenderPipeline:
                 state.taa, color, gbuf.motion, cam.jitter,
                 c.output_height, c.output_width, reset,
                 cfg=taa.TAAConfig(history_filter=c.taa_history_filter,
-                                  clip_gamma=c.taa_clip_gamma),
+                                  clip_gamma=c.taa_clip_gamma,
+                                  blend_alpha=c.taa_blend_alpha),
                 confidence=confidence)
         elif (c.output_height, c.output_width) != (c.render_height,
                                                    c.render_width):

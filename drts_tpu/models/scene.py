@@ -88,6 +88,12 @@ class HitSurface:
     distance: jnp.ndarray         # (...,)
     object_index: jnp.ndarray     # (...,) int32
     material: Materials           # per-ray gathered material
+    # Optional (..., 3): previous-minus-current OBJECT-space offset at the
+    # hit (interpolated per-vertex motion for deforming meshes, in the
+    # CURRENT instance pose's object axes scaled to world units; zeros /
+    # None for rigid geometry). Consumed by the G-buffer motion-vector
+    # reconstruction (GBufferGeneration.hlsl:62-91 parity).
+    prev_offset: jnp.ndarray = None
 
 
 # Packed per-object attribute table. TPU gathers are fast for one wide row

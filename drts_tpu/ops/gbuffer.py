@@ -95,6 +95,11 @@ def generate(scene: scene_mod.SphereScene, cam: camera_mod.Camera,
     row = scene_mod.fetch_rows(table, surf.object_index)
     obj_local = m.quat_rotate(m.quat_conj(row[..., 4:8]),
                               surf.position - row[..., 0:3])
+    if surf.prev_offset is not None:
+        # Per-vertex motion of deforming meshes (interpolated in
+        # trace._surface_of): previousPosition = ObjectPosition + motion
+        # before the previous-pose transform (GBufferGeneration.hlsl:70-84).
+        obj_local = obj_local + surf.prev_offset
     prev_world = row[..., 8:11] + m.quat_rotate(row[..., 11:15], obj_local)
     prev_ndc, _ = camera_mod.project_to_ndc(cam, prev_world, previous=True)
     cur_ndc, _ = camera_mod.project_to_ndc(cam, surf.position,

@@ -214,13 +214,22 @@ def prepare(scene: SphereScene) -> Lights:
 
     if has_tri:
         is_tri = safe_cand >= k
-        sph_i = jnp.clip(safe_cand, 0, k - 1)
         tri_i = jnp.clip(safe_cand - k, 0, tri_centroid.shape[0] - 1)
-        c_center = jnp.where(is_tri[:, None], tri_centroid[tri_i],
-                             scene.center[sph_i])
-        c_radius = jnp.where(is_tri, 0.0, scene.radius[sph_i])
-        c_em = jnp.where(is_tri[:, None], tri_em[tri_i], emission[sph_i])
-        c_obj = jnp.where(is_tri, tri_obj[tri_i], sph_i)
+        if k == 0:
+            # All-mesh scene (myscene.as_mesh_scene): every candidate is a
+            # triangle — gathering from the empty sphere table is invalid.
+            c_center = tri_centroid[tri_i]
+            c_radius = jnp.zeros(safe_cand.shape, jnp.float32)
+            c_em = tri_em[tri_i]
+            c_obj = tri_obj[tri_i]
+        else:
+            sph_i = jnp.clip(safe_cand, 0, k - 1)
+            c_center = jnp.where(is_tri[:, None], tri_centroid[tri_i],
+                                 scene.center[sph_i])
+            c_radius = jnp.where(is_tri, 0.0, scene.radius[sph_i])
+            c_em = jnp.where(is_tri[:, None], tri_em[tri_i],
+                             emission[sph_i])
+            c_obj = jnp.where(is_tri, tri_obj[tri_i], sph_i)
         compact = jnp.concatenate([
             c_center, c_radius[:, None], c_em, top_power[:, None],
             c_obj[:, None].astype(jnp.float32),

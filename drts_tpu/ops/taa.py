@@ -84,8 +84,13 @@ def _catmull_rom_sample(img, y, x):
     """9-tap bicubic Catmull-Rom history resample (the filter DLSS-class
     TAA uses to avoid history blur)."""
     h, w = img.shape[0], img.shape[1]
-    yc = jnp.floor(y - 0.5) + 0.5
-    xc = jnp.floor(x - 0.5) + 0.5
+    # Index convention: callers pass pixel-INDEX coordinates (centers at
+    # integers, py + motion), so the integer base is floor(y) and f = 0 at
+    # exact pixels — the filter must be the identity there. (The previous
+    # half-texel-center form blurred even static history: identity error
+    # 0.67, measured.)
+    yc = jnp.floor(y)
+    xc = jnp.floor(x)
     fy = y - yc
     fx = x - xc
 

@@ -84,12 +84,27 @@ def _surface_of(scene, hit, tri, ray_direction, table):
     n_sh = jnp.where(m.dot(n_sh, ray_direction)[..., None] < 0.0, n_sh,
                      -n_sh)
     mm = tri.hit
-    return surf.replace(
+    surf = surf.replace(
         geometric_normal=_where_nd(mm, gn, surf.geometric_normal),
         shading_normal=_where_nd(mm, n_sh, surf.shading_normal),
         tangent=_where_nd(mm, tan_m, surf.tangent),
         uv=_where_nd(mm, uv_m, surf.uv),
         is_front_face=jnp.where(mm, is_front, surf.is_front_face))
+    if scene.mesh.vertex_motion is not None:
+        # Deforming-mesh motion (GBufferGeneration.hlsl:62-91): interpolate
+        # per-vertex prev-minus-current object motion at the hit bary and
+        # scale to world units in the current pose's object axes (the
+        # instance rotation is applied by the G-buffer's prev-pose
+        # reconstruction, matching PreviousObjectToWorld).
+        tri_idx = scene.mesh.faces[tri.face]
+        w0 = 1.0 - tri.barycentrics[..., 0] - tri.barycentrics[..., 1]
+        bary = jnp.stack([w0, tri.barycentrics[..., 0],
+                          tri.barycentrics[..., 1]], axis=-1)[..., None]
+        vm = jnp.sum(scene.mesh.vertex_motion[tri_idx] * bary, axis=-2)
+        vm = vm * mi.scale[tri.instance][..., None]
+        surf = surf.replace(prev_offset=_where_nd(mm, vm,
+                                                  jnp.zeros_like(vm)))
+    return surf
 
 
 def trace_scene(scene, origin, direction, t_min, t_max,

@@ -37,11 +37,13 @@ INF = jnp.float32(jnp.inf)
 MESH_SORT = _os.environ.get("DRTS_MESH_SORT", "1") != "0"
 
 # Candidate-iteration closest hit (front-to-back bound enumeration +
-# dense shared-BLAS sweeps, trimesh_pallas.intersect_mesh_instances_cand)
-# instead of the serial per-block instance walk. DRTS_MESH_CAND=0 for A/B;
-# DRTS_MESH_CAND_ITERS overrides the candidate count before the exact
-# backstop kernel takes the stragglers.
-MESH_CAND = _os.environ.get("DRTS_MESH_CAND", "1") != "0"
+# dense shared-BLAS sweeps) instead of the serial per-block instance walk.
+# DRTS_MESH_CAND: 0 = serial kernel, 1 = multi-launch candidate loop,
+# 2 = fused single-launch kernel (per-block early exit; the scan cost of
+# the multi-launch form repeats per host iteration). DRTS_MESH_CAND_ITERS
+# overrides the candidate count before the exact backstop kernel takes
+# the stragglers.
+MESH_CAND = int(_os.environ.get("DRTS_MESH_CAND", "1"))
 MESH_CAND_ITERS = int(_os.environ.get("DRTS_MESH_CAND_ITERS", "6"))
 
 
@@ -73,6 +75,11 @@ class TriMesh:
     # distance (_inscribed_radius). Static: gates the pre-pass at trace
     # time without a traced scalar.
     inscribed_radius: float = struct.field(pytree_node=False, default=0.0)
+    # Optional per-vertex motion (V, 3): previous - current OBJECT-space
+    # position per vertex (deforming meshes; the reference's optional
+    # vertex-motion G-buffer path, GBufferGeneration.hlsl:62-91
+    # CalculateMotionVector meshMotionVectors). None = rigid.
+    vertex_motion: jnp.ndarray = None
 
 
 def _inscribed_radius(v0, e1, e2, faces) -> float:
@@ -140,7 +147,8 @@ def _inscribed_radius(v0, e1, e2, faces) -> float:
     return float(max(np.sqrt(d2.min()) * (1.0 - 1e-5), 0.0))
 
 
-def make_mesh(positions, normals, uvs, faces, tangents=None) -> TriMesh:
+def make_mesh(positions, normals, uvs, faces, tangents=None,
+              vertex_motion=None) -> TriMesh:
     from . import trimesh_pallas as tp
 
     positions = jnp.asarray(positions, jnp.float32)
@@ -169,7 +177,9 @@ def make_mesh(positions, normals, uvs, faces, tangents=None) -> TriMesh:
         bound_radius=jnp.max(m.length(positions)),
         tri_tbl=jnp.asarray(tri_tbl), tri_bounds=jnp.asarray(tri_bounds),
         n_chunks=n_chunks,
-        inscribed_radius=r_ins)
+        inscribed_radius=r_ins,
+        vertex_motion=(None if vertex_motion is None
+                       else jnp.asarray(vertex_motion, jnp.float32)))
 
 
 @struct.dataclass
@@ -484,7 +494,13 @@ def _intersect_instances_pallas(origin, direction, t_min, t_max,
         _pack_for_mesh_kernel(origin, direction, t_min, t_max, mesh,
                               inst_position, inst_rotation, inst_scale,
                               sort_key=None if not MESH_SORT else cand)
-    if MESH_CAND:
+    if MESH_CAND == 2:
+        t_p, face_p, inst_p = tp.intersect_mesh_instances_cand_fused(
+            rays, inst_tbl, inst_bounds, mesh.tri_bounds, mesh.tri_tbl,
+            n_ic, tp.INST_CHUNK, mesh.n_chunks,
+            mesh.tri_tbl.shape[0] // mesh.n_chunks,
+            iters=MESH_CAND_ITERS, interpret=interp)
+    elif MESH_CAND:
         t_p, face_p, inst_p = tp.intersect_mesh_instances_cand(
             rays, inst_tbl, inst_bounds, mesh.tri_bounds, mesh.tri_tbl,
             n_ic, tp.INST_CHUNK, mesh.n_chunks,

@@ -979,6 +979,259 @@ def intersect_mesh_instances_any_cand(rays_planar, inst_tbl, inst_bounds,
     return (occ[0] > 0) | occ_fb
 
 
+def _cand_fused_kernel(rays_ref, inst_ref, ibounds_ref, bscanT_ref,
+                       tbounds_ref, tri_ref, best_ref, binst_ref, key_ref,
+                       cursor_s, bobj_s, *, iters: int, m_tbl: int,
+                       n_ichunks: int, inst_chunk: int, n_chunks: int,
+                       chunk: int, pos_bits: int, bs_pos_bits: int):
+    """Fused candidate-iteration closest hit: the bound scan, the
+    per-candidate shared-BLAS sweep, and the front-to-back iteration all
+    run inside ONE kernel launch, so resolved blocks exit early instead of
+    paying a full dense scan per host-side iteration (the multi-launch
+    form costs ~12 us/block/scan at 448 instances — more than the whole
+    sphere sweep budget).
+
+    Scan chunks use the SAME scalar cone/behind/distance culls as the
+    instance walk (ibounds at inst_chunk granularity), so coherent blocks
+    sweep only the handful of bound chunks their cone touches. key_ref
+    carries the FINAL scan result out: lanes with key < INF_BITS after
+    `iters` candidates still have an un-tested overlapping bound and go to
+    the exact serial backstop."""
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+    tmin = rays_ref[6:7, :]
+    tmax0 = rays_ref[7:8, :]
+    trunc_w = ~((1 << pos_bits) - 1)
+    bs_trunc = ~((1 << bs_pos_bits) - 1)
+    bs_pos_mask = (1 << bs_pos_bits) - 1
+
+    best_ref[:, :] = jnp.full(ox.shape, INF_BITS, jnp.int32)
+    binst_ref[:, :] = jnp.zeros(ox.shape, jnp.int32)
+    key_ref[:, :] = jnp.full(ox.shape, INF_BITS, jnp.int32)
+    cursor_s[:, :] = jnp.full(ox.shape, -1, jnp.int32)
+
+    @pl.when(jnp.any(tmax0 >= tmin))
+    def _():
+        od = ox * dx + oy * dy + oz * dz
+        oo = ox * ox + oy * oy + oz * oz
+        live0 = tmax0 >= tmin
+        bundle_w = _bundle_summary(ox, oy, oz, dx, dy, dz, live0)
+        (mxw, myw, mzw, oradw, axw, ayw, azw, cminw, sin_cw,
+         coherent_w) = bundle_w
+
+        def tmax_eff():
+            t_b = jax.lax.bitcast_convert_type(best_ref[:, :] & trunc_w,
+                                               jnp.float32)
+            return jnp.minimum(tmax0, t_b)
+
+        def scan():
+            """Next-candidate packed key per lane (strictly > the cursor),
+            accumulated into key_ref (caller resets it to INF first)."""
+            tmx = tmax_eff()
+            t_done = jnp.max(jnp.where(live0, tmx, 0.0))
+            prev = cursor_s[:, :]
+            for c in range(n_ichunks):
+                bx = ibounds_ref[0, c]
+                by = ibounds_ref[1, c]
+                bz = ibounds_ref[2, c]
+                br = ibounds_ref[3, c]
+                vx, vy, vz = bx - mxw, by - myw, bz - mzw
+                er = br + oradw
+                along = vx * axw + vy * ayw + vz * azw
+                d2 = vx * vx + vy * vy + vz * vz
+                perp = jnp.sqrt(jnp.maximum(d2 - along * along, 0.0))
+                outc = perp * cminw - along * sin_cw > er
+                behindc = along < -er
+                farc = jnp.sqrt(d2) - er > t_done
+                possible = (br > 0.0) & jnp.logical_not(
+                    (coherent_w & (outc | behindc)) | farc)
+
+                @pl.when(possible)
+                def _():
+                    s0 = pl.multiple_of(c * inst_chunk, inst_chunk)
+                    cxT = bscanT_ref[pl.ds(s0, inst_chunk), 0:1]
+                    cyT = bscanT_ref[pl.ds(s0, inst_chunk), 1:2]
+                    czT = bscanT_ref[pl.ds(s0, inst_chunk), 2:3]
+                    ccrrT = bscanT_ref[pl.ds(s0, inst_chunk), 3:4]
+                    b = od - (cxT * dx + cyT * dy + czT * dz)
+                    c0 = oo - 2.0 * (cxT * ox + cyT * oy + czT * oz) + ccrrT
+                    sq = jnp.sqrt(b * b - c0)       # NaN when disc < 0
+                    entry = -b - sq
+                    exit_t = sq - b
+                    ok = (exit_t >= tmin) & (entry <= tmx)
+                    ce = jnp.maximum(entry, 0.0)
+                    pos = jax.lax.broadcasted_iota(
+                        jnp.int32, b.shape, 0) + s0
+                    key = (jax.lax.bitcast_convert_type(ce, jnp.int32)
+                           & bs_trunc) | pos
+                    key = jnp.where(ok & (key > prev), key, INF_BITS)
+                    key_ref[:, :] = jnp.minimum(
+                        key_ref[:, :],
+                        jnp.min(key, axis=0, keepdims=True))
+
+        for it in range(iters + 1):
+            # One scan per iteration; the (iters+1)-th only reports the
+            # unresolved set (key_ref) for the host-side backstop.
+            any_open = jnp.any(cursor_s[:, :] < INF_BITS)
+
+            @pl.when(any_open)
+            def _():
+                key_ref[:, :] = jnp.full(ox.shape, INF_BITS, jnp.int32)
+                scan()
+                cursor_s[:, :] = jnp.where(
+                    cursor_s[:, :] < INF_BITS, key_ref[:, :], INF_BITS)
+
+            if it == iters:
+                break
+
+            key = cursor_s[:, :]
+            cand = jnp.where(key < INF_BITS, key & bs_pos_mask, m_tbl)
+            live = (cand < m_tbl) & live0
+
+            @pl.when(jnp.any(live))
+            def _():
+                kmin = jnp.min(jnp.where(live, cand, m_tbl))
+                kmax = jnp.max(jnp.where(live, cand, -1))
+
+                def visit_cand(k, _):
+                    sel = live & (cand == k)
+
+                    @pl.when(jnp.any(sel))
+                    def _():
+                        px = inst_ref[0, k]
+                        py = inst_ref[1, k]
+                        pz = inst_ref[2, k]
+                        qx = inst_ref[3, k]
+                        qy = inst_ref[4, k]
+                        qz = inst_ref[5, k]
+                        qw = inst_ref[6, k]
+                        inv_s = inst_ref[7, k]
+                        s_w = 1.0 / inv_s
+
+                        olx, oly, olz = _quat_conj_rotate_rows(
+                            qx, qy, qz, qw, ox - px, oy - py, oz - pz)
+                        olx, oly, olz = (olx * inv_s, oly * inv_s,
+                                         olz * inv_s)
+                        dlx, dly, dlz = _quat_conj_rotate_rows(
+                            qx, qy, qz, qw, dx, dy, dz)
+                        tmn_l = jnp.where(sel, tmin * inv_s, 0.0)
+                        tmx_l = jnp.where(sel, tmax_eff() * inv_s, -1.0)
+
+                        (mx, my, mz, orad, axl, ayl, azl, cmin, sin_c,
+                         coherent) = _bundle_summary(olx, oly, olz, dlx,
+                                                     dly, dlz, sel)
+
+                        bobj_s[:, :] = jnp.full(ox.shape, INF_BITS,
+                                                jnp.int32)
+                        for c in range(n_chunks):
+                            bx = tbounds_ref[0, c]
+                            by = tbounds_ref[1, c]
+                            bz = tbounds_ref[2, c]
+                            br = tbounds_ref[3, c]
+                            wx, wy, wz = bx - mx, by - my, bz - mz
+                            er = br + orad
+                            along = wx * axl + wy * ayl + wz * azl
+                            d2 = wx * wx + wy * wy + wz * wz
+                            perp = jnp.sqrt(jnp.maximum(
+                                d2 - along * along, 0.0))
+                            outside = perp * cmin - along * sin_c > er
+                            behind = along < -er
+                            t_hit = jax.lax.bitcast_convert_type(
+                                bobj_s[:, :] & trunc_w, jnp.float32)
+                            t_done = jnp.max(jnp.where(
+                                sel, jnp.minimum(t_hit, tmx_l), 0.0))
+                            far = jnp.sqrt(d2) - er > t_done
+                            possible = jnp.logical_not(
+                                (coherent & (outside | behind)) | far)
+
+                            @pl.when(possible)
+                            def _():
+                                bobj_s[:, :] = jnp.minimum(
+                                    bobj_s[:, :],
+                                    _mt_chunk(tri_ref, c * chunk, chunk,
+                                              olx, oly, olz, dlx, dly,
+                                              dlz, tmn_l, tmx_l, trunc_w))
+
+                        best_obj = bobj_s[:, :]
+                        t_obj = jax.lax.bitcast_convert_type(
+                            best_obj & trunc_w, jnp.float32)
+                        t_w = t_obj * s_w
+                        packed_w = (jax.lax.bitcast_convert_type(
+                            t_w, jnp.int32) & trunc_w) \
+                            | (best_obj & ~trunc_w)
+                        packed_w = jnp.where(best_obj < INF_BITS,
+                                             packed_w, INF_BITS)
+                        better = sel & (packed_w < best_ref[:, :])
+                        best_ref[:, :] = jnp.where(better, packed_w,
+                                                   best_ref[:, :])
+                        binst_ref[:, :] = jnp.where(better, k,
+                                                    binst_ref[:, :])
+                    return 0
+
+                jax.lax.fori_loop(kmin, kmax + 1, visit_cand, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "m_tbl", "n_ichunks",
+                                             "inst_chunk", "n_chunks",
+                                             "chunk", "interpret"))
+def cand_fused(rays_planar, inst_tbl, inst_bounds, bscan_tblT, tri_bounds,
+               tri_tbl, iters: int, m_tbl: int, n_ichunks: int,
+               inst_chunk: int, n_chunks: int, chunk: int,
+               interpret=False):
+    """One-launch fused candidate iteration (see _cand_fused_kernel).
+    Returns (best_packed_world, best_inst_pos, final_key), each (1, N)."""
+    n = rays_planar.shape[1]
+    assert n % RAY_BLOCK == 0, n
+    grid = (n // RAY_BLOCK,)
+    f_pad = tri_tbl.shape[0]
+    m_pad = bscan_tblT.shape[0]
+    return pl.pallas_call(
+        functools.partial(_cand_fused_kernel, iters=iters, m_tbl=m_tbl,
+                          n_ichunks=n_ichunks, inst_chunk=inst_chunk,
+                          n_chunks=n_chunks, chunk=chunk,
+                          pos_bits=_pos_bits(f_pad),
+                          bs_pos_bits=_pos_bits(m_pad)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, inst_tbl.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, inst_bounds.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((m_pad, 4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tri_bounds.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((f_pad, 9), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((1, n), jnp.int32),
+                   jax.ShapeDtypeStruct((1, n), jnp.int32),
+                   jax.ShapeDtypeStruct((1, n), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((1, RAY_BLOCK), jnp.int32),
+                        pltpu.VMEM((1, RAY_BLOCK), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=45 * n * (n_ichunks * inst_chunk + iters
+                            * tri_tbl.shape[0] // 4),
+            bytes_accessed=(8 + 3) * n * 4,
+            transcendentals=n * n_chunks),
+        interpret=interpret,
+    )(rays_planar, inst_tbl, inst_bounds, bscan_tblT, tri_bounds, tri_tbl)
+
+
 def make_bscan_table(inst_tbl):
     """Bound-scan table from the per-frame TLAS instance table: transposed
     (M_pad128, 4) rows [cx cy cz ccrr], ccrr = |c|^2 - r^2 with +1e30 on
@@ -991,6 +1244,42 @@ def make_bscan_table(inst_tbl):
     tbl = jnp.stack([cx, cy, cz, ccrr], axis=1)           # (M, 4)
     return jnp.pad(tbl, ((0, m_pad - m), (0, 0)),
                    constant_values=0.0).at[m:, 3].set(1e30)
+
+
+def intersect_mesh_instances_cand_fused(rays_planar, inst_tbl, inst_bounds,
+                                        tri_bounds, tri_tbl,
+                                        n_ichunks: int, inst_chunk: int,
+                                        n_chunks: int, chunk: int,
+                                        iters: int = 6, interpret=False):
+    """Single-launch fused variant of intersect_mesh_instances_cand (see
+    _cand_fused_kernel); same contract."""
+    m_tbl = inst_tbl.shape[1]
+    bscan = make_bscan_table(inst_tbl)
+    trunc_f = ~((1 << _pos_bits(tri_tbl.shape[0])) - 1)
+
+    best, binst, key = cand_fused(
+        rays_planar, inst_tbl, inst_bounds, bscan, tri_bounds, tri_tbl,
+        iters, m_tbl, n_ichunks, inst_chunk, n_chunks, chunk,
+        interpret=interpret)
+
+    t_w = jax.lax.bitcast_convert_type(best & trunc_f, jnp.float32)
+    unresolved = key < INF_BITS
+    rays_fb = rays_planar.at[7:8, :].set(jnp.where(
+        unresolved, jnp.minimum(rays_planar[7:8, :], t_w),
+        rays_planar[6:7, :] - 1.0))
+    t_fb, face_fb, inst_fb = intersect_mesh_instances(
+        rays_fb, inst_tbl, inst_bounds, tri_bounds, tri_tbl, n_ichunks,
+        inst_chunk, n_chunks, chunk, interpret=interpret)
+
+    t_w1 = t_w[0]
+    face = (best & ~trunc_f)[0]
+    fb_better = unresolved[0] & (t_fb < t_w1)
+    t_out = jnp.where(fb_better, t_fb,
+                      jnp.where(best[0] < INF_BITS, t_w1, jnp.inf))
+    face = jnp.where(fb_better, face_fb, face)
+    inst = jnp.where(fb_better, inst_fb,
+                     jnp.minimum(binst[0], m_tbl - 1))
+    return t_out, face, inst
 
 
 def intersect_mesh_instances_cand(rays_planar, inst_tbl, inst_bounds,

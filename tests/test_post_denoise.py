@@ -329,3 +329,26 @@ def test_pallas_anyhit_matches_bruteforce():
     finally:
         intersect.BACKEND = old
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref))
+
+
+def test_catmull_history_identity_and_shift():
+    """Catmull-Rom history resample must be the IDENTITY at integer pixel
+    coordinates (callers use index convention: py + motion) and reproduce
+    a linear ramp under fractional shifts — the round-4 orbit A/B caught
+    the half-texel-convention bug that blurred even static history."""
+    import jax.numpy as jnp
+    from drts_tpu.ops import taa
+
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.rand(16, 20, 3), np.float32)
+    y = jnp.arange(16, dtype=jnp.float32)[:, None] * jnp.ones((1, 20))
+    x = jnp.arange(20, dtype=jnp.float32)[None, :] * jnp.ones((16, 1))
+    out = taa._catmull_rom_sample(img, y, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+
+    ramp = (jnp.arange(20, dtype=jnp.float32)[None, :, None]
+            * jnp.ones((16, 1, 1))).repeat(3, -1)
+    out3 = taa._catmull_rom_sample(ramp, y, x + 0.3)
+    np.testing.assert_allclose(np.asarray(out3)[2:-2, 2:-2],
+                               np.asarray(ramp)[2:-2, 2:-2] + 0.3,
+                               atol=1e-4)

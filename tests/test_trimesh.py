@@ -319,3 +319,91 @@ def test_candidate_anyhit_matches_serial(monkeypatch):
         intersect.BACKEND = old
     assert (occ_s == occ_c).mean() > 0.999, (occ_s != occ_c).sum()
     assert not occ_c[np.asarray(tmax) < 0].any()
+
+
+def test_per_vertex_motion_vectors():
+    """Deforming-mesh motion vectors (GBufferGeneration.hlsl:62-91
+    vertex-motion path): a mesh whose vertices all carry a constant
+    object-space prev-minus-current displacement must produce G-buffer
+    motion equal to the projected displacement; without vertex_motion
+    (rigid) the static scene's motion is zero."""
+    import dataclasses
+    import jax.numpy as jnp
+    from drts_tpu.models import geometry, scene as scene_mod, myscene
+    from drts_tpu.ops import camera as camera_mod, gbuffer
+
+    host = myscene.build(oscillator_grid=2)
+    base = myscene.as_mesh_scene(host, tessellation=2)
+
+    w = h = 64
+    cam = camera_mod.make_camera(base.camera_position, base.camera_forward,
+                                 horizontal_fov_deg=90.0, aspect=1.0)
+
+    # Rigid static scene: prev pose == pose, no vertex motion -> zero MVs.
+    g0 = gbuffer.generate(base.scene, cam, w, h, 4096)
+    valid0 = np.asarray(g0.surf.valid)
+    assert valid0.any()
+    np.testing.assert_allclose(np.asarray(g0.motion)[valid0], 0.0,
+                               atol=1e-2)
+
+    # Same mesh with constant object-space vertex motion d: expected
+    # previous world position = hit + R*(d*scale); motion = prev_px-cur_px.
+    d_obj = np.array([0.12, -0.07, 0.05], np.float32)
+    mesh = base.scene.mesh
+    vm = np.tile(d_obj, (np.asarray(mesh.positions).shape[0], 1))
+    mesh_vm = dataclasses.replace(mesh, vertex_motion=jnp.asarray(vm))
+    scene_vm = dataclasses.replace(base.scene, mesh=mesh_vm)
+    g1 = gbuffer.generate(scene_vm, cam, w, h, 4096)
+    valid1 = np.asarray(g1.surf.valid)
+    np.testing.assert_array_equal(valid0, valid1)
+
+    from drts_tpu.utils import math as m
+    mi = base.scene.mesh_instances
+    k = base.scene.center.shape[0]
+    inst = jnp.asarray(np.asarray(g1.surf.object_index) - k)
+    rot = mi.rotation[inst]
+    scale = mi.scale[inst][..., None]
+    prev_world = g1.surf.position + m.quat_rotate(
+        rot, jnp.broadcast_to(jnp.asarray(d_obj), g1.surf.position.shape)
+        * scale)
+    prev_ndc, _ = camera_mod.project_to_ndc(cam, prev_world, previous=True)
+    cur_ndc, _ = camera_mod.project_to_ndc(cam, g1.surf.position,
+                                           previous=False)
+    exp = np.asarray(camera_mod.ndc_to_pixel(prev_ndc, w, h)
+                     - camera_mod.ndc_to_pixel(cur_ndc, w, h))
+    got = np.asarray(g1.motion)
+    np.testing.assert_allclose(got[valid1], exp[valid1], atol=2e-2)
+    # And it actually moved (non-zero motion somewhere).
+    assert np.abs(got[valid1]).max() > 0.05
+
+
+def test_candidate_fused_matches_serial(monkeypatch):
+    """Fused single-launch candidate kernel (DRTS_MESH_CAND=2,
+    trimesh_pallas.cand_fused) must match the serial kernel like the
+    multi-launch form does."""
+    mesh, pos, rot, scale, o, d = _cand_vs_serial_scene(7)
+    n = o.shape[0]
+    tmin = jnp.zeros(n)
+    tmax = jnp.full((n,), 1e9)
+    old = intersect.BACKEND
+    intersect.BACKEND = "interpret"
+    try:
+        monkeypatch.setattr(trimesh, "MESH_CAND", 0)
+        serial = trimesh.intersect_instances(o, d, tmin, tmax, mesh, pos,
+                                             rot, scale)
+        monkeypatch.setattr(trimesh, "MESH_CAND", 2)
+        monkeypatch.setattr(trimesh, "MESH_CAND_ITERS", 5)
+        fused = trimesh.intersect_instances(o, d, tmin, tmax, mesh, pos,
+                                            rot, scale)
+    finally:
+        intersect.BACKEND = old
+    hit_s = np.asarray(serial.hit)
+    hit_f = np.asarray(fused.hit)
+    assert (hit_s == hit_f).mean() > 0.999, (hit_s != hit_f).sum()
+    both = hit_s & hit_f
+    np.testing.assert_allclose(np.asarray(fused.t)[both],
+                               np.asarray(serial.t)[both], rtol=1e-3,
+                               atol=1e-4)
+    same = (np.asarray(serial.instance)[both]
+            == np.asarray(fused.instance)[both])
+    assert same.mean() > 0.99, same.mean()

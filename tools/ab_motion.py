@@ -63,6 +63,12 @@ VARIANTS = {
     "taaclip8": {"taa_clip_gamma": 8.0},
     "catmull_clip2.5": {"taa_history_filter": "catmull",
                         "taa_clip_gamma": 2.5},
+    # Stage-4 measured: WIDER clip is worse (2.5 -> 0.9175, 8 -> worse)
+    # => misaligned history, not over-rejection. Map the tight direction
+    # too, and re-run catmull after the half-texel-convention fix (the
+    # stage-4 catmull numbers measured the BUG: blur even at statics).
+    "taaclip0.5": {"taa_clip_gamma": 0.5},
+    "blend0.05": {"taa_blend_alpha": 0.05},
 }
 
 
