@@ -69,6 +69,8 @@ VARIANTS = {
     # stage-4 catmull numbers measured the BUG: blur even at statics).
     "taaclip0.5": {"taa_clip_gamma": 0.5},
     "blend0.05": {"taa_blend_alpha": 0.05},
+    "catmull_blend0.05": {"taa_history_filter": "catmull",
+                          "taa_blend_alpha": 0.05},
 }
 
 
