@@ -56,6 +56,12 @@ class PackedTextures:
     # cost is dominated by whether it stays resident).
     rows_half: jnp.ndarray | None = None    # (T'*(S/2)^2, 4*W) uint32
     half_size: int = struct.field(pytree_node=False, default=0)
+    # Small f32 emissive mips for light preparation's per-TRIANGLE filtered
+    # emission (LightPreparation.hlsl:86-128 SampleGrad over the triangle's
+    # UV footprint): ops/light._face_emissive_avg rasterizes each emissive
+    # face's UV triangle over this grid. None when no set has an emissive
+    # map (the per-set whole-map mean then remains the fallback).
+    emissive_small: jnp.ndarray | None = None   # (T', 32, 32, 3) float32
 
 
 _MAP_FIELDS = ("base_color_map", "normal_map", "metallic_map",
@@ -159,6 +165,13 @@ def build(atlas: np.ndarray | None, materials: Materials, size: int = 256
     emissive_mean = [atlas[c[4]][..., :3].mean(axis=(0, 1))
                      if c[4] >= 0 else np.ones(3, np.float32)
                      for c in combos]
+    emissive_small = None
+    if any(c[4] >= 0 for c in combos):
+        sz = 32
+        emissive_small = jnp.asarray(np.stack(
+            [_resize_area(atlas[c[4]][..., :3], sz) if c[4] >= 0
+             else np.ones((sz, sz, 3), np.float32) for c in combos]
+        ).astype(np.float32))
 
     half = size // 2 if size >= 8 else 0
     packed = PackedTextures(
@@ -166,7 +179,8 @@ def build(atlas: np.ndarray | None, materials: Materials, size: int = 256
         emissive_mean=jnp.asarray(np.stack(emissive_mean)),
         size=size, n_words=n_words,
         rows_half=jnp.asarray(bake_rows(half)) if half else None,
-        half_size=half)
+        half_size=half,
+        emissive_small=emissive_small)
 
     new_cols = {}
     for f in _MAP_FIELDS:

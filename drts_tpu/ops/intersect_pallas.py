@@ -42,15 +42,36 @@ INF_BITS = 0x7F800000  # bitcast(+inf): packed-miss sentinel (_slim_tail)
 
 # MXU-kernel matmul precision (DRTS_MXU_PREC=default|high|highest).
 # Round-2 measured the rank-8 matmuls SLOWER than the VPU sweep at
-# HIGHEST (bf16x6 passes); HIGH (bf16x3, ~f32-accurate: rel err ~1e-6,
-# far below the packed encoding's 2^-14 truncation) halves that cost.
+# HIGHEST (bf16x6 passes); HIGH (bf16x3: ~2^-16 rel err, comparable to
+# the packed encoding's 2^-14 t truncation) halves that cost.
+# Pallas' TPU lowering only accepts DEFAULT/HIGHEST dot precisions, so
+# "high" is built manually: split both operands into bf16 hi+lo halves
+# and take the three leading bf16 passes with f32 accumulation
+# (hi@hi + hi@lo + lo@hi) — the same bf16x3 algorithm XLA calls HIGH.
 import os as _os  # noqa: E402
 
+_MXU_PREC_NAME = _os.environ.get("DRTS_MXU_PREC", "high")
 _MXU_PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
-    "high": jax.lax.Precision.HIGH,
+    "high": jax.lax.Precision.DEFAULT,   # unused; see _mxu_dot
     "highest": jax.lax.Precision.HIGHEST,
-}[_os.environ.get("DRTS_MXU_PREC", "high")]
+}[_MXU_PREC_NAME]
+
+
+def _mxu_dot(a, x):
+    """(M, 8) @ (8, R) f32 matmul on the MXU at the configured precision."""
+    dims = (((1,), (0,)), ((), ()))
+    if _MXU_PREC_NAME != "high":
+        return jax.lax.dot_general(a, x, dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=_MXU_PRECISION)
+    a_hi = a.astype(jnp.bfloat16)
+    x_hi = x.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot = functools.partial(jax.lax.dot_general, dimension_numbers=dims,
+                            preferred_element_type=jnp.float32)
+    return dot(a_hi, x_hi) + dot(a_hi, x_lo) + dot(a_lo, x_hi)
 
 
 def _pos_bits(n_cols: int) -> int:
@@ -363,11 +384,9 @@ def _morton_mxu_kernel(rays_ref, bounds_ref, table_ref, a_ref, packed_ref,
 
             @pl.when(chunk_possible)
             def _():
-                y = jax.lax.dot_general(
-                    a_ref[2 * chunk * c:2 * chunk * (c + 1), :], x,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_MXU_PRECISION)              # (2*chunk, R)
+                y = _mxu_dot(
+                    a_ref[2 * chunk * c:2 * chunk * (c + 1), :],
+                    x)                                     # (2*chunk, R)
                 b2 = y[:chunk]
                 c2 = y[chunk:] + oo
                 s0 = c * chunk
@@ -550,11 +569,9 @@ def _anyhit_mxu_kernel(rays_ref, bounds_ref, table_ref, a_ref, occ_ref,
 
             @pl.when(chunk_possible & unresolved)
             def _():
-                y = jax.lax.dot_general(
-                    a_ref[2 * chunk * c:2 * chunk * (c + 1), :], x,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_MXU_PRECISION)              # (2*chunk, R)
+                y = _mxu_dot(
+                    a_ref[2 * chunk * c:2 * chunk * (c + 1), :],
+                    x)                                     # (2*chunk, R)
                 b2 = y[:chunk]
                 c2 = y[chunk:] + oo
                 s0 = c * chunk

@@ -136,6 +136,70 @@ def fetch_rows_object(lights: Lights, obj_idx) -> LightRows:
                      aux=jnp.round(row[..., 8]).astype(jnp.int32))
 
 
+def _face_emissive_avg(em_small, uvs, faces):
+    """Per-(set, face) filtered emissive average -> (T', F, 3).
+
+    The TPU-native form of the reference's per-triangle anisotropic
+    SampleGrad whose gradient footprint covers the whole triangle
+    (LightPreparation.hlsl:86-128). Static topology lets us do better than
+    one filtered tap: an exact area average of the 32^2 emissive mip over
+    the face's UV triangle (texel-center rasterization, U-wrap aware),
+    falling back to a bilinear centroid tap for faces smaller than a mip
+    texel. One dense (F, S^2) mask einsum — no per-face loop."""
+    t, s = em_small.shape[0], em_small.shape[1]
+    uv = uvs[faces]                       # (F, 3, 2)
+    u = uv[..., 0]
+    # Canonicalize the U wrap per face: shift each corner into corner 0's
+    # period so seam-crossing triangles are contiguous in (-0.5, 1.5).
+    u = u - jnp.round(u - u[..., :1])
+    a = jnp.stack([u[..., 0], uv[..., 0, 1]], -1)  # (F, 2)
+    b = jnp.stack([u[..., 1], uv[..., 1, 1]], -1)
+    c = jnp.stack([u[..., 2], uv[..., 2, 1]], -1)
+
+    tc = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    px, py = jnp.meshgrid(tc, tc, indexing="xy")   # (S, S); rows = v
+    p = jnp.stack([px.reshape(-1), py.reshape(-1)], -1)   # (P, 2)
+
+    def inside(pp):
+        def edge(q0, q1):
+            return ((q1[:, None, 0] - q0[:, None, 0])
+                    * (pp[None, :, 1] - q0[:, None, 1])
+                    - (q1[:, None, 1] - q0[:, None, 1])
+                    * (pp[None, :, 0] - q0[:, None, 0]))
+        e0, e1_, e2_ = edge(a, b), edge(b, c), edge(c, a)
+        return (((e0 >= 0) & (e1_ >= 0) & (e2_ >= 0))
+                | ((e0 <= 0) & (e1_ <= 0) & (e2_ <= 0)))
+
+    shift = jnp.array([1.0, 0.0], jnp.float32)
+    # Periodic U: a texel center counts if it, or a ±1-period copy, lies
+    # inside the canonicalized triangle.
+    mask = (inside(p) | inside(p + shift) | inside(p - shift))
+    maskf = mask.astype(jnp.float32)                      # (F, P)
+    count = jnp.sum(maskf, axis=1)                        # (F,)
+    em_flat = em_small.reshape(t, s * s, 3)
+    sums = jnp.einsum("fp,tpc->tfc", maskf, em_flat)
+    avg = sums / jnp.maximum(count, 1.0)[None, :, None]
+
+    # Sub-texel fallback: bilinear tap at the wrapped UV centroid (same
+    # texel-center convention as ops/shading.sample_packed).
+    cen = (a + b + c) / 3.0
+    x = jnp.mod(cen[:, 0], 1.0) * s - 0.5
+    y = cen[:, 1] * s - 0.5
+    x0 = jnp.floor(x)
+    y0c = jnp.clip(jnp.floor(y), 0, s - 1)
+    fx = (x - x0)[:, None]
+    fy = jnp.clip(y - y0c, 0.0, 1.0)[:, None]
+    x0i = jnp.mod(x0.astype(jnp.int32), s)
+    x1i = jnp.mod(x0i + 1, s)
+    y0i = y0c.astype(jnp.int32)
+    y1i = jnp.clip(y0i + 1, 0, s - 1)
+    tap = (em_small[:, y0i, x0i] * (1 - fx) * (1 - fy)
+           + em_small[:, y0i, x1i] * fx * (1 - fy)
+           + em_small[:, y1i, x0i] * (1 - fx) * fy
+           + em_small[:, y1i, x1i] * fx * fy)
+    return jnp.where((count > 0)[None, :, None], avg, tap)
+
+
 def prepare(scene: SphereScene) -> Lights:
     """CountLights/PrepareResources/Process analogue
     (LightPreparation.ixx:52-133): emission -> power -> compact light list
@@ -143,9 +207,12 @@ def prepare(scene: SphereScene) -> Lights:
 
     Emissive-texture handling (LightPreparation.hlsl:86-128): the
     reference scales each light's radiance by a filtered average of its
-    emissive map; here the per-texture-SET mean (models/texpack.py) is
-    folded into the light record the same way (whole-map mean instead of
-    the reference's per-triangle 4-sample filter).
+    emissive map over the triangle's UV footprint. Triangle lights here do
+    the same — `_face_emissive_avg` area-averages the emissive mip over
+    each face's UV triangle (exact where the reference's single
+    SampleGrad tap approximates). Sphere lights keep the per-SET
+    whole-map mean (models/texpack.py): a full lat-long sphere's UV
+    footprint IS the whole map.
 
     Emissive MESH instances contribute per-TRIANGLE lights (the
     reference's whole pipeline is triangle-based: triangle -> LightInfo,
@@ -180,14 +247,31 @@ def prepare(scene: SphereScene) -> Lights:
         f = mesh.v0.shape[0]
         em_inst = all_emission[k:k + mcount]              # (M, 3)
         rot = mi.rotation[:, None, :]                     # (M, 1, 4)
+        tex = scene.textures
+        if tex is not None and tex.emissive_small is not None:
+            # Per-triangle filtered emission (LightPreparation.hlsl:86-128):
+            # raw material emission x the face's UV-footprint average of its
+            # emissive map — replacing the whole-map mean already folded
+            # into all_emission for mapped materials.
+            emap_i = scene.materials.emissive_color_map[k:k + mcount]
+            face_avg = _face_emissive_avg(tex.emissive_small, mesh.uvs,
+                                          mesh.faces)     # (T', F, 3)
+            raw_em = scene.materials.emission()[k:k + mcount]
+            per_face = face_avg[jnp.maximum(emap_i, 0)]   # (M, F, 3)
+            em_face = jnp.where(
+                (emap_i >= 0)[:, None, None],
+                raw_em[:, None, :] * per_face,
+                jnp.broadcast_to(em_inst[:, None, :], per_face.shape))
+        else:
+            em_face = jnp.broadcast_to(em_inst[:, None, :],
+                                       (mcount, mesh.v0.shape[0], 3))
         scl = mi.scale[:, None, None]
         v0w = mi.center[:, None, :] + m.quat_rotate(rot, mesh.v0[None] * scl)
         e1w = m.quat_rotate(rot, mesh.e1[None] * scl)     # (M, F, 3)
         e2w = m.quat_rotate(rot, mesh.e2[None] * scl)
         area = 0.5 * m.length(jnp.cross(e1w, e2w))        # (M, F)
-        tri_power = (m.luminance(em_inst)[:, None] * area).reshape(-1)
-        tri_em = jnp.broadcast_to(em_inst[:, None, :],
-                                  (mcount, f, 3)).reshape(-1, 3)
+        tri_power = (m.luminance(em_face) * area).reshape(-1)
+        tri_em = em_face.reshape(-1, 3)
         tri_centroid = (v0w + (e1w + e2w) / 3.0).reshape(-1, 3)
         tri_e1 = e1w.reshape(-1, 3)
         tri_e2 = e2w.reshape(-1, 3)

@@ -281,18 +281,41 @@ def test_pallas_interpret_morton_and_clustered_match_xla():
     fin = np.isfinite(np.asarray(ref.t))
     ref_t = np.asarray(ref.t)
     ref_i = np.asarray(ref.index)
-    for t_pal, i_pal in ((t_m, i_m), (t_c, i_c), (t_x, i_x), (t_s, i_s)):
+    # Grazing margin per ray: min over spheres of |dist(line, center) - r|.
+    # The MXU variant's bf16x3 matmuls carry ~1e-6 rel error, so rays that
+    # graze a sphere within that margin may legitimately flip hit<->miss.
+    oc = np.asarray(o)[:, None, :] - centers[None]          # (n, k, 3)
+    dn = np.asarray(d)[:, None, :]
+    perp = oc - (oc * dn).sum(-1, keepdims=True) * dn
+    graze = np.abs(np.linalg.norm(perp, axis=-1) - radii[None]).min(1)
+    for exact, (t_pal, i_pal) in ((True, (t_m, i_m)), (True, (t_c, i_c)),
+                                  (False, (t_x, i_x)), (True, (t_s, i_s))):
         t_pal = np.asarray(t_pal)[:n]
         i_pal = np.asarray(i_pal)[:n]
-        np.testing.assert_array_equal(np.isfinite(t_pal), fin)
+        flip = np.isfinite(t_pal) != fin
+        if exact:
+            assert not flip.any()
+            fin_v = fin
+        else:
+            assert flip.mean() < 0.005 and (graze[flip] < 1e-3).all()
+            # t = -b - sqrt(b^2 - c) is ill-conditioned near grazing (the
+            # ~1e-6 matmul error divides by sqrt(disc) -> 0), so the strict
+            # t check applies only to non-grazing rays; grazing must stay
+            # a small minority of this random set.
+            strict = graze > 3e-2
+            assert strict.mean() > 0.9
+            fin_v = fin & ~flip & strict
         # Near-tie hits (two spheres at ~equal t) may resolve to either
         # winner because the Morton table visits spheres in a different
         # order than the flat argmin; t must still agree to ~1e-3 rel.
-        np.testing.assert_allclose(t_pal[fin], ref_t[fin], rtol=1e-3,
-                                   atol=2e-4)
-        same_i = i_pal[fin] == ref_i[fin]
-        close_t = np.abs(t_pal[fin] - ref_t[fin]) \
-            <= 2e-4 + 1e-3 * np.abs(ref_t[fin])
+        # bf16x3 carries ~2^-16 relative matmul error, amplified through
+        # the discriminant sqrt — hence the wider inexact atol.
+        atol = 2e-4 if exact else 1e-2
+        np.testing.assert_allclose(t_pal[fin_v], ref_t[fin_v], rtol=1e-3,
+                                   atol=atol)
+        same_i = i_pal[fin_v] == ref_i[fin_v]
+        close_t = np.abs(t_pal[fin_v] - ref_t[fin_v]) \
+            <= atol + 1e-3 * np.abs(ref_t[fin_v])
         assert (same_i | close_t).all()
         assert same_i.mean() > 0.98
 
