@@ -71,6 +71,14 @@ class PipelineConfig:
     # plateau (a tight clip re-rejects well-reprojected history whenever
     # subpixel motion shifts the neighborhood statistics).
     taa_clip_gamma: float = 1.0
+    # Motion-adaptive clip target (ops/taa.TAAConfig.clip_gamma_motion):
+    # gamma blends from taa_clip_gamma (static) to this value at >=1 output
+    # px/frame of motion. ab_motion stage-6: tight clip wins under motion
+    # (+0.013 orbit min SSIM) but loses statically; < 0 disables.
+    taa_clip_gamma_motion: float = -1.0
+    # Motion saturation scale for the adaptive clip, output px/frame
+    # (ops/taa.TAAConfig.clip_motion_px).
+    taa_clip_motion_px: float = 1.0
     # TAA current-frame blend weight floor (ops/taa.TAAConfig.blend_alpha):
     # lower = longer effective accumulation under motion.
     taa_blend_alpha: float = 0.1
@@ -583,6 +591,8 @@ class RenderPipeline:
                 c.output_height, c.output_width, reset,
                 cfg=taa.TAAConfig(history_filter=c.taa_history_filter,
                                   clip_gamma=c.taa_clip_gamma,
+                                  clip_gamma_motion=c.taa_clip_gamma_motion,
+                                  clip_motion_px=c.taa_clip_motion_px,
                                   blend_alpha=c.taa_blend_alpha),
                 confidence=confidence)
         elif (c.output_height, c.output_width) != (c.render_height,

@@ -41,6 +41,18 @@ def render_size_for(output_w: int, output_h: int, mode: str):
 class TAAConfig:
     blend_alpha: float = 0.1
     clip_gamma: float = 1.0      # variance-clip box size in std-devs
+    # Motion-adaptive clip: gamma blends toward this value as per-pixel
+    # motion reaches ~1 output pixel/frame. ab_motion (r4 stage 6)
+    # measured a globally tight clip (0.5) winning under motion
+    # (orbit min 0.936 -> 0.949) but LOSING statically (first-frame
+    # 0.9816 -> 0.9733) — the adaptive form applies each where it wins.
+    # < 0 disables (gamma stays clip_gamma everywhere).
+    clip_gamma_motion: float = -1.0
+    # Motion magnitude (output px/frame) at which the adaptive gamma
+    # saturates to clip_gamma_motion. Stage-7 measured adapt@1.0px min
+    # 0.948 vs global-tight 0.9518: slow-moving pixels (<1px/frame) kept
+    # the loose box during the orbit — saturate faster.
+    clip_motion_px: float = 1.0
     # History resample: "catmull" = 16 random row-reads/pixel (sharpest),
     # "bilinear" = 4. Random HBM reads dominate this pass on TPU.
     history_filter: str = "bilinear"
@@ -236,7 +248,15 @@ def upscale(state: TAAState, color, motion, jitter, out_h: int, out_w: int,
             m2 = m2 + s * s
     mean = m1 / 9.0
     var = jnp.maximum(m2 / 9.0 - mean * mean, 0.0)
-    sigma = jnp.sqrt(var) * cfg.clip_gamma
+    gamma = jnp.float32(cfg.clip_gamma)
+    if cfg.clip_gamma_motion >= 0.0:
+        # Tighten the clip only where the pixel actually moves (saturating
+        # at one output pixel/frame); static regions keep the loose box
+        # that lets history converge past the 1spp noise floor.
+        mlen = jnp.sqrt(motion_up[..., 0] ** 2 + motion_up[..., 1] ** 2)
+        f = jnp.clip(mlen / cfg.clip_motion_px, 0.0, 1.0)[..., None]
+        gamma = cfg.clip_gamma + (cfg.clip_gamma_motion - cfg.clip_gamma) * f
+    sigma = jnp.sqrt(var) * gamma
     hist_clipped = jnp.clip(hist, mean - sigma, mean + sigma)
 
     in_bounds = (((py + motion_up[..., 1]) >= 0)

@@ -71,6 +71,28 @@ VARIANTS = {
     "blend0.05": {"taa_blend_alpha": 0.05},
     "catmull_blend0.05": {"taa_history_filter": "catmull",
                           "taa_blend_alpha": 0.05},
+    # Stage-6 measured: taaclip0.5 is the winner (min 0.9487 mean 0.9531)
+    # but the tight clip costs the STATIC frame (0.9816 -> 0.9733).
+    # Motion-adaptive gamma (tight only where pixels move) + the tightness
+    # sweep around 0.5, plus combos with catmull (whose sharpness may
+    # stack with the adaptive clip's static win).
+    "taaclip0.3": {"taa_clip_gamma": 0.3},
+    "taaclip0.7": {"taa_clip_gamma": 0.7},
+    "adapt0.5": {"taa_clip_gamma_motion": 0.5},
+    "adapt0.3": {"taa_clip_gamma_motion": 0.3},
+    "adapt0.5_catmull": {"taa_clip_gamma_motion": 0.5,
+                         "taa_history_filter": "catmull"},
+    # Stage-7: taaclip0.3 global hits the orbit target (min 0.9518) but
+    # costs the static frame (0.9667); adapt@1px-saturation protects the
+    # static frame (0.9816) but slow pixels kept the loose box (0.948).
+    # => saturate the adaptive ramp faster.
+    "adapt0.3_s0.25": {"taa_clip_gamma_motion": 0.3,
+                       "taa_clip_motion_px": 0.25},
+    "adapt0.2_s0.25": {"taa_clip_gamma_motion": 0.2,
+                       "taa_clip_motion_px": 0.25},
+    "adapt0.3_s0.1": {"taa_clip_gamma_motion": 0.3,
+                      "taa_clip_motion_px": 0.1},
+    "taaclip0.2": {"taa_clip_gamma": 0.2},
 }
 
 
