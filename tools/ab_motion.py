@@ -93,6 +93,19 @@ VARIANTS = {
     "adapt0.3_s0.1": {"taa_clip_gamma_motion": 0.3,
                       "taa_clip_motion_px": 0.1},
     "taaclip0.2": {"taa_clip_gamma": 0.2},
+    # Pure previous-surface A/B at the DEFAULT bias correction (VERDICT
+    # r4 weak #4: the real-prev-surface lever was built but never given
+    # a recorded verdict at defaults; pairwise_real changes two knobs).
+    "prevreal": {"restir": restir.ReSTIRConfig(
+        temporal_prev_surface="real")},
+    # Stage-9 (round 5): adapt0.3_s0.25 min 0.9494 is 0.0006 short of the
+    # 0.95 bar with statics protected; probe the gamma midpoint at fast
+    # saturation and the catmull combo (sharper history may stack).
+    "adapt0.25_s0.25": {"taa_clip_gamma_motion": 0.25,
+                        "taa_clip_motion_px": 0.25},
+    "adapt0.25_s0.25_catmull": {"taa_clip_gamma_motion": 0.25,
+                                "taa_clip_motion_px": 0.25,
+                                "taa_history_filter": "catmull"},
 }
 
 

@@ -1,56 +1,74 @@
 #!/bin/bash
-# Round-4 TPU measurement queue (VERDICT r4 "do this" items 1-3 + the
-# round-3 backlog). Executes every queued measurement with bounded time,
-# tees each to /tmp/tpuq/<name>.log, and never stops on a single failure.
-# One process holds the single tunnel — this serializes all TPU jobs.
+# Consolidated TPU queue runner (VERDICT r4 weak #8: one parameterized
+# runner instead of per-stage one-shot scripts; an unfinished sweep is a
+# rerunnable stage line, not a stranded file).
+#
+# Usage: bash tools/run_tpu_queue.sh <stage> [outdir]
+#   outdir defaults to /tmp/tpuq_<stage>. One TPU tunnel per host —
+#   serialize stages (run one queue at a time).
+#
+# Stages are DATA: each `stage_<name>` function emits lines
+#   <jobname>|<timeout-seconds>|<command ...>
+# which the runner executes in order, logging to $OUT/<jobname>.log.
 set -u
-OUT=${1:-/tmp/tpuq}
+STAGE=${1:?usage: run_tpu_queue.sh <stage> [outdir]}
+OUT=${2:-/tmp/tpuq_$STAGE}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
-# Tools are run as `python tools/x.py`, which puts tools/ (not the repo
-# root) on sys.path — make `import drts_tpu` resolve regardless.
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
-run() {
-  name=$1; tmo=$2; shift 2
-  echo "=== $name: $* ==="
-  timeout "$tmo" "$@" >"$OUT/$name.log" 2>&1
-  echo "--- $name rc=$? (tail) ---"
-  tail -5 "$OUT/$name.log"
+# ---------------------------------------------------------------- stages
+
+stage_r5_motion() {  # round-5: finish the stranded stage-8 saturation sweep
+  cat <<'EOF'
+ab_motion9|14400|python tools/ab_motion.py adapt0.2_s0.25 adapt0.3_s0.1 taaclip0.2 adapt0.25_s0.25 adapt0.25_s0.25_catmull prevreal
+prof_sharc_update|3600|python tools/prof_sharc_update.py
+EOF
 }
 
-# 0. Is the TPU even up? Bounded probe; abort the queue if not.
+stage_bench() {  # the full driver benchmark (primes the compile cache)
+  cat <<'EOF'
+bench|5400|python bench.py
+EOF
+}
+
+stage_fidelity() {  # static + motion fidelity at shipping defaults
+  cat <<'EOF'
+fidelity|7200|python -m drts_tpu.fidelity
+EOF
+}
+
+# Ad-hoc: run any single tool under the queue discipline.
+#   bash tools/run_tpu_queue.sh tool /tmp/out -- python tools/prof_x.py a b
+stage_tool() {
+  shift_args=("${EXTRA_ARGS[@]}")
+  echo "tool|14400|${shift_args[*]}"
+}
+
+# ---------------------------------------------------------------- runner
+
+EXTRA_ARGS=()
+if [ "$#" -ge 3 ] && [ "$3" = "--" ]; then
+  shift 3
+  EXTRA_ARGS=("$@")
+fi
+
+if ! declare -F "stage_$STAGE" >/dev/null; then
+  echo "unknown stage '$STAGE'; available:" >&2
+  declare -F | awk '{print $3}' | grep '^stage_' | sed 's/^stage_/  /' >&2
+  exit 2
+fi
+
 timeout 300 python -c "import jax; print(jax.devices())" >"$OUT/probe.log" 2>&1
 if [ $? -ne 0 ]; then echo "TPU PROBE FAILED"; cat "$OUT/probe.log"; exit 3; fi
-echo "TPU UP: $(cat "$OUT/probe.log")"
+echo "TPU UP [$(date -u +%H:%M:%S)]"
 
-# 1. Fast trace-only record FIRST (insurance if the tunnel dies mid-queue;
-#    trace program unchanged -> warm cache).
-run bench_fast 3000 env DRTS_BENCH_FAST=1 python bench.py
+"stage_$STAGE" | while IFS='|' read -r name tmo cmd; do
+  [ -z "$name" ] && continue
+  echo "=== $name: $cmd [$(date -u +%H:%M:%S)] ==="
+  timeout "$tmo" bash -c "$cmd" >"$OUT/$name.log" 2>&1
+  echo "--- $name rc=$? [$(date -u +%H:%M:%S)] (tail) ---"
+  tail -5 "$OUT/$name.log"
+done
 
-# 2. restir_initial internals — the top pass (81 ms; VERDICT item #2).
-run prof_restir_init 3000 python tools/prof_restir_init.py
-
-# 3. Trace per-bounce budget (VERDICT item #1 re-budget).
-run prof_trace_bounces 4500 python tools/prof_trace_bounces.py
-
-# 4. SHARC hit-rate sweep: voxel sizing / capacity / min-sample threshold
-#    (VERDICT item #1 diagnosis; reports gate/entry/hit split).
-run ab_sharc 6000 python tools/ab_sharc.py
-
-# 5. Orbit-motion limiter sweep (VERDICT item #3). Key variants only —
-#    each pays a pipeline compile; gamma brackets via gamma0 only.
-run ab_motion 7200 python tools/ab_motion.py \
-  baseline nodenoise raw1spp norestirtemp relax hist12 gamma0 nospecvirt
-
-# 6. spatial_offset_mode A/B (frame ms + SSIM shared vs per_pixel).
-run ab_spatial 3000 python tools/ab_spatial_offset.py
-
-# 7. Chunk-size fixed-cost check (sim predicts finer chunks win).
-run prof_chunksize 3000 python tools/prof_chunksize.py
-
-# 8. Full bench LAST (recompiles: counter additions changed the pipeline
-#    HLO) — records the new gate/entry rates + upscaled/mesh rows.
-run bench 3600 python bench.py
-
-echo "=== QUEUE DONE — logs in $OUT ==="
+echo "=== QUEUE '$STAGE' DONE [$(date -u +%H:%M:%S)] — logs in $OUT ==="
