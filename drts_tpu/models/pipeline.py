@@ -60,11 +60,11 @@ class PipelineConfig:
     # accumulator's (ADVICE r3 medium).
     taa_mode: str = "auto"
     # History resample filter ("bilinear" | "catmull"): Catmull-Rom is the
-    # DLSS-class anti-blur history filter (ops/taa.TAAConfig) — candidate
-    # fix for the orbit-motion SSIM plateau (ab_motion r4: raw 1spp scores
-    # 0.916 vs baseline 0.936 — the temporal stack barely accumulates
-    # under motion, consistent with resample blur/rejection).
-    taa_history_filter: str = "bilinear"
+    # DLSS-class anti-blur history filter (ops/taa.TAAConfig). Default
+    # flipped to "catmull" with the r5 motion sweep winner (ab_motion
+    # adapt0.25_s0.25_catmull: orbit min 0.9507 / mean 0.9560, static
+    # first frame 0.9816 — both fidelity targets met).
+    taa_history_filter: str = "catmull"
     # TAA neighborhood variance-clip box size in std-devs (ops/taa
     # .TAAConfig.clip_gamma). The 1-sigma default pins history to the
     # current frame's local range — sweep candidate for the same orbit
@@ -72,13 +72,16 @@ class PipelineConfig:
     # subpixel motion shifts the neighborhood statistics).
     taa_clip_gamma: float = 1.0
     # Motion-adaptive clip target (ops/taa.TAAConfig.clip_gamma_motion):
-    # gamma blends from taa_clip_gamma (static) to this value at >=1 output
-    # px/frame of motion. ab_motion stage-6: tight clip wins under motion
-    # (+0.013 orbit min SSIM) but loses statically; < 0 disables.
-    taa_clip_gamma_motion: float = -1.0
+    # gamma blends from taa_clip_gamma (static) to this value at motion
+    # saturation; < 0 disables. Shipping defaults = the r5 ab_motion
+    # winner (adapt0.25_s0.25_catmull): tight clip only where pixels
+    # move, saturating at 0.25 output px/frame — orbit min SSIM
+    # 0.936 -> 0.9507 while the static frame keeps its loose 1-sigma box
+    # (first frame 0.9816, the >=0.98 static spec).
+    taa_clip_gamma_motion: float = 0.25
     # Motion saturation scale for the adaptive clip, output px/frame
     # (ops/taa.TAAConfig.clip_motion_px).
-    taa_clip_motion_px: float = 1.0
+    taa_clip_motion_px: float = 0.25
     # TAA current-frame blend weight floor (ops/taa.TAAConfig.blend_alpha):
     # lower = longer effective accumulation under motion.
     taa_blend_alpha: float = 0.1

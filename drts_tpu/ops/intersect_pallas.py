@@ -31,10 +31,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RAY_BLOCK = 2048      # lanes per grid program (multiple of 128). Measured
+import os as _os_rb
+
+RAY_BLOCK = int(_os_rb.environ.get("DRTS_RAY_BLOCK", "2048"))
+                      # lanes per grid program (multiple of 128). Measured
                       # best at 1080p: 4096 halves the ~5 us/program fixed
                       # cost but the (chunk, 4096) sweep temps pressure
-                      # VMEM and cost more than the floor saved.
+                      # VMEM and cost more than the floor saved. Env knob
+                      # for A/Bs only; shipping default stays 2048.
 SPHERE_CHUNK = 128    # sphere sublanes per inner step (multiple of 8)
 INF = float("inf")    # python literal — jnp constants can't be captured
                       # by a pallas kernel body

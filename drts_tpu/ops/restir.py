@@ -31,7 +31,7 @@ from flax import struct
 from ..utils import math as m
 from ..utils import rng as rng_mod
 from ..models.scene import SphereScene
-from . import bxdf, intersect, light as light_mod
+from . import bxdf, intersect, light as light_mod, restir_pallas
 
 
 @dataclasses.dataclass(frozen=True)
@@ -103,6 +103,15 @@ class ReSTIRConfig:
     # schedule changes: surface fields stream from HBM once for all
     # candidates and the one-hot row fetch becomes a single taller matmul.
     candidate_batch: bool = False
+    # Run all light-candidate RIS rounds in the fused Pallas kernel
+    # (ops/restir_pallas.py — DIInitialSampling.hlsl's in-register
+    # candidate loop, the TPU way): surface SoA streams into VMEM once,
+    # every candidate's slot select / light fetch / cone sample / BSDF
+    # eval / reservoir update runs there. Applies only to ReGIR_RIS mode
+    # on sphere-only scenes with the Pallas backend active (else the XLA
+    # loop runs). Same RNG draws and update order; float reassociation
+    # differs at the ulp level.
+    initial_kernel: bool = True
 
 
 @struct.dataclass
@@ -338,6 +347,39 @@ def _cell_of(grid: ReGIRGrid, position, n: int):
 # initial sampling (DIInitialSampling.hlsl)
 
 
+def _pack_surface_planar(surface: Surface):
+    """Surface -> the (24, N_pad) planar stream restir_pallas expects
+    (row layout = restir_pallas.ROW_*). Padded lanes carry valid = 0, so
+    their p_hat is 0 and the reservoir never takes."""
+    h, w = surface.depth.shape
+    n = h * w
+    blk = restir_pallas.RESTIR_BLOCK
+    n_pad = -(-n // blk) * blk
+
+    def fl(x):
+        x = x.reshape(-1).astype(jnp.float32)
+        if n_pad != n:
+            x = jnp.concatenate([x, jnp.zeros((n_pad - n,), jnp.float32)])
+        return x
+
+    sv, bs = surface.sv, surface.bsdf
+    rows = [
+        surface.position[..., 0], surface.position[..., 1],
+        surface.position[..., 2],
+        sv.shading_normal[..., 0], sv.shading_normal[..., 1],
+        sv.shading_normal[..., 2],
+        sv.front_geometric_normal[..., 0], sv.front_geometric_normal[..., 1],
+        sv.front_geometric_normal[..., 2],
+        surface.view[..., 0], surface.view[..., 1], surface.view[..., 2],
+        bs.base_color[..., 0], bs.base_color[..., 1], bs.base_color[..., 2],
+        bs.metallic, bs.roughness, bs.ior_i, bs.ior_o, bs.transmission,
+        surface.valid.astype(jnp.float32),
+        surface.lobe_weights[..., 0], surface.lobe_weights[..., 1],
+        surface.lobe_weights[..., 2],
+    ]
+    return jnp.stack([fl(r) for r in rows]), n, n_pad
+
+
 def initial_sampling(surface: Surface, scene: SphereScene,
                      lights: light_mod.Lights, grid: ReGIRGrid | None,
                      cfg: ReSTIRConfig, frame_index,
@@ -381,6 +423,16 @@ def initial_sampling(surface: Surface, scene: SphereScene,
     m_total = float(n_l + n_b)
 
     n_valid = jnp.sum((lights.compact[:, 7] > 0).astype(jnp.float32))
+
+    # Fused Pallas path (ops/restir_pallas.py): all light-candidate rounds
+    # in one VMEM-resident kernel; the kernel also returns the winner's
+    # direction/distance/source-object so the final visibility ray skips
+    # the _target_pdf re-fetch. Gated to the sphere-only ReGIR default.
+    use_kernel = (cfg.initial_kernel and n_l > 0
+                  and cfg.local_light_mode == "ReGIR_RIS"
+                  and not lights.has_triangles
+                  and intersect.pallas_enabled())
+    win_dir = win_dist = win_aux = None
 
     def pick_candidate(u_slot):
         """Candidate light id + RIS source weight from one uniform (works
@@ -426,7 +478,45 @@ def initial_sampling(surface: Surface, scene: SphereScene,
             wi = p_hat * w_cand
         return p_hat, wi
 
-    if cfg.candidate_batch and n_l > 0:
+    if use_kernel:
+        # Same RNG draws in the same order as the sequential loop below,
+        # streamed to the kernel as planar rows.
+        uni_rows = []
+        for _ in range(n_l):
+            u2, rng = rng_mod.next_floats(rng, 2)
+            uv, rng = rng_mod.next_floats(rng, 2)
+            uni_rows += [u2[..., 0], u2[..., 1], uv[..., 0], uv[..., 1]]
+        cand_all_f, w_all = m.unpack2f16(rows_all)      # (H, W, s) each
+        slot_rows = [cand_all_f[..., j] for j in range(s)] \
+            + [w_all[..., j] for j in range(s)]
+        surf_p, n_flat, n_pad = _pack_surface_planar(surface)
+
+        def fl(x):
+            x = x.reshape(-1).astype(jnp.float32)
+            if n_pad != n_flat:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((n_pad - n_flat,), jnp.float32)])
+            return x
+
+        uni_p = jnp.stack([fl(r) for r in uni_rows])
+        slots_p = jnp.stack([fl(r) for r in slot_rows])
+        out_f, out_i = restir_pallas.initial_light_candidates(
+            surf_p, uni_p, slots_p, lights.compact, n_l, s, n_b,
+            interpret=intersect.BACKEND == "interpret")
+
+        def unf(row):
+            return row[:n_flat].reshape(h, w)
+
+        res_uv = jnp.stack([unf(out_f[0]), unf(out_f[1])], axis=-1)
+        res_phat = unf(out_f[2])
+        w_sum = unf(out_f[3])
+        win_dir = jnp.stack([unf(out_f[4]), unf(out_f[5]), unf(out_f[6])],
+                            axis=-1)
+        win_dist = unf(out_f[7])
+        res_idx = unf(out_i[0])
+        win_aux = unf(out_i[1])
+        m_count = jnp.full((h, w), float(n_l), jnp.float32)
+    elif cfg.candidate_batch and n_l > 0:
         # One batched (n_l, H, W) evaluation: identical draws, update
         # order, and arithmetic as the sequential loop (bit-equal output)
         # — but surface fields stream once for all candidates and the n_l
@@ -544,6 +634,13 @@ def initial_sampling(surface: Surface, scene: SphereScene,
         res_idx = jnp.where(take, jnp.maximum(cand_b, 0), res_idx)
         res_uv = jnp.where(take[..., None], uv_b, res_uv)
         res_phat = jnp.where(take, p_hat_b, res_phat)
+        if win_dir is not None:
+            # Keep the winner's shading pieces current so the final
+            # visibility ray can skip the _target_pdf re-fetch.
+            win_dir = jnp.where(take[..., None], l_dir, win_dir)
+            win_dist = jnp.where(take, jnp.where(jnp.isfinite(light_t),
+                                                 light_t, 0.0), win_dist)
+            win_aux = jnp.where(take, krows.aux, win_aux)
 
     w_out = jnp.where(res_phat > 0,
                       w_sum / (jnp.maximum(m_count, 1.0)
@@ -552,12 +649,18 @@ def initial_sampling(surface: Surface, scene: SphereScene,
     # Initial visibility ray (DIInitialSampling final visibility test).
     # Dead where the reservoir is already worthless (sky pixels, empty
     # streams): the any-hit pass only pays for lanes whose bit is read.
-    _, direction, dist, _, _, _, _, rows = _target_pdf(surface, lights,
-                                                       res_idx, res_uv)
+    if win_dir is not None:
+        # Kernel path carried the winner's direction/distance/source id —
+        # no re-fetch / re-sampling needed.
+        direction, dist, excl = win_dir, win_dist, win_aux
+    else:
+        _, direction, dist, _, _, _, _, rows = _target_pdf(surface, lights,
+                                                           res_idx, res_uv)
+        excl = rows.aux
     origin = intersect.safe_spawn_point(surface.position,
                                         surface.sv.front_geometric_normal,
                                         direction)
-    occluded = _occluded(origin, direction, dist, scene, rows.aux,
+    occluded = _occluded(origin, direction, dist, scene, excl,
                          block_size, accel,
                          live=surface.valid & (w_out > 0))
     w_out = jnp.where(occluded | ~surface.valid, 0.0, w_out)

@@ -26,6 +26,21 @@ prof_sharc_update|3600|python tools/prof_sharc_update.py
 EOF
 }
 
+stage_r5_trace() {  # round-5: headline-trace structural levers (VERDICT #1)
+  cat <<'EOF'
+prof_trace5|14400|python tools/prof_trace5.py
+prof_trace5_rb4096|7200|DRTS_RAY_BLOCK=4096 python tools/prof_trace5.py b8 b1
+prof_trace5_rb8192|7200|DRTS_RAY_BLOCK=8192 python tools/prof_trace5.py b8 b1
+EOF
+}
+
+stage_r5b() {  # round-5: restir kernel A/B + deep-entry decomposition
+  cat <<'EOF'
+prof_restir_kernel|14400|python tools/prof_restir_kernel.py
+prof_deep_entry|7200|python tools/prof_deep_entry.py
+EOF
+}
+
 stage_bench() {  # the full driver benchmark (primes the compile cache)
   cat <<'EOF'
 bench|5400|python bench.py
