@@ -58,8 +58,15 @@ def _act(seed):
 
 
 def _mk(piece):
+    import dataclasses
     cfg = CFG_NOSORT if piece.endswith("_nosort") else CFG
     base = piece.replace("_nosort", "")
+    for impl in ("blocked_onehot", "two_level"):
+        suf = "_" + impl.split("_")[-1]         # _onehot / _level
+        if base.endswith(suf):
+            base = base[:-len(suf)]
+            cfg = dataclasses.replace(cfg, compact_impl=impl)
+            break
 
     @jax.jit
     def f(seed):
@@ -100,7 +107,8 @@ def _mk(piece):
 
 
 PIECES = ["src_nosort", "src", "gsel_nosort", "gsel", "to_space", "all",
-          "all_nosort"]
+          "all_nosort", "src_level_nosort", "src_level", "all_level",
+          "src_onehot_nosort"]
 
 
 def run(piece, iters=20):

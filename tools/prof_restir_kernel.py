@@ -49,9 +49,16 @@ VARIANTS = {
 def run(name, iters=8):
     cfg = restir.ReSTIRConfig(local_light_samples=8, **VARIANTS[name])
 
+    # Separate jits (grid build | initial sampling): the single fused
+    # program exceeded the axon tunnel's remote-compile body limit
+    # (HTTP 413) for the +BRDF variants. Grid cost is restir_prepare's,
+    # not restir_initial's, so timing only f matches the bench pass.
+    grid = jax.jit(lambda fi: restir.build_regir_grid(
+        lights, cam.position, cfg, fi))(0)
+    jax.block_until_ready(grid)
+
     @jax.jit
     def f(fi):
-        grid = restir.build_regir_grid(lights, cam.position, cfg, fi)
         res = restir.initial_sampling(surface, scene, lights, grid, cfg,
                                       fi, 32768, accel=accel)
         return res.w_out

@@ -55,6 +55,13 @@ VARIANTS = {
     "b8_cf1_nosort": dict(bounces=8, compact_from=1, compact_sort=False),
     "b8_cf1_tex1": dict(bounces=8, compact_from=1, texture_bounces=1),
     "b1_cf1": dict(bounces=1, compact_from=1),
+    # Round-5b: deep-segment levers (deep_while default ON — "b8" now
+    # measures it; nowhile is the r4 baseline).
+    "b8_nowhile": dict(bounces=8, compact_from=2, deep_while=False),
+    "b8_level": dict(bounces=8, compact_from=2,
+                     compact_impl="two_level"),
+    "b8_onehot": dict(bounces=8, compact_from=2,
+                      compact_impl="blocked_onehot"),
 }
 
 

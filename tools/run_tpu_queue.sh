@@ -41,6 +41,31 @@ prof_deep_entry|7200|python tools/prof_deep_entry.py
 EOF
 }
 
+stage_r5c() {  # round-5: deep-segment levers + restir 1b rerun + mesh conv
+  cat <<'EOF'
+prof_trace5b|14400|python tools/prof_trace5.py b8 b8_nowhile b8_level b8_onehot
+prof_restir_kernel2|10800|python tools/prof_restir_kernel.py kernel_8l_1b xla_8l_1b
+mesh_conv_t4b8|7200|python tools/bench_mesh.py 4 8
+mesh_noconv_t4b8|7200|DRTS_MESH_CONV=0 python tools/bench_mesh.py 4 8
+mesh_conv_c16|7200|DRTS_TRI_CHUNK=16 python tools/bench_mesh.py 4 8
+mesh_conv_c64|7200|DRTS_TRI_CHUNK=64 python tools/bench_mesh.py 4 8
+mesh_conv_cand2|7200|DRTS_MESH_CAND=2 python tools/bench_mesh.py 4 8
+EOF
+}
+
+stage_r5d() {  # round-5: device-trace ground truth for the b8 frame
+  cat <<'EOF'
+prof_device_trace|14400|python tools/prof_device_trace.py b8 b1
+EOF
+}
+
+stage_r5e() {  # round-5: frame-cost trades w/ fidelity guards + new splat
+  cat <<'EOF'
+prof_sharc_update2|3600|python tools/prof_sharc_update.py
+ab_frame_cost|14400|python tools/ab_frame_cost.py
+EOF
+}
+
 stage_bench() {  # the full driver benchmark (primes the compile cache)
   cat <<'EOF'
 bench|5400|python bench.py
