@@ -43,14 +43,19 @@ def reference_render(host, width: int, height: int, spp_total: int = 1024,
     scene = host.scene
     pos = host.camera_position if position is None else tuple(position)
     fwd = host.camera_forward if forward is None else tuple(forward)
-    plan = clusters.build_plan_morton(np.asarray(scene.center),
-                                      np.asarray(scene.radius),
-                                      max_members=32)
+    # Mesh-only scenes (as_mesh_scene) carry zero analytic spheres — the
+    # Morton sphere accel is meaningless there; trace_image builds its
+    # own instance tables per frame.
+    has_spheres = int(np.asarray(scene.center).shape[0]) > 0
+    plan = (clusters.build_plan_morton(np.asarray(scene.center),
+                                       np.asarray(scene.radius),
+                                       max_members=32)
+            if has_spheres else None)
     jitter_table = jnp.asarray(rng_mod.halton_jitter(64))
     cfg = pathtrace.PathTraceConfig(width=width, height=height,
                                     bounces=bounces, samples_per_pixel=1,
                                     block_size=block_size)
-    use_accel = jax.default_backend() == "tpu"
+    use_accel = jax.default_backend() == "tpu" and has_spheres
 
     # Accumulate on-device in chunks (a per-frame host pull is ~24 MB x spp
     # over the TPU tunnel).
@@ -83,7 +88,8 @@ def reference_render(host, width: int, height: int, spp_total: int = 1024,
 
 
 def realtime_render(host, width: int, height: int, frames: int = 64,
-                    settle: bool = True):
+                    settle: bool = True,
+                    pipeline_overrides: dict | None = None):
     """The full real-time pipeline after temporal history settles
     (static camera). Returns the final display-space frame and the pipeline
     for config introspection."""
@@ -98,7 +104,8 @@ def realtime_render(host, width: int, height: int, frames: int = 64,
         render_width=width, render_height=height,
         bounces=8, samples_per_pixel=1, upscaling=False,
         physics_enabled=False, block_size=32768,
-        bloom_enabled=False, sharpen_enabled=False)
+        bloom_enabled=False, sharpen_enabled=False,
+        **(pipeline_overrides or {}))
     pipe = pipeline_mod.RenderPipeline(cfg)
     state = pipe.init_state(host)
     pose = pipe.default_camera_pose(host)
@@ -237,11 +244,59 @@ def run_motion(width: int = 640, height: int = 360,
     }
 
 
+def run_mesh(width: int = 640, height: int = 360,
+             spp_reference: int = 256, frames_realtime: int = 64,
+             seed: int = 0, tessellation: int = 4,
+             load_textures: bool = True,
+             ref_cache: str | None = DEFAULT_REF_CACHE,
+             save_dir: str | None = None) -> dict:
+    """Static fidelity of the MESH-geometry path (VERDICT r4 #5b): the
+    demo scene rendered as 448 instanced geosphere BLASes — the
+    reference's actual workload (Source/Scene.ixx:225-284) — through the
+    full real-time pipeline, scored against its own converged reference.
+    Same contract as run(); only the geometry representation differs."""
+    from .models import myscene
+    from .ops import post
+    from .utils import image as image_mod
+    import jax.numpy as jnp
+
+    host = myscene.build(seed=seed, load_textures=load_textures)
+    mh = myscene.as_mesh_scene(host, tessellation=tessellation)
+    key = (f"mesh{tessellation}_s{seed}_t{int(load_textures)}"
+           f"_{width}x{height}_spp{spp_reference}")
+    ref_linear = _cached_reference(
+        ref_cache, key,
+        lambda: reference_render(mh, width, height, spp_reference))
+    ref_display = np.asarray(post.tonemap(jnp.asarray(ref_linear)))
+    _note(f"mesh static: reference ready; rendering {frames_realtime} "
+          "real-time frames...")
+    rt_display, pipe = realtime_render(mh, width, height, frames_realtime)
+    if save_dir:
+        import os
+        os.makedirs(save_dir, exist_ok=True)
+        image_mod.write_png(os.path.join(save_dir, "mesh_reference.png"),
+                            ref_display)
+        image_mod.write_png(os.path.join(save_dir, "mesh_realtime.png"),
+                            rt_display)
+    score = image_mod.ssim(rt_display, ref_display)
+    return {
+        "metric": "ssim_vs_reference_mesh",
+        "value": round(float(score), 4),
+        "unit": "SSIM",
+        "vs_baseline": round(float(score) / 0.98, 4),
+        "reference_spp": spp_reference,
+        "realtime_frames": frames_realtime,
+        "tessellation": tessellation,
+        "resolution": f"{width}x{height}",
+    }
+
+
 def run(width: int = 640, height: int = 360, spp_reference: int = 1024,
         frames_realtime: int = 64, seed: int = 0,
         load_textures: bool = True, save_dir: str | None = None,
         ref_cache: str | None = DEFAULT_REF_CACHE,
-        crosscheck_spp: int = 0) -> dict:
+        crosscheck_spp: int = 0,
+        pipeline_overrides: dict | None = None) -> dict:
     """Full fidelity evaluation; returns the metric dict."""
     from .models import myscene
     from .ops import post
@@ -257,7 +312,8 @@ def run(width: int = 640, height: int = 360, spp_reference: int = 1024,
     ref_display = np.asarray(post.tonemap(jnp.asarray(ref_linear)))
     _note(f"static: reference ready; rendering {frames_realtime} "
           "real-time frames...")
-    rt_display, pipe = realtime_render(host, width, height, frames_realtime)
+    rt_display, pipe = realtime_render(host, width, height, frames_realtime,
+                                       pipeline_overrides=pipeline_overrides)
     if save_dir:
         import os
         os.makedirs(save_dir, exist_ok=True)
@@ -303,20 +359,37 @@ def main():
     p.add_argument("--frames", type=int, default=64)
     p.add_argument("--motion", action="store_true",
                    help="moving-camera orbit sequence (min/mean SSIM)")
+    p.add_argument("--mesh", action="store_true",
+                   help="static fidelity of the instanced-mesh path")
     p.add_argument("--save", default=None,
                    help="directory to dump reference/realtime PNGs")
     p.add_argument("--crosscheck-spp", type=int, default=0,
                    help="also run the independent-tracer full-frame "
                         "crosscheck at 160x90 with this many spp")
+    p.add_argument("--record", default=None,
+                   help="merge the result into this JSON file keyed by "
+                        "metric name (bench.py embeds it in its record)")
     args = p.parse_args()
     if args.motion:
         result = run_motion(args.width, args.height,
                             min(args.spp, 256), args.frames,
                             save_dir=args.save)
+    elif args.mesh:
+        result = run_mesh(args.width, args.height, min(args.spp, 256),
+                          args.frames, save_dir=args.save)
     else:
         result = run(args.width, args.height, args.spp, args.frames,
                      save_dir=args.save,
                      crosscheck_spp=args.crosscheck_spp)
+    if args.record:
+        import os
+        rec = {}
+        if os.path.exists(args.record):
+            with open(args.record) as fh:
+                rec = json.load(fh)
+        rec[result["metric"]] = result
+        with open(args.record, "w") as fh:
+            json.dump(rec, fh, indent=1)
     print(json.dumps(result))
 
 

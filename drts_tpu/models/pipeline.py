@@ -139,6 +139,17 @@ class PipelineConfig:
     sharc: sharc_mod.SHARCConfig = dataclasses.field(
         default_factory=sharc_mod.SHARCConfig)
     sharc_downscale: int = 4
+    # Update-trace cadence: 1 = every frame (reference parity,
+    # Raytracing.ixx:114-148). N > 1 runs the downscaled update trace +
+    # splat + resolve only on frames where frame_index % N == 0 (under
+    # lax.cond — skip frames pay none of the ~38 ms update cost); the
+    # cache's 64-frame staleness window (Source/SHARC.ixx:24) tolerates
+    # the staler entries. Ship only with the ab_frame_cost SSIM guard.
+    sharc_update_period: int = 1
+    # Texture fetch cutoff bounce for the flagship trace (see
+    # ops/pathtrace.PathTraceConfig.texture_bounces; 1 = bounce-1
+    # material from constants, the measured ~6 ms trade).
+    texture_bounces: int = 2
 
     @classmethod
     def from_settings(cls, s: config_mod.GraphicsSettings,
@@ -495,6 +506,7 @@ class RenderPipeline:
             throughput_threshold=c.throughput_threshold,
             block_size=c.block_size,
             compact_from=c.compact_from,
+            texture_bounces=c.texture_bounces,
             sharc_query_from=c.sharc_query_from)
 
     def _stage_sharc(self, state, scene, cam, di_total, accel, frame_index):
@@ -505,10 +517,26 @@ class RenderPipeline:
             self._pt_cfg(),
             width=max(1, c.render_width // c.sharc_downscale),
             height=max(1, c.render_height // c.sharc_downscale))
-        new_sharc, counters = pathtrace.sharc_update_trace(
-            scene, cam, state.sharc, c.sharc, su_cfg, frame_index,
-            di_radiance=di_total, accel=accel)
-        return new_sharc, counters
+
+        def do(sharc_st):
+            return pathtrace.sharc_update_trace(
+                scene, cam, sharc_st, c.sharc, su_cfg, frame_index,
+                di_radiance=di_total, accel=accel)
+
+        if c.sharc_update_period <= 1:
+            return do(state.sharc)
+        # Cadence gate: the whole update subgraph under lax.cond — XLA
+        # executes only the taken branch, so skip frames pay nothing.
+        # Skip-frame counters are zeros (rates average over the cadence).
+        shapes = jax.eval_shape(do, state.sharc)
+
+        def skip(sharc_st):
+            return sharc_st, jax.tree.map(
+                lambda sh: jnp.zeros(sh.shape, sh.dtype), shapes[1])
+
+        return jax.lax.cond(
+            jnp.mod(frame_index, c.sharc_update_period) == 0, do, skip,
+            state.sharc)
 
     def _stage_trace(self, scene, cam, gbuf, sharc_state, di_total,
                      frame_index, accel):

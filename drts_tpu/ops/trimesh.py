@@ -80,6 +80,13 @@ class TriMesh:
     # vertex-motion G-buffer path, GBufferGeneration.hlsl:62-91
     # CalculateMotionVector meshMotionVectors). None = rigid.
     vertex_motion: jnp.ndarray = None
+    # Build-time convexity verdict + static object-space bounding radius:
+    # gates the Pallas kernels' back-facing-chunk cull (a convex closed
+    # mesh's closest hit from an outside origin is always front-facing;
+    # see trimesh_pallas.MESH_CONV). Static so the cull compiles away for
+    # non-convex meshes.
+    convex: bool = struct.field(pytree_node=False, default=False)
+    local_radius: float = struct.field(pytree_node=False, default=0.0)
 
 
 def _inscribed_radius(v0, e1, e2, faces) -> float:
@@ -162,7 +169,7 @@ def make_mesh(positions, normals, uvs, faces, tangents=None,
     v1 = positions[faces[:, 1]]
     v2 = positions[faces[:, 2]]
     e1, e2 = v1 - v0, v2 - v0
-    order, tri_tbl, tri_bounds, n_chunks = tp.build_mesh_tables(
+    order, tri_tbl, tri_bounds, n_chunks, convex = tp.build_mesh_tables(
         np.asarray(v0), np.asarray(e1), np.asarray(e2))
     order_j = jnp.asarray(order)
     r_ins = _inscribed_radius(np.asarray(v0), np.asarray(e1),
@@ -178,6 +185,9 @@ def make_mesh(positions, normals, uvs, faces, tangents=None,
         tri_tbl=jnp.asarray(tri_tbl), tri_bounds=jnp.asarray(tri_bounds),
         n_chunks=n_chunks,
         inscribed_radius=r_ins,
+        convex=convex,
+        local_radius=float(np.linalg.norm(np.asarray(positions),
+                                          axis=-1).max()),
         vertex_motion=(None if vertex_motion is None
                        else jnp.asarray(vertex_motion, jnp.float32)))
 
@@ -494,23 +504,28 @@ def _intersect_instances_pallas(origin, direction, t_min, t_max,
         _pack_for_mesh_kernel(origin, direction, t_min, t_max, mesh,
                               inst_position, inst_rotation, inst_scale,
                               sort_key=None if not MESH_SORT else cand)
+    conv = bool(mesh.convex) and tp.MESH_CONV
+    conv_r = float(mesh.local_radius)
     if MESH_CAND == 2:
         t_p, face_p, inst_p = tp.intersect_mesh_instances_cand_fused(
             rays, inst_tbl, inst_bounds, mesh.tri_bounds, mesh.tri_tbl,
             n_ic, tp.INST_CHUNK, mesh.n_chunks,
             mesh.tri_tbl.shape[0] // mesh.n_chunks,
-            iters=MESH_CAND_ITERS, interpret=interp)
+            iters=MESH_CAND_ITERS, interpret=interp, conv=conv,
+            conv_r=conv_r)
     elif MESH_CAND:
         t_p, face_p, inst_p = tp.intersect_mesh_instances_cand(
             rays, inst_tbl, inst_bounds, mesh.tri_bounds, mesh.tri_tbl,
             n_ic, tp.INST_CHUNK, mesh.n_chunks,
             mesh.tri_tbl.shape[0] // mesh.n_chunks,
-            iters=MESH_CAND_ITERS, interpret=interp)
+            iters=MESH_CAND_ITERS, interpret=interp, conv=conv,
+            conv_r=conv_r)
     else:
         t_p, face_p, inst_p = tp.intersect_mesh_instances(
             rays, inst_tbl, inst_bounds, mesh.tri_bounds, mesh.tri_tbl,
             n_ic, tp.INST_CHUNK, mesh.n_chunks,
-            mesh.tri_tbl.shape[0] // mesh.n_chunks, interpret=interp)
+            mesh.tri_tbl.shape[0] // mesh.n_chunks, interpret=interp,
+            conv=conv, conv_r=conv_r)
     # Kernel instance ids are sorted-table positions; map back.
     inst_p = jnp.maximum(order[jnp.minimum(inst_p, order.shape[0] - 1)], 0)
 

@@ -31,6 +31,7 @@ O(rays x faces).
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -41,8 +42,53 @@ from jax.experimental.pallas import tpu as pltpu
 from .intersect_pallas import (INF_BITS, RAY_BLOCK, _bundle_summary,
                                _pos_bits)
 
-TRI_CHUNK = 64        # triangle sublanes per inner step (multiple of 8)
+# Triangle sublanes per inner step (multiple of 8). Env knob for A/B:
+# smaller chunks = finer cull granularity but a longer unrolled chunk loop.
+TRI_CHUNK = int(_os.environ.get("DRTS_TRI_CHUNK", "64"))
 INST_CHUNK = 16       # instances per TLAS chunk (scalar cull granularity)
+# Convexity chunk cull (VERDICT r5 item #5): on a closed CONVEX mesh, a
+# ray whose origin is outside the body always hits a FRONT-facing
+# triangle first (the entry point of the convex interval), so BLAS
+# chunks whose whole normal cone is back-facing to the whole ray-bundle
+# direction cone cannot contain the closest hit and are skipped.
+# Origin-inside rays (glass transmission interiors) keep the full sweep
+# via the |o_local| > R + tmin guard. DRTS_MESH_CONV=0 reverts.
+MESH_CONV = _os.environ.get("DRTS_MESH_CONV", "1") != "0"
+
+
+def _conv_ok_scalar(sel, olx, oly, olz, tmn_l, coherent, conv_r):
+    """Scalar gate for the convexity chunk cull over one candidate
+    instance: every selected lane's object-space origin must sit outside
+    the mesh bound with a tmin margin (entry t is then guaranteed to be
+    >= tmin: entry >= |o_l| - R for unit local direction), and the local
+    direction bundle must be a valid cone. With the margin, skipping
+    back-facing chunks is exact for closest-hit — the front-facing entry
+    always exists in [tmin, tmax] whenever any back-face exit would."""
+    oo_l = olx * olx + oly * oly + olz * olz
+    tmn_max = jnp.max(tmn_l)            # tmn_l is 0 on unselected lanes
+    min_o2 = jnp.min(jnp.where(sel, oo_l, 1e30))
+    margin = conv_r + tmn_max
+    return coherent & (min_o2 > margin * margin)
+
+
+def _conv_backface(tbounds_ref, c, axl, ayl, azl, cmin, sin_c, conv_ok):
+    """Scalar chunk back-facing test: min over (normal-cone x direction-
+    cone) pairs of n.d is cos(angle(an, a) + theta + phi); the chunk is
+    skippable when that total angle < 90 deg (all normals strictly
+    back-facing for all bundle rays). Angle sums accumulate via the
+    addition identities; the ca>0 / c1>0 guards keep each partial sum
+    below 90 deg so the final cosine test is monotone."""
+    cnx = tbounds_ref[4, c]
+    cny = tbounds_ref[5, c]
+    cnz = tbounds_ref[6, c]
+    ct = tbounds_ref[7, c]
+    st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+    ca = cnx * axl + cny * ayl + cnz * azl
+    sa = jnp.sqrt(jnp.maximum(1.0 - ca * ca, 0.0))
+    c1 = ca * ct - sa * st
+    s1 = sa * ct + ca * st
+    c2 = c1 * cmin - s1 * sin_c
+    return conv_ok & (ca > 0.0) & (c1 > 0.0) & (c2 > 1e-4)
 
 
 def _quat_conj_rotate_rows(qx, qy, qz, qw, vx, vy, vz):
@@ -63,7 +109,8 @@ def _quat_conj_rotate_rows(qx, qy, qz, qw, vx, vy, vz):
 def _mesh_kernel(rays_ref, inst_ref, ibounds_ref, tbounds_ref, tri_ref,
                  packed_ref, inst_out_ref, best_s, prev_s, binst_s, *,
                  n_ichunks: int, inst_chunk: int,
-                 n_chunks: int, chunk: int, pos_bits: int):
+                 n_chunks: int, chunk: int, pos_bits: int,
+                 conv: bool, conv_r: float):
     ox = rays_ref[0:1, :]
     oy = rays_ref[1:2, :]
     oz = rays_ref[2:3, :]
@@ -147,6 +194,11 @@ def _mesh_kernel(rays_ref, inst_ref, ibounds_ref, tbounds_ref, tri_ref,
                 mlx, mly, mlz = mlx * inv_s, mly * inv_s, mlz * inv_s
                 alx, aly, alz = rot_scalar(axw, ayw, azw)
                 orad_l = orad * inv_s
+                if conv:
+                    conv_ok = _conv_ok_scalar(
+                        live, olx, oly, olz,
+                        jnp.where(live, tmin, 0.0) * inv_s, coherent,
+                        conv_r)
 
                 def visit_chunk(c, _):
                     bx = tbounds_ref[0, c]
@@ -166,6 +218,10 @@ def _mesh_kernel(rays_ref, inst_ref, ibounds_ref, tbounds_ref, tri_ref,
                     far2 = jnp.sqrt(dd2) - er2 > t_done_now() * inv_s
                     possible2 = jnp.logical_not(
                         (coherent & (out2 | behind2)) | far2)
+                    if conv:
+                        possible2 = possible2 & jnp.logical_not(
+                            _conv_backface(tbounds_ref, c, alx, aly, alz,
+                                           cmin, sin_c, conv_ok))
 
                     @pl.when(possible2)
                     def _():
@@ -249,19 +305,22 @@ def _mesh_kernel(rays_ref, inst_ref, ibounds_ref, tbounds_ref, tri_ref,
 
 @functools.partial(jax.jit, static_argnames=("n_ichunks", "inst_chunk",
                                              "n_chunks", "chunk",
-                                             "interpret"))
+                                             "interpret", "conv",
+                                             "conv_r"))
 def intersect_mesh_instances(rays_planar, inst_tbl, inst_bounds, tri_bounds,
                              tri_tbl, n_ichunks: int, inst_chunk: int,
                              n_chunks: int, chunk: int,
-                             interpret=False):
+                             interpret=False, conv=False, conv_r=0.0):
     """Instanced-mesh closest hit.
 
     rays_planar: (8, N) planar rays, tmin >= 0; inst_tbl: (9, M_pad) SMEM
     instance scalars [px py pz qx qy qz qw inv_scale world_bound_radius]
     in Morton-grouped, chunk-distance-ordered order (make_inst_tables);
     inst_bounds: (4, IC_pad) world-space instance-chunk bounds (SMEM);
-    tri_bounds: (4, C_pad) object-space chunk bounds (SMEM); tri_tbl:
-    (F_pad, 9) Morton-ordered object-space [v0 e1 e2] rows.
+    tri_bounds: (8, C_pad) object-space chunk bounds + normal cones
+    (SMEM); tri_tbl: (F_pad, 9) Morton-ordered object-space [v0 e1 e2]
+    rows. conv/conv_r (static): enable the convexity back-face chunk cull
+    with the mesh's object-space bounding radius (see MESH_CONV).
     Returns (t (N,) mantissa-truncated, face (N,) i32, instance (N,) i32 —
     positions in the SORTED table; map back via the builder's order array).
     """
@@ -273,7 +332,8 @@ def intersect_mesh_instances(rays_planar, inst_tbl, inst_bounds, tri_bounds,
     packed, inst = pl.pallas_call(
         functools.partial(_mesh_kernel, n_ichunks=n_ichunks,
                           inst_chunk=inst_chunk, n_chunks=n_chunks,
-                          chunk=chunk, pos_bits=pos_bits),
+                          chunk=chunk, pos_bits=pos_bits,
+                          conv=conv, conv_r=conv_r),
         out_shape=(jax.ShapeDtypeStruct((1, n), jnp.int32),
                    jax.ShapeDtypeStruct((1, n), jnp.int32)),
         grid=grid,
@@ -284,7 +344,7 @@ def intersect_mesh_instances(rays_planar, inst_tbl, inst_bounds, tri_bounds,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((4, inst_bounds.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((4, tri_bounds.shape[1]), lambda i: (0, 0),
+            pl.BlockSpec((8, tri_bounds.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(tri_tbl.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -611,7 +671,7 @@ def _shared_blas_kernel(rays_ref, cand_ref, best_in_ref, binst_in_ref,
                         inst_ref, tbounds_ref, tri_ref,
                         best_out_ref, binst_out_ref, bobj_s, *,
                         m_pad: int, n_chunks: int, chunk: int,
-                        pos_bits: int):
+                        pos_bits: int, conv: bool, conv_r: float):
     """One candidate-instance BLAS sweep per lane: every live lane tests
     the SHARED object-space triangle table against its own candidate
     instance (cand_ref, sorted-table position; >= m_pad = dead). The block
@@ -677,6 +737,9 @@ def _shared_blas_kernel(rays_ref, cand_ref, best_in_ref, binst_in_ref,
                 bundle = _bundle_summary(olx, oly, olz, dlx, dly, dlz, sel)
                 (mx, my, mz, orad, axl, ayl, azl, cmin, sin_c,
                  coherent) = bundle
+                if conv:
+                    conv_ok = _conv_ok_scalar(sel, olx, oly, olz, tmn_l,
+                                              coherent, conv_r)
 
                 bobj_s[:, :] = jnp.full(ox.shape, INF_BITS, jnp.int32)
                 for c in range(n_chunks):
@@ -698,6 +761,10 @@ def _shared_blas_kernel(rays_ref, cand_ref, best_in_ref, binst_in_ref,
                     far = jnp.sqrt(d2) - er > t_done
                     possible = jnp.logical_not(
                         (coherent & (outside | behind)) | far)
+                    if conv:
+                        possible = possible & jnp.logical_not(
+                            _conv_backface(tbounds_ref, c, axl, ayl, azl,
+                                           cmin, sin_c, conv_ok))
 
                     @pl.when(possible)
                     def _():
@@ -762,10 +829,12 @@ def _mt_chunk(tri_ref, s0, chunk, olx, oly, olz, dlx, dly, dlz,
 
 
 @functools.partial(jax.jit, static_argnames=("m_pad", "n_chunks", "chunk",
-                                             "interpret"))
+                                             "interpret", "conv",
+                                             "conv_r"))
 def shared_blas_sweep(rays_planar, cand, best_in, binst_in, inst_tbl,
                       tri_bounds, tri_tbl, m_pad: int, n_chunks: int,
-                      chunk: int, interpret=False):
+                      chunk: int, interpret=False, conv=False,
+                      conv_r=0.0):
     """One candidate iteration: trace each lane's candidate instance's
     shared BLAS (see _shared_blas_kernel). Returns (best_packed_world,
     best_inst_pos), both (1, N) i32, folded over the incoming best."""
@@ -776,7 +845,8 @@ def shared_blas_sweep(rays_planar, cand, best_in, binst_in, inst_tbl,
     return pl.pallas_call(
         functools.partial(_shared_blas_kernel, m_pad=m_pad,
                           n_chunks=n_chunks, chunk=chunk,
-                          pos_bits=_pos_bits(f_pad)),
+                          pos_bits=_pos_bits(f_pad),
+                          conv=conv, conv_r=conv_r),
         grid=grid,
         in_specs=[
             pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i),
@@ -789,7 +859,7 @@ def shared_blas_sweep(rays_planar, cand, best_in, binst_in, inst_tbl,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, inst_tbl.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((4, tri_bounds.shape[1]), lambda i: (0, 0),
+            pl.BlockSpec((8, tri_bounds.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((f_pad, 9), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -983,7 +1053,8 @@ def _cand_fused_kernel(rays_ref, inst_ref, ibounds_ref, bscanT_ref,
                        tbounds_ref, tri_ref, best_ref, binst_ref, key_ref,
                        cursor_s, bobj_s, *, iters: int, m_tbl: int,
                        n_ichunks: int, inst_chunk: int, n_chunks: int,
-                       chunk: int, pos_bits: int, bs_pos_bits: int):
+                       chunk: int, pos_bits: int, bs_pos_bits: int,
+                       conv: bool, conv_r: float):
     """Fused candidate-iteration closest hit: the bound scan, the
     per-candidate shared-BLAS sweep, and the front-to-back iteration all
     run inside ONE kernel launch, so resolved blocks exit early instead of
@@ -1124,6 +1195,10 @@ def _cand_fused_kernel(rays_ref, inst_ref, ibounds_ref, bscanT_ref,
                         (mx, my, mz, orad, axl, ayl, azl, cmin, sin_c,
                          coherent) = _bundle_summary(olx, oly, olz, dlx,
                                                      dly, dlz, sel)
+                        if conv:
+                            conv_ok = _conv_ok_scalar(sel, olx, oly, olz,
+                                                      tmn_l, coherent,
+                                                      conv_r)
 
                         bobj_s[:, :] = jnp.full(ox.shape, INF_BITS,
                                                 jnp.int32)
@@ -1147,6 +1222,11 @@ def _cand_fused_kernel(rays_ref, inst_ref, ibounds_ref, bscanT_ref,
                             far = jnp.sqrt(d2) - er > t_done
                             possible = jnp.logical_not(
                                 (coherent & (outside | behind)) | far)
+                            if conv:
+                                possible = possible & jnp.logical_not(
+                                    _conv_backface(tbounds_ref, c, axl,
+                                                   ayl, azl, cmin, sin_c,
+                                                   conv_ok))
 
                             @pl.when(possible)
                             def _():
@@ -1177,11 +1257,12 @@ def _cand_fused_kernel(rays_ref, inst_ref, ibounds_ref, bscanT_ref,
 
 @functools.partial(jax.jit, static_argnames=("iters", "m_tbl", "n_ichunks",
                                              "inst_chunk", "n_chunks",
-                                             "chunk", "interpret"))
+                                             "chunk", "interpret",
+                                             "conv", "conv_r"))
 def cand_fused(rays_planar, inst_tbl, inst_bounds, bscan_tblT, tri_bounds,
                tri_tbl, iters: int, m_tbl: int, n_ichunks: int,
                inst_chunk: int, n_chunks: int, chunk: int,
-               interpret=False):
+               interpret=False, conv=False, conv_r=0.0):
     """One-launch fused candidate iteration (see _cand_fused_kernel).
     Returns (best_packed_world, best_inst_pos, final_key), each (1, N)."""
     n = rays_planar.shape[1]
@@ -1194,7 +1275,8 @@ def cand_fused(rays_planar, inst_tbl, inst_bounds, bscan_tblT, tri_bounds,
                           n_ichunks=n_ichunks, inst_chunk=inst_chunk,
                           n_chunks=n_chunks, chunk=chunk,
                           pos_bits=_pos_bits(f_pad),
-                          bs_pos_bits=_pos_bits(m_pad)),
+                          bs_pos_bits=_pos_bits(m_pad),
+                          conv=conv, conv_r=conv_r),
         grid=grid,
         in_specs=[
             pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i),
@@ -1205,7 +1287,7 @@ def cand_fused(rays_planar, inst_tbl, inst_bounds, bscan_tblT, tri_bounds,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((m_pad, 4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, tri_bounds.shape[1]), lambda i: (0, 0),
+            pl.BlockSpec((8, tri_bounds.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((f_pad, 9), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1250,7 +1332,8 @@ def intersect_mesh_instances_cand_fused(rays_planar, inst_tbl, inst_bounds,
                                         tri_bounds, tri_tbl,
                                         n_ichunks: int, inst_chunk: int,
                                         n_chunks: int, chunk: int,
-                                        iters: int = 6, interpret=False):
+                                        iters: int = 6, interpret=False,
+                                        conv=False, conv_r=0.0):
     """Single-launch fused variant of intersect_mesh_instances_cand (see
     _cand_fused_kernel); same contract."""
     m_tbl = inst_tbl.shape[1]
@@ -1260,7 +1343,7 @@ def intersect_mesh_instances_cand_fused(rays_planar, inst_tbl, inst_bounds,
     best, binst, key = cand_fused(
         rays_planar, inst_tbl, inst_bounds, bscan, tri_bounds, tri_tbl,
         iters, m_tbl, n_ichunks, inst_chunk, n_chunks, chunk,
-        interpret=interpret)
+        interpret=interpret, conv=conv, conv_r=conv_r)
 
     t_w = jax.lax.bitcast_convert_type(best & trunc_f, jnp.float32)
     unresolved = key < INF_BITS
@@ -1269,7 +1352,8 @@ def intersect_mesh_instances_cand_fused(rays_planar, inst_tbl, inst_bounds,
         rays_planar[6:7, :] - 1.0))
     t_fb, face_fb, inst_fb = intersect_mesh_instances(
         rays_fb, inst_tbl, inst_bounds, tri_bounds, tri_tbl, n_ichunks,
-        inst_chunk, n_chunks, chunk, interpret=interpret)
+        inst_chunk, n_chunks, chunk, interpret=interpret, conv=conv,
+        conv_r=conv_r)
 
     t_w1 = t_w[0]
     face = (best & ~trunc_f)[0]
@@ -1286,7 +1370,8 @@ def intersect_mesh_instances_cand(rays_planar, inst_tbl, inst_bounds,
                                   tri_bounds, tri_tbl, n_ichunks: int,
                                   inst_chunk: int, n_chunks: int,
                                   chunk: int, iters: int = 6,
-                                  interpret=False):
+                                  interpret=False, conv=False,
+                                  conv_r=0.0):
     """Candidate-iteration instanced closest hit: front-to-back TLAS
     enumeration (bound_scan) + dense shared-BLAS sweeps, with the serial
     per-block instance walk (intersect_mesh_instances) only as the exact
@@ -1319,7 +1404,8 @@ def intersect_mesh_instances_cand(rays_planar, inst_tbl, inst_bounds,
         cand = jnp.where(key < INF_BITS, key & pos_mask, m_tbl)
         best, binst = shared_blas_sweep(
             rays_cur, cand, best, binst, inst_tbl, tri_bounds, tri_tbl,
-            m_tbl, n_chunks, chunk, interpret=interpret)
+            m_tbl, n_chunks, chunk, interpret=interpret, conv=conv,
+            conv_r=conv_r)
         cursor = key
         rays_cur = tighten(best)
 
@@ -1333,7 +1419,8 @@ def intersect_mesh_instances_cand(rays_planar, inst_tbl, inst_bounds,
         jnp.where(unresolved, rays_cur[7:8, :], rays_cur[6:7, :] - 1.0))
     t_fb, face_fb, inst_fb = intersect_mesh_instances(
         rays_fb, inst_tbl, inst_bounds, tri_bounds, tri_tbl, n_ichunks,
-        inst_chunk, n_chunks, chunk, interpret=interpret)
+        inst_chunk, n_chunks, chunk, interpret=interpret, conv=conv,
+        conv_r=conv_r)
 
     t_w = jax.lax.bitcast_convert_type(best & trunc_f, jnp.float32)[0]
     face = (best & ~trunc_f)[0]
@@ -1350,8 +1437,11 @@ def build_mesh_tables(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
                       chunk: int = TRI_CHUNK):
     """Host-side BLAS build: Morton-order faces by centroid, pad to a chunk
     multiple with degenerate rows (e1 = e2 = 0 never hit), compute
-    per-chunk bounding spheres. Returns (order (F,), tri_tbl (F_pad, 9),
-    tri_bounds (4, C_pad), n_chunks). Runs once per mesh (numpy)."""
+    per-chunk bounding spheres + outward normal cones, and detect mesh
+    convexity (consistent winding + every vertex behind every face plane).
+    Returns (order (F,), tri_tbl (F_pad, 9), tri_bounds (8, C_pad)
+    [rows 0-3 center/radius, rows 4-7 outward-normal cone axis/min-cos],
+    n_chunks, convex). Runs once per mesh (numpy)."""
     from ..models.clusters import _morton3
 
     f = v0.shape[0]
@@ -1367,8 +1457,40 @@ def build_mesh_tables(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
     tbl[:f, 3:6] = e1[order]
     tbl[:f, 6:9] = e2[order]
 
+    # Convexity + winding orientation (float64 for the plane tests).
+    v0o = tbl[:f, 0:3].astype(np.float64)
+    e1o = tbl[:f, 3:6].astype(np.float64)
+    e2o = tbl[:f, 6:9].astype(np.float64)
+    n_vec = np.cross(e1o, e2o)
+    nn = np.linalg.norm(n_vec, axis=1)
+    good = nn > 1e-12
+    convex = False
+    un_rows = np.zeros((f_pad, 3), np.float32)   # outward unit normals
+    if good.any():
+        unit = n_vec[good] / nn[good][:, None]
+        ctr_mesh = cent.mean(axis=0)
+        cgood = (v0o + (e1o + e2o) / 3.0)[good]
+        side = np.einsum("fi,fi->f", unit, cgood - ctr_mesh)
+        sgn = 1.0 if (side > 0).all() else (-1.0 if (side < 0).all()
+                                            else 0.0)
+        if sgn != 0.0:
+            pts_all = np.concatenate([v0o, v0o + e1o, v0o + e2o])
+            scale = np.abs(pts_all).max() + 1e-9
+            # Dedup corners (grid-snap) to keep the (V, F) test small.
+            key = np.round(pts_all / (scale * 1e-6)).astype(np.int64)
+            _, uniq = np.unique(key, axis=0, return_index=True)
+            pts = pts_all[uniq]
+            d = pts @ (sgn * unit).T \
+                - np.einsum("fi,fi->f", sgn * unit, v0o[good])
+            convex = bool(d.max() <= 1e-5 * scale)
+            if convex:
+                un_rows[:f][good] = (sgn * unit).astype(np.float32)
+
     n_chunks = f_pad // chunk
-    bounds = np.zeros((4, -(-n_chunks // 8) * 8), np.float32)
+    bounds = np.zeros((8, -(-n_chunks // 8) * 8), np.float32)
+    bounds[7, :] = -1.0                 # full-spread cone: never culled
+    valid_rows = np.zeros(f_pad, bool)
+    valid_rows[:f] = good
     for c in range(n_chunks):
         rows = tbl[c * chunk:(c + 1) * chunk]
         pts = np.concatenate([rows[:, 0:3],
@@ -1377,7 +1499,16 @@ def build_mesh_tables(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
         ctr = pts.mean(axis=0)
         bounds[0:3, c] = ctr
         bounds[3, c] = np.sqrt(((pts - ctr) ** 2).sum(-1)).max() + 1e-5
-    return order, tbl, bounds, n_chunks
+        vr = valid_rows[c * chunk:(c + 1) * chunk]
+        if convex and vr.any():
+            nrm = un_rows[c * chunk:(c + 1) * chunk][vr]
+            an = nrm.mean(axis=0)
+            ln = np.linalg.norm(an)
+            if ln > 1e-6:
+                an = an / ln
+                bounds[4:7, c] = an
+                bounds[7, c] = max(float((nrm @ an).min()) - 1e-6, -1.0)
+    return order, tbl, bounds, n_chunks, convex
 
 
 def _spread_bits(v):

@@ -407,3 +407,83 @@ def test_candidate_fused_matches_serial(monkeypatch):
     same = (np.asarray(serial.instance)[both]
             == np.asarray(fused.instance)[both])
     assert same.mean() > 0.99, same.mean()
+
+
+def test_convexity_detection_and_cone_tables():
+    """build_mesh_tables must flag the geosphere convex with outward
+    per-chunk normal cones, and refuse convexity for a non-convex mesh
+    (two disjoint triangles cannot pass the closed-manifold plane test)."""
+    from drts_tpu.ops import trimesh_pallas as tp
+
+    mesh = _unit_geosphere(3)
+    assert mesh.convex
+    assert abs(mesh.local_radius - 1.0) < 1e-3
+    b = np.asarray(mesh.tri_bounds)
+    assert b.shape[0] == 8
+    for c in range(mesh.n_chunks):
+        an = b[4:7, c]
+        ln = np.linalg.norm(an)
+        assert abs(ln - 1.0) < 1e-4          # unit cone axis
+        # Outward: axis points away from the origin-centered sphere, i.e.
+        # roughly along the chunk centroid direction.
+        ctr = b[0:3, c]
+        assert float(an @ (ctr / (np.linalg.norm(ctr) + 1e-9))) > 0.3
+        assert -1.0 <= b[7, c] <= 1.0
+
+    # Non-convex: a saddle-ish open sheet (not a closed manifold either).
+    v0 = np.array([[0, 0, 0], [2, 0, 0]], np.float32)
+    e1 = np.array([[1, 0, 0], [1, 0, 0]], np.float32)
+    e2 = np.array([[0, 1, 0], [0, 1, 1]], np.float32)
+    *_, convex = tp.build_mesh_tables(v0, e1, e2)
+    assert not convex
+
+
+def test_convex_cull_interior_rays_match_reference(monkeypatch):
+    """Transmission-style rays with origins INSIDE a geosphere instance
+    must keep the full chunk sweep (the |o_local| > R guard): back-face
+    exits are their closest hits, and the convexity cull must not change
+    them. Compares the Pallas candidate path (cull ON) against the
+    portable XLA sweep."""
+    mesh = _unit_geosphere(3)
+    assert mesh.convex
+    rng = np.random.RandomState(3)
+    k = 6
+    pos = rng.randn(k, 3).astype(np.float32) * 5
+    scale = (0.8 + rng.rand(k)).astype(np.float32)
+    rot = m.normalize(jnp.asarray(rng.randn(k, 4), jnp.float32))
+    n = 256
+    which = rng.randint(0, k, n)
+    # Origins strictly inside their instance (|o_local| ~ 0.5 R).
+    off = rng.randn(n, 3)
+    off /= np.linalg.norm(off, axis=1, keepdims=True)
+    o = pos[which] + off * (0.5 * scale[which][:, None])
+    d = m.normalize(jnp.asarray(rng.randn(n, 3), jnp.float32))
+    o = jnp.asarray(o)
+    tmin = jnp.full((n,), 1e-3)
+    tmax = jnp.full((n,), 1e9)
+
+    old = intersect.BACKEND
+    intersect.BACKEND = "xla"
+    try:
+        ref = trimesh.intersect_instances(o, d, tmin, tmax, mesh,
+                                          jnp.asarray(pos), rot,
+                                          jnp.asarray(scale))
+    finally:
+        intersect.BACKEND = old
+    intersect.BACKEND = "interpret"
+    try:
+        monkeypatch.setattr(trimesh, "MESH_CAND", True)
+        got = trimesh.intersect_instances(o, d, tmin, tmax, mesh,
+                                          jnp.asarray(pos), rot,
+                                          jnp.asarray(scale))
+    finally:
+        intersect.BACKEND = old
+    hit_r = np.asarray(ref.hit)
+    hit_g = np.asarray(got.hit)
+    # Interior origins always exit through the instance: every ray hits.
+    assert hit_r.all()
+    assert (hit_r == hit_g).mean() > 0.995, (hit_r != hit_g).sum()
+    both = hit_r & hit_g
+    np.testing.assert_allclose(np.asarray(got.t)[both],
+                               np.asarray(ref.t)[both], rtol=1e-3,
+                               atol=1e-4)

@@ -53,6 +53,25 @@ mesh_conv_cand2|7200|DRTS_MESH_CAND=2 python tools/bench_mesh.py 4 8
 EOF
 }
 
+stage_r5f() {  # round-5 session 2: measurement priority order (cold cache)
+  cat <<'EOF'
+prof_deep_entry|7200|python tools/prof_deep_entry.py
+prof_trace5a|14400|python tools/prof_trace5.py b8 b8_level b8_onehot
+prof_restir_kernel|14400|python tools/prof_restir_kernel.py
+EOF
+}
+
+stage_r5g() {  # round-5 session 2: CLI verify + mesh convexity-cull A/Bs
+  cat <<'EOF'
+verify_smoke|1800|python -m drts_tpu.app --width 160 --height 92 --bounces 3 --no-denoise render --frames 2 --out-dir /tmp/tpuq_r5g/out
+mesh_conv_8b|7200|python tools/bench_mesh.py 4 8
+mesh_noconv_8b|7200|DRTS_MESH_CONV=0 python tools/bench_mesh.py 4 8
+mesh_conv_2b|5400|python tools/bench_mesh.py 4 2
+mesh_conv_c32|7200|DRTS_TRI_CHUNK=32 python tools/bench_mesh.py 4 8
+mesh_conv_c16|7200|DRTS_TRI_CHUNK=16 python tools/bench_mesh.py 4 8
+EOF
+}
+
 stage_r5d() {  # round-5: device-trace ground truth for the b8 frame
   cat <<'EOF'
 prof_device_trace|14400|python tools/prof_device_trace.py b8 b1
