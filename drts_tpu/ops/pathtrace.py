@@ -120,6 +120,16 @@ class PathTraceConfig:
     # (octant, tile, pixel) grouping (tools/sim_sort_cull.py). The deep
     # segment (~174k slots) keeps the key sort.
     compact_sort_partition_min: int = 500_000
+    # Slot-gather schedule for the compacted segment's state pull
+    # (_compact_slots gsel): "direct" gathers each state array at the
+    # sorted slot order (random rows into the 2M-row tables); "mono"
+    # gathers at the MONOTONE compaction-rank order (coherent big-table
+    # reads) and applies the coherence sort afterwards as a second
+    # (cap,)-row gather from the small rank-ordered intermediate (which
+    # fits scoped memory). Identical results — pure gather algebra
+    # (src_sorted[p] = src_rank[perm[p]]); only the memory schedule
+    # differs.
+    compact_gsel: str = "direct"
     # First bounce that queries the SHARC cache (reference queries from
     # bounce 1, Raytracing.hlsl:261-291). Bounce-1 queries run DENSE over
     # the full frame (~13 ms at 1080p: cache_key + packed-mirror gather on
@@ -341,6 +351,7 @@ def _compact_slots(act, l_dir_flat, pixel_ids, cfg, cap: int,
     # carry a sentinel key and stay packed at the tail (whole-block dead
     # skip). perm[s] = the slot's pre-sort position, used to un-permute the
     # contribution buffer so the final per-pixel read stays monotone.
+    src_pre = src          # rank-ordered src (before the coherence sort)
     perm = None
     if cfg.compact_sort:
         d = l_dir_flat
@@ -391,10 +402,18 @@ def _compact_slots(act, l_dir_flat, pixel_ids, cfg, cap: int,
     # Per-array slot gathers (each with one appended dead row). Narrow
     # gathers of 1-3 columns cost the same bytes as the former 11-wide
     # concat gather but skip the concat's full extra copy of the state.
+    # compact_gsel="mono": pull from the big table at the MONOTONE rank
+    # order, then apply the coherence sort as a (cap,)-row gather from the
+    # small intermediate (see PathTraceConfig.compact_gsel).
+    mono = cfg.compact_gsel == "mono" and perm is not None
+    idx_pre = jnp.minimum(src_pre, ns) if mono else None
+
     def gsel(x_flat, dead):
         ext = jnp.concatenate(
             [x_flat, jnp.asarray(dead, x_flat.dtype).reshape(
                 (1,) + x_flat.shape[1:])])
+        if mono:
+            return ext[idx_pre][perm]
         return ext[idx]
 
     return {"src": src, "slot_live": slot_live,

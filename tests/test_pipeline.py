@@ -234,3 +234,35 @@ def test_debug_views_render():
         img = np.asarray(img)
         assert np.isfinite(img).all(), view
         assert img.std() > 1e-3, view  # not a flat/black frame
+
+
+def test_sharc_update_period_skips_frames():
+    """sharc_update_period=2 must leave the SHARC cache bit-identical on
+    skip frames (the lax.cond gate) while update frames still mutate it
+    (Raytracing.ixx:114-148 cadence trade, guarded by ab_frame_cost)."""
+    import dataclasses
+
+    pipe0, host = _tiny_pipeline()
+    pipe = pipeline.RenderPipeline(
+        dataclasses.replace(pipe0.cfg, sharc_update_period=2))
+    state = pipe.init_state(host)
+    pose = pipe.default_camera_pose(host)
+    step = jax.jit(lambda s, p: pipe.render_frame(s, p, 1.0 / 60.0))
+
+    def snap(st):
+        return jax.tree.map(np.asarray, (st.sharc.fingerprint,
+                                         st.sharc.radiance,
+                                         st.sharc.sample_count))
+
+    # frame_index 0: update runs (0 % 2 == 0).
+    s0 = snap(state)
+    state, _ = step(state, pose)
+    s1 = snap(state)
+    changed = any((a != b).any() for a, b in zip(s0, s1))
+    assert changed, "update frame must mutate the cache"
+    # frame_index 1: skip — cache must be bit-identical.
+    state2, img = step(state, pose)
+    s2 = snap(state2)
+    for a, b in zip(s1, s2):
+        np.testing.assert_array_equal(a, b)
+    assert np.isfinite(np.asarray(img)).all()

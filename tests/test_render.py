@@ -313,3 +313,23 @@ def test_overflow_spill_recovers_dropped_radiance():
                                np.asarray(out_d.radiance),
                                rtol=1e-4, atol=1e-5)
     assert float(out_s.rays_traced) == float(out_d.rays_traced)
+
+
+def test_compact_gsel_mono_is_invisible():
+    """compact_gsel="mono" only reschedules the slot state gathers
+    (monotone big-table pull + small-table perm gather); the gathered
+    values are identical by construction (src_sorted[p] =
+    src_rank[perm[p]]), so radiance must be bitwise identical — under
+    both the key sort and the 9-bucket partition."""
+    host, cam, _ = _small_setup()
+    base = pathtrace.PathTraceConfig(width=64, height=64, bounces=6,
+                                     block_size=4096, compact_from=2,
+                                     compact_fraction=4,
+                                     compact_sort_tile=16)
+    out_d = pathtrace.trace_image(host.scene, cam, base, 3)
+    for extra in ({}, {"compact_sort_partition_min": 0}):
+        cfg_m = dataclasses.replace(base, compact_gsel="mono", **extra)
+        out_m = pathtrace.trace_image(host.scene, cam, cfg_m, 3)
+        np.testing.assert_array_equal(np.asarray(out_m.radiance),
+                                      np.asarray(out_d.radiance))
+        assert float(out_m.rays_traced) == float(out_d.rays_traced)

@@ -49,26 +49,28 @@ VARIANTS = {
 def run(name, iters=8):
     cfg = restir.ReSTIRConfig(local_light_samples=8, **VARIANTS[name])
 
-    # Separate jits (grid build | initial sampling): the single fused
-    # program exceeded the axon tunnel's remote-compile body limit
-    # (HTTP 413) for the +BRDF variants. Grid cost is restir_prepare's,
-    # not restir_initial's, so timing only f matches the bench pass.
-    grid = jax.jit(lambda fi: restir.build_regir_grid(
-        lights, cam.position, cfg, fi))(0)
+    # Separate jits (grid build | initial sampling), and ALL large arrays
+    # passed as jit ARGUMENTS: a closed-over concrete array becomes a
+    # jaxpr constant embedded in the serialized program, and the 1080p
+    # surface (~200 MB of consts) blows the axon tunnel's remote-compile
+    # body limit (HTTP 413). Grid cost is restir_prepare's, not
+    # restir_initial's, so timing only f matches the bench pass.
+    grid = jax.jit(lambda lg, fi: restir.build_regir_grid(
+        lg, cam.position, cfg, fi))(lights, 0)
     jax.block_until_ready(grid)
 
     @jax.jit
-    def f(fi):
+    def f(surface, scene, lights, grid, accel, fi):
         res = restir.initial_sampling(surface, scene, lights, grid, cfg,
                                       fi, 32768, accel=accel)
         return res.w_out
 
     try:
-        out = f(0)
+        out = f(surface, scene, lights, grid, accel, 0)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
         for i in range(iters):
-            out = f(i + 1)
+            out = f(surface, scene, lights, grid, accel, i + 1)
         jax.block_until_ready(out)
         ms = (time.perf_counter() - t0) / iters * 1e3
         print(json.dumps({"k": name, "ms": round(ms, 2)}), flush=True)

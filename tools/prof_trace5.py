@@ -55,13 +55,18 @@ VARIANTS = {
     "b8_cf1_nosort": dict(bounces=8, compact_from=1, compact_sort=False),
     "b8_cf1_tex1": dict(bounces=8, compact_from=1, texture_bounces=1),
     "b1_cf1": dict(bounces=1, compact_from=1),
-    # Round-5b: deep-segment levers (deep_while default ON — "b8" now
-    # measures it; nowhile is the r4 baseline).
-    "b8_nowhile": dict(bounces=8, compact_from=2, deep_while=False),
     "b8_level": dict(bounces=8, compact_from=2,
                      compact_impl="two_level"),
     "b8_onehot": dict(bounces=8, compact_from=2,
                       compact_impl="blocked_onehot"),
+    # Round-5 session 2: deep-entry state-gather schedule (monotone
+    # big-table pull + small-table perm gather) and the deep coherence
+    # sort's net value (the partition/sort made the SCATTER faster in the
+    # piece benchmark — measure its end-to-end worth).
+    "b8_mono": dict(bounces=8, compact_from=2, compact_gsel="mono"),
+    "b8_dsort0": dict(bounces=8, compact_from=2, compact_sort=False),
+    "b8_mono_tex1": dict(bounces=8, compact_from=2, compact_gsel="mono",
+                         texture_bounces=1),
 }
 
 

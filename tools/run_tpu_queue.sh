@@ -61,6 +61,14 @@ prof_restir_kernel|14400|python tools/prof_restir_kernel.py
 EOF
 }
 
+stage_r5h() {  # round-5 session 2: deep-entry gather schedule + sort value
+  cat <<'EOF'
+prof_trace5_mono|10800|python tools/prof_trace5.py b8_mono b8_dsort0
+prof_restir_kernel_1b|10800|python tools/prof_restir_kernel.py kernel_8l_1b xla_8l_1b
+prof_deep_entry_rest|7200|python tools/prof_deep_entry.py gsel to_space all all_nosort
+EOF
+}
+
 stage_r5g() {  # round-5 session 2: CLI verify + mesh convexity-cull A/Bs
   cat <<'EOF'
 verify_smoke|1800|python -m drts_tpu.app --width 160 --height 92 --bounces 3 --no-denoise render --frames 2 --out-dir /tmp/tpuq_r5g/out
