@@ -54,6 +54,11 @@ INST_CHUNK = 16       # instances per TLAS chunk (scalar cull granularity)
 # Origin-inside rays (glass transmission interiors) keep the full sweep
 # via the |o_local| > R + tmin guard. DRTS_MESH_CONV=0 reverts.
 MESH_CONV = _os.environ.get("DRTS_MESH_CONV", "1") != "0"
+# Front-to-back chunk iteration in the fused candidate kernel: sweep the
+# candidate BLAS's chunks in ascending entry-distance order (packed-key
+# selection over the per-chunk scalar culls) so the closest-hit t_done
+# collapses after the entry chunk and the rest far-cull. Opt-in A/B.
+MESH_F2B = _os.environ.get("DRTS_MESH_F2B", "0") == "1"
 
 
 def _conv_ok_scalar(sel, olx, oly, olz, tmn_l, coherent, conv_r):
@@ -1202,39 +1207,117 @@ def _cand_fused_kernel(rays_ref, inst_ref, ibounds_ref, bscanT_ref,
 
                         bobj_s[:, :] = jnp.full(ox.shape, INF_BITS,
                                                 jnp.int32)
-                        for c in range(n_chunks):
-                            bx = tbounds_ref[0, c]
-                            by = tbounds_ref[1, c]
-                            bz = tbounds_ref[2, c]
-                            br = tbounds_ref[3, c]
-                            wx, wy, wz = bx - mx, by - my, bz - mz
-                            er = br + orad
-                            along = wx * axl + wy * ayl + wz * azl
-                            d2 = wx * wx + wy * wy + wz * wz
-                            perp = jnp.sqrt(jnp.maximum(
-                                d2 - along * along, 0.0))
-                            outside = perp * cmin - along * sin_c > er
-                            behind = along < -er
-                            t_hit = jax.lax.bitcast_convert_type(
-                                bobj_s[:, :] & trunc_w, jnp.float32)
-                            t_done = jnp.max(jnp.where(
-                                sel, jnp.minimum(t_hit, tmx_l), 0.0))
-                            far = jnp.sqrt(d2) - er > t_done
-                            possible = jnp.logical_not(
-                                (coherent & (outside | behind)) | far)
-                            if conv:
-                                possible = possible & jnp.logical_not(
-                                    _conv_backface(tbounds_ref, c, axl,
-                                                   ayl, azl, cmin, sin_c,
-                                                   conv_ok))
+                        if MESH_F2B:
+                            # Front-to-back (MESH_F2B): static pass ranks
+                            # chunks by a packed (entry-distance | chunk)
+                            # key using the t_done-INDEPENDENT culls; the
+                            # ordered loop then re-checks only the
+                            # distance cull with the tightening t_done.
+                            assert n_chunks <= 256
+                            ckeys = []
+                            for c in range(n_chunks):
+                                bx = tbounds_ref[0, c]
+                                by = tbounds_ref[1, c]
+                                bz = tbounds_ref[2, c]
+                                br = tbounds_ref[3, c]
+                                wx = bx - mx
+                                wy = by - my
+                                wz = bz - mz
+                                er = br + orad
+                                along = (wx * axl + wy * ayl + wz * azl)
+                                d2 = wx * wx + wy * wy + wz * wz
+                                perp = jnp.sqrt(jnp.maximum(
+                                    d2 - along * along, 0.0))
+                                outside = (perp * cmin - along * sin_c
+                                           > er)
+                                behind = along < -er
+                                ok_c = jnp.logical_not(
+                                    coherent & (outside | behind))
+                                if conv:
+                                    ok_c = ok_c & jnp.logical_not(
+                                        _conv_backface(
+                                            tbounds_ref, c, axl, ayl,
+                                            azl, cmin, sin_c, conv_ok))
+                                ed = jnp.maximum(along - er, 0.0)
+                                kk = (jax.lax.bitcast_convert_type(
+                                    ed, jnp.int32) & ~255) | c
+                                ckeys.append(jnp.where(ok_c, kk,
+                                                       INF_BITS))
+                            kvec0 = jnp.stack(ckeys)[None, :]
 
-                            @pl.when(possible)
-                            def _():
-                                bobj_s[:, :] = jnp.minimum(
-                                    bobj_s[:, :],
-                                    _mt_chunk(tri_ref, c * chunk, chunk,
-                                              olx, oly, olz, dlx, dly,
-                                              dlz, tmn_l, tmx_l, trunc_w))
+                            def visit_rank(r, kv):
+                                mkey = jnp.min(kv)
+
+                                @pl.when(mkey < INF_BITS)
+                                def _():
+                                    cd = mkey & 255
+                                    bx = tbounds_ref[0, cd]
+                                    by = tbounds_ref[1, cd]
+                                    bz = tbounds_ref[2, cd]
+                                    br = tbounds_ref[3, cd]
+                                    wx = bx - mx
+                                    wy = by - my
+                                    wz = bz - mz
+                                    d2 = (wx * wx + wy * wy + wz * wz)
+                                    t_hit = jax.lax.bitcast_convert_type(
+                                        bobj_s[:, :] & trunc_w,
+                                        jnp.float32)
+                                    t_done = jnp.max(jnp.where(
+                                        sel, jnp.minimum(t_hit, tmx_l),
+                                        0.0))
+                                    far = (jnp.sqrt(d2) - (br + orad)
+                                           > t_done)
+
+                                    @pl.when(jnp.logical_not(far))
+                                    def _():
+                                        s0 = pl.multiple_of(cd * chunk,
+                                                            chunk)
+                                        bobj_s[:, :] = jnp.minimum(
+                                            bobj_s[:, :],
+                                            _mt_chunk(tri_ref, s0, chunk,
+                                                      olx, oly, olz, dlx,
+                                                      dly, dlz, tmn_l,
+                                                      tmx_l, trunc_w))
+                                return jnp.where(kv == mkey, INF_BITS,
+                                                 kv)
+
+                            jax.lax.fori_loop(0, n_chunks, visit_rank,
+                                              kvec0)
+                        else:
+                            for c in range(n_chunks):
+                                bx = tbounds_ref[0, c]
+                                by = tbounds_ref[1, c]
+                                bz = tbounds_ref[2, c]
+                                br = tbounds_ref[3, c]
+                                wx, wy, wz = bx - mx, by - my, bz - mz
+                                er = br + orad
+                                along = wx * axl + wy * ayl + wz * azl
+                                d2 = wx * wx + wy * wy + wz * wz
+                                perp = jnp.sqrt(jnp.maximum(
+                                    d2 - along * along, 0.0))
+                                outside = perp * cmin - along * sin_c > er
+                                behind = along < -er
+                                t_hit = jax.lax.bitcast_convert_type(
+                                    bobj_s[:, :] & trunc_w, jnp.float32)
+                                t_done = jnp.max(jnp.where(
+                                    sel, jnp.minimum(t_hit, tmx_l), 0.0))
+                                far = jnp.sqrt(d2) - er > t_done
+                                possible = jnp.logical_not(
+                                    (coherent & (outside | behind)) | far)
+                                if conv:
+                                    possible = possible & jnp.logical_not(
+                                        _conv_backface(tbounds_ref, c, axl,
+                                                       ayl, azl, cmin,
+                                                       sin_c, conv_ok))
+
+                                @pl.when(possible)
+                                def _():
+                                    bobj_s[:, :] = jnp.minimum(
+                                        bobj_s[:, :],
+                                        _mt_chunk(tri_ref, c * chunk,
+                                                  chunk, olx, oly, olz,
+                                                  dlx, dly, dlz, tmn_l,
+                                                  tmx_l, trunc_w))
 
                         best_obj = bobj_s[:, :]
                         t_obj = jax.lax.bitcast_convert_type(

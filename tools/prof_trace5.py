@@ -67,6 +67,15 @@ VARIANTS = {
     "b8_dsort0": dict(bounces=8, compact_from=2, compact_sort=False),
     "b8_mono_tex1": dict(bounces=8, compact_from=2, compact_gsel="mono",
                          texture_bounces=1),
+    # Shade-vs-entry isolation (no profiler needed): b1 ends at bounce 1
+    # so its bounce-1 stage is TERMINAL (emission only — no BSDF
+    # sample/scatter/RR); b2 runs the full dense bounce-1 shade plus the
+    # deep-segment entry. b2_tinycap shrinks the deep segment to 1k slots
+    # (spill off): b2_tinycap - b1 ~= dense bounce-1 shade + fixed entry
+    # stream cost; b2 - b2_tinycap ~= the cap-proportional entry part.
+    "b2": dict(bounces=2, compact_from=2),
+    "b2_tinycap": dict(bounces=2, compact_from=2, compact_capacity=1024,
+                       overflow_spill=False),
 }
 
 

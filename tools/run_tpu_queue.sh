@@ -72,6 +72,7 @@ EOF
 stage_r5g() {  # round-5 session 2: CLI verify + mesh convexity-cull A/Bs
   cat <<'EOF'
 verify_smoke|1800|python -m drts_tpu.app --width 160 --height 92 --bounces 3 --no-denoise render --frames 2 --out-dir /tmp/tpuq_r5g/out
+prof_restir_mxu|7200|DRTS_MXU_KERNEL=1 python tools/prof_restir_kernel.py kernel_8l_1b kernel_8l_0b
 mesh_conv_8b|7200|python tools/bench_mesh.py 4 8
 mesh_noconv_8b|7200|DRTS_MESH_CONV=0 python tools/bench_mesh.py 4 8
 mesh_conv_2b|5400|python tools/bench_mesh.py 4 2
@@ -90,6 +91,16 @@ stage_r5e() {  # round-5: frame-cost trades w/ fidelity guards + new splat
   cat <<'EOF'
 prof_sharc_update2|3600|python tools/prof_sharc_update.py
 ab_frame_cost|14400|python tools/ab_frame_cost.py
+EOF
+}
+
+stage_r5j() {  # round-5 final: SSIM-guarded trades, recorded fidelity, bench
+  cat <<'EOF'
+ab_frame_cost|12600|python tools/ab_frame_cost.py baseline tex1 sharcp2 tex1_sharcp2
+fid_mesh|7200|python -m drts_tpu.fidelity --mesh --record FIDELITY.json
+fid_static|7200|python -m drts_tpu.fidelity --record FIDELITY.json
+fid_motion|7200|python -m drts_tpu.fidelity --motion --record FIDELITY.json
+bench|5400|python bench.py
 EOF
 }
 
