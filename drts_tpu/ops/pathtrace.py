@@ -90,8 +90,10 @@ class PathTraceConfig:
     # src-table builder for the compaction front-end (_compact_slots):
     # "scatter" (permuting-store scatter over all ns rows),
     # "blocked_onehot" (segmented cumsum + per-block one-hot MXU matmul),
-    # "two_level" (segmented cumsum + 2-level binary search). Identical
-    # output; TPU cost differs (scatter is row-serial on all ns lanes).
+    # "two_level" (segmented cumsum + 2-level binary search),
+    # "blocked_sort" (per-block stable sort packing live lanes to block
+    # heads + one direct gather per slot — no row-serial scatter, no
+    # per-slot bisection). Identical output; TPU cost differs.
     compact_impl: str = "scatter"
     # Capacity divisor for the bounce-1 segment. Survivors there are all
     # primary hits with a valid scatter — routinely 60-80% of the frame,
@@ -242,7 +244,21 @@ def _src_table_blocked(act_src, order_ids, cap: int, wave: int, impl: str):
                      b - 1).astype(jnp.int32)
     valid = s_query < total
 
-    if impl == "blocked_onehot":
+    if impl == "blocked_sort":
+        # Per-block STABLE sort (dead lanes to the tail), vectorized over
+        # all blocks in one lax.sort — O(LB log^2 LB) compare-exchange
+        # passes over the (B, LB) layout, all streaming, no row-serial
+        # scatter and no per-slot bisection. semi[b, r] = the r-th live
+        # lane's order id; each output slot then needs exactly ONE
+        # (cap,)-row gather (vs two_level's log2(LB) random gathers per
+        # slot — the measured loss of that form).
+        vals = jnp.pad(order_ids, (0, pad), constant_values=0).reshape(
+            b, lb)
+        _, semi = jax.lax.sort((a == 0, vals), dimension=1, num_keys=1,
+                               is_stable=True)
+        flat_at = jnp.clip(bi * lb + (s_query - off[bi]), 0, b * lb - 1)
+        src = jnp.where(valid, semi.reshape(-1)[flat_at], ns)
+    elif impl == "blocked_onehot":
         lrank = c - a                              # exclusive local rank
         j = jnp.arange(lb, dtype=jnp.int32)
         # oh[b, rank, lane] = live & (lrank[b, lane] == rank)

@@ -333,3 +333,33 @@ def test_compact_gsel_mono_is_invisible():
         np.testing.assert_array_equal(np.asarray(out_m.radiance),
                                       np.asarray(out_d.radiance))
         assert float(out_m.rays_traced) == float(out_d.rays_traced)
+
+
+def test_compact_impl_equivalence():
+    """All src-table builders ("scatter", "two_level", "blocked_onehot",
+    "blocked_sort") must produce identical compaction outputs — src,
+    keep/pos, slot_live, overflow — on a scattered live mask, with the
+    coherence sort on and off, and across capacity-overflow waves."""
+    import jax.numpy as jnp
+
+    ns, cap = 40960, 1024
+    rng_np = np.random.RandomState(5)
+    act = jnp.asarray(rng_np.rand(ns) < 0.04)
+    dirs = jnp.asarray(rng_np.randn(ns, 3).astype(np.float32))
+    for sort in (False, True):
+        for wave in (0, 1):
+            outs = {}
+            for impl in ("scatter", "two_level", "blocked_onehot",
+                         "blocked_sort"):
+                cfg = pathtrace.PathTraceConfig(
+                    width=256, height=160, compact_impl=impl,
+                    compact_sort=sort)
+                cs = pathtrace._compact_slots(act, dirs, None, cfg, cap,
+                                              160, 256, wave=wave)
+                outs[impl] = jax.tree.map(
+                    np.asarray, (cs["src"], cs["slot_live"], cs["keep"],
+                                 cs["pos"], cs["overflow"]))
+            base = outs["scatter"]
+            for impl, got in outs.items():
+                for a, b in zip(base, got):
+                    np.testing.assert_array_equal(a, b, err_msg=impl)

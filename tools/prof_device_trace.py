@@ -90,16 +90,39 @@ def profile(name):
     return per_frame
 
 
+def _kind(op):
+    """Crude op-kind bucket from the event name (fusion.123 -> fusion)."""
+    base = op.split("(")[0].split(".")[0]
+    return base
+
+
 names = sys.argv[1:] or ["b8", "b1"]
 results = {}
 for nm in names:
     t0 = time.perf_counter()
     results[nm] = profile(nm)
-    total = sum(results[nm].values())
-    print(json.dumps({"k": nm, "device_total_ms": round(total, 2),
+    # jit_frame(...) is the whole-program outer span — report it as the
+    # ground-truth frame total, exclude it from op accounting.
+    ops = {k: v for k, v in results[nm].items()
+           if not k.startswith("jit_frame")}
+    frame_ms = sum(v for k, v in results[nm].items()
+                   if k.startswith("jit_frame"))
+    total = sum(ops.values())
+    tail = {k: v for k, v in ops.items() if v < 0.15}
+    print(json.dumps({"k": nm, "frame_ms": round(frame_ms, 2),
+                      "ops_sum_ms": round(total, 2),
+                      "tail_lt_0p15_ms": round(sum(tail.values()), 2),
+                      "tail_ops": len(tail),
                       "wall_s": round(time.perf_counter() - t0, 1)}),
           flush=True)
-    top = sorted(results[nm].items(), key=lambda kv: -kv[1])[:40]
+    kinds = collections.Counter()
+    for k, v in ops.items():
+        kinds[_kind(k)] += v
+    for kd, ms in sorted(kinds.items(), key=lambda kv: -kv[1])[:20]:
+        if ms < 0.2:
+            break
+        print(json.dumps({"kind": kd, "ms": round(ms, 2)}), flush=True)
+    top = sorted(ops.items(), key=lambda kv: -kv[1])[:40]
     for op, ms in top:
         if ms < 0.15:
             break

@@ -73,6 +73,11 @@ VARIANTS = {
     # deep-segment entry. b2_tinycap shrinks the deep segment to 1k slots
     # (spill off): b2_tinycap - b1 ~= dense bounce-1 shade + fixed entry
     # stream cost; b2 - b2_tinycap ~= the cap-proportional entry part.
+    "b8_bsort": dict(bounces=8, compact_from=2,
+                     compact_impl="blocked_sort"),
+    "b8_bsort_dsort0": dict(bounces=8, compact_from=2,
+                            compact_impl="blocked_sort",
+                            compact_sort=False),
     "b2": dict(bounces=2, compact_from=2),
     "b2_tinycap": dict(bounces=2, compact_from=2, compact_capacity=1024,
                        overflow_spill=False),
