@@ -155,16 +155,18 @@ def bench_full_pipeline(width=1920, height=1080, iters=4,
 
 
 def bench_mesh(width=1920, height=1080, tess=4, bounces=2, iters=4,
-               compact_from=1):
+               compact_from=2):
     """General-geometry capability number: the same 448-instance demo
     scene rendered as REAL triangle meshes through the Pallas instanced
     TLAS/BLAS kernel (ops/trimesh_pallas.py) — the reference's actual
     geosphere BLAS workload (Scene.ixx:225-284).
 
-    compact_from=1 by default here: bounce-1 blocks are the mesh path's
-    bottleneck (unsorted, per-instance bounds barely cull — replayed
-    surviving instance visits drop 77% -> 11% with the sorted segment,
-    tools/sim_sort_cull.py), and the segment is exact-parity tested."""
+    compact_from=2 (re-measured round 5, same harness @8 bounces:
+    cfrom=2 3.70 Mray/s vs cfrom=1 2.54): the round-3 cfrom=1 win
+    predates the candidate-iteration kernel, whose global
+    sort-by-candidate (trimesh MESH_SORT) already gives bounce-1 blocks
+    instance coherence — the extra octant segment now only pays its own
+    compaction cost."""
     import jax
     import numpy as np
 

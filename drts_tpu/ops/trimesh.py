@@ -44,7 +44,11 @@ MESH_SORT = _os.environ.get("DRTS_MESH_SORT", "1") != "0"
 # overrides the candidate count before the exact backstop kernel takes
 # the stragglers.
 MESH_CAND = int(_os.environ.get("DRTS_MESH_CAND", "1"))
-MESH_CAND_ITERS = int(_os.environ.get("DRTS_MESH_CAND_ITERS", "6"))
+# 3 measured best on the demo workload (tess-4 geosphere x 438, 8
+# bounces, TPU v5e: iters 3 -> 3.95 Mray/s vs 6 -> 3.70): most lanes
+# resolve within 2 candidates and the exact serial backstop absorbs the
+# stragglers more cheaply than three more dense candidate rounds.
+MESH_CAND_ITERS = int(_os.environ.get("DRTS_MESH_CAND_ITERS", "3"))
 
 
 @struct.dataclass
