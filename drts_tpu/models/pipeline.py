@@ -144,8 +144,12 @@ class PipelineConfig:
     # splat + resolve only on frames where frame_index % N == 0 (under
     # lax.cond — skip frames pay none of the ~38 ms update cost); the
     # cache's 64-frame staleness window (Source/SHARC.ixx:24) tolerates
-    # the staler entries. Ship only with the ab_frame_cost SSIM guard.
-    sharc_update_period: int = 1
+    # the staler entries. Default 2 — measured at the full fidelity
+    # guards (tools/ab_frame_cost.py, TPU r5): static SSIM 0.9809 and
+    # orbit min 0.9506 — bit-for-bit the baseline scores (the cache
+    # accelerates ~2% of rays; a one-frame-staler cache is invisible),
+    # for half the ~38 ms update cost on average.
+    sharc_update_period: int = 2
     # Texture fetch cutoff bounce for the flagship trace (see
     # ops/pathtrace.PathTraceConfig.texture_bounces; 1 = bounce-1
     # material from constants, the measured ~6 ms trade).
