@@ -565,7 +565,7 @@ def intersect_mesh_instances_any(rays_planar, inst_tbl, inst_bounds,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((4, inst_bounds.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((4, tri_bounds.shape[1]), lambda i: (0, 0),
+            pl.BlockSpec((8, tri_bounds.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(tri_tbl.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -991,7 +991,7 @@ def shared_blas_any(rays_planar, cand, occ_in, inst_tbl, tri_bounds,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, inst_tbl.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((4, tri_bounds.shape[1]), lambda i: (0, 0),
+            pl.BlockSpec((8, tri_bounds.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((f_pad, 9), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
