@@ -59,12 +59,14 @@ class PipelineConfig:
     # accumulation so it bounds the denoiser's contribution, not the
     # accumulator's (ADVICE r3 medium).
     taa_mode: str = "auto"
-    # History resample filter ("bilinear" | "catmull"): Catmull-Rom is the
-    # DLSS-class anti-blur history filter (ops/taa.TAAConfig). Default
-    # flipped to "catmull" with the r5 motion sweep winner (ab_motion
-    # adapt0.25_s0.25_catmull: orbit min 0.9507 / mean 0.9560, static
-    # first frame 0.9816 — both fidelity targets met).
-    taa_history_filter: str = "catmull"
+    # History resample filter ("bilinear" | "catmull"). Catmull-Rom
+    # scores marginally better under motion (orbit min 0.9507 vs 0.9502)
+    # but its XLA path costs 16 random row-reads per output pixel —
+    # measured 174 ms/frame at 1080p (BENCH r5: taa pass 12 -> 174 ms;
+    # the windowed Pallas reproject kernel only covers bilinear) — so
+    # bilinear ships; "catmull" stays available for quality-first
+    # offline use.
+    taa_history_filter: str = "bilinear"
     # TAA neighborhood variance-clip box size in std-devs (ops/taa
     # .TAAConfig.clip_gamma). The 1-sigma default pins history to the
     # current frame's local range — sweep candidate for the same orbit
@@ -74,11 +76,11 @@ class PipelineConfig:
     # Motion-adaptive clip target (ops/taa.TAAConfig.clip_gamma_motion):
     # gamma blends from taa_clip_gamma (static) to this value at motion
     # saturation; < 0 disables. Shipping defaults = the r5 ab_motion
-    # winner (adapt0.25_s0.25_catmull): tight clip only where pixels
-    # move, saturating at 0.25 output px/frame — orbit min SSIM
-    # 0.936 -> 0.9507 while the static frame keeps its loose 1-sigma box
-    # (first frame 0.9816, the >=0.98 static spec).
-    taa_clip_gamma_motion: float = 0.25
+    # bilinear winner (adapt0.2_s0.25: orbit min SSIM 0.936 -> 0.9502,
+    # static first frame 0.9816 — both fidelity bars held at real-time
+    # cost; the catmull variant's extra +0.0005 min-SSIM costs 162
+    # ms/frame, see taa_history_filter).
+    taa_clip_gamma_motion: float = 0.2
     # Motion saturation scale for the adaptive clip, output px/frame
     # (ops/taa.TAAConfig.clip_motion_px).
     taa_clip_motion_px: float = 0.25
